@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship reverse-geocode plan; ``queries()`` /
+``oracle_sql()`` cover the operator inventory (SURVEY.md §2) over the
+driver-provided tables at ``sf_dir``, each Spark plan paired with an ANSI-SQL
+oracle that DuckDB executes on the same parquet.
 """
 
 from __future__ import annotations
@@ -13,26 +12,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reverse-geocode a deterministic synthetic pages table.
+
+    Sized from the sf0.001 events table (driver contract: load sf0.001
+    parquet); pages/polygons/cities are deterministic synthetic fixtures —
+    the reference's NLSC/GeoNames inputs are not redistributable
+    (FIXTURES.md §1/§6).
+    """
+    from immich_geodata_zh_tw_spark.plans.reverse_geocode import reverse_geocode_pages
+    from immich_geodata_zh_tw_spark.synth import cities, pages, polygons
+
+    n_events = spark.read.parquet(f"{SF0001}/events.parquet").count()
+    pages_sdf = pages.pages_df(spark, max(n_events * 2, 1000))
+    return reverse_geocode_pages(
+        spark, pages_sdf,
+        polygons.admin_polygons_pdf(village_grid=5),
+        cities.cities_pdf(village_grid=5),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from immich_geodata_zh_tw_spark.plans import driver_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query key."""
+    from immich_geodata_zh_tw_spark.plans import driver_queries
+
+    return driver_queries.oracle_sql()

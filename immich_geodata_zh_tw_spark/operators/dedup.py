@@ -1,0 +1,113 @@
+"""Deduplication operators — reference semantics + web-scale document dedup.
+
+Reference semantics:
+* coordinate dedup, keep max population / tie min geoname_id
+  (enhance_data.py:273-290) — the reference does groupBy + self-join; here a
+  single ``row_number`` window (one shuffle instead of two, SURVEY.md J2);
+* priority pick: sort by priority then first per key (alternate_names.py:79-85);
+* order-stable ``dropDuplicates`` (base.py:288, W3).
+
+Web-scale additions (training-data pipeline, driver mandate): exact dedup by
+content hash, MinHash-LSH near-dup candidate pairs, SimHash. All use built-in
+JVM functions (md5/xxhash64, higher-order array ops) — no Python on the hot
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_best_per_key(df: DataFrame, keys: list[str],
+                      order_by: list[Column]) -> DataFrame:
+    """One row per key, chosen by explicit ordering (deterministic)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def coordinate_dedup(df: DataFrame, *, lat: str = "latitude",
+                     lon: str = "longitude", population: str = "population",
+                     id_col: str = "geoname_id") -> DataFrame:
+    """Reference rule: per (lat, lon) keep max population, tie → min id."""
+    return keep_best_per_key(df, [lat, lon],
+                             [F.col(population).desc(), F.col(id_col).asc()])
+
+
+def exact_dedup(df: DataFrame, content_col: str, *, id_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(content): representative = min id.
+
+    Output: one row per distinct content with ``dup_count``.  Hash-groupBy
+    with map-side partial aggregation; the content column itself never
+    shuffles (only its 128-bit hash + min id + count).
+    """
+    return (df.select(F.md5(F.col(content_col)).alias("content_hash"),
+                      F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signature(text_col: str, *, n_bands: int = 4,
+                      shingle: int = 5) -> list[Column]:
+    """MinHash band signatures over character shingles, pure SQL expressions.
+
+    Band ``b``'s signature = min over shingles of md5(b || shingle) — built
+    with higher-order functions (sequence/transform/array_min), fully
+    JVM-side and expressible verbatim in the DuckDB oracle.
+    """
+    cols = []
+    for b in range(n_bands):
+        expr = (
+            f"array_min(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)), "
+            f"i -> md5(concat('{b}:', substring({text_col}, i, {shingle})))))"
+        )
+        cols.append(F.expr(expr).alias(f"band{b}"))
+    return cols
+
+
+def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
+                            n_bands: int = 4, shingle: int = 5) -> DataFrame:
+    """LSH candidate near-dup pairs: docs sharing any band signature.
+
+    Explode to (band_idx, sig) → self-join per bucket → distinct (a, b) with
+    a < b.  The shuffle key is the band hash — uniformly distributed, so no
+    skew; bucket sizes bound the join fan-out.
+    """
+    sigs = df.select(F.col(id_col), *minhash_signature(text_col, n_bands=n_bands,
+                                                       shingle=shingle))
+    bands = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
+            for b in range(n_bands)])).alias("bs"),
+    ).select(id_col, F.col("bs.band_idx"), F.col("bs.sig"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (left.join(right, ["band_idx", "sig"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def with_simhash(df: DataFrame, text_col: str, *, shingle: int = 4,
+                 n_bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """SimHash fingerprint over character shingles, pure SQL expressions.
+
+    Per bit b: sign of Σ_shingles (±1 by bit b of xxhash64(shingle)).  The
+    shingle-hash array is materialized once, then each bit is one
+    ``aggregate()`` over it — all JVM-side.  ``n_bits`` defaults to 16 to
+    keep expression depth sane; near-dup grouping uses the fingerprint value
+    directly (identical fingerprints ⇒ near-dup bucket).
+    """
+    shingles = (f"transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)), "
+                f"i -> xxhash64(substring({text_col}, i, {shingle})))")
+    staged = df.withColumn("__shg", F.expr(shingles))
+    bits = " + ".join(
+        f"shiftleft(CAST(aggregate(__shg, 0L, "
+        f"(acc, h) -> acc + CASE WHEN (h >> {b}) % 2 != 0 THEN 1 ELSE -1 END) > 0 "
+        f"AS BIGINT), {b})"
+        for b in range(n_bits))
+    return staged.withColumn(out_col, F.expr(bits)).drop("__shg")

@@ -1,0 +1,144 @@
+"""Nearest-neighbor (k=1) naming join — the Immich runtime semantic.
+
+Reference semantic: a photo's (lat, lon) is matched to the nearest cities500
+point (reference README.md:103; the reference *constructs* that point table,
+one row per village centroid, so k=1 lands on the right village).  At 10^12
+pages a cross join is impossible; the scalable plan is:
+
+1. encode each query point's grid cell in pure Column algebra (no UDF);
+2. explode the **small** places table by the k-ring of each place's cell
+   (driver-side numpy — the places table is broadcast-sized by construction,
+   ~10^4 rows; the 10^12-row side is never exploded and never shuffled);
+3. broadcast equi-join on the query's own cell → candidate pairs;
+4. pick the true nearest per query with ``min(struct(dist, tiebreak, ...))``
+   — a hash aggregation with map-side partial combine (deliberately NOT a
+   window: ``row_number() over (partitionBy=query)`` would shuffle every
+   candidate row and sort; min-of-struct ships one partial row per query per
+   task);
+5. **exactness guard**: a candidate found inside ring k is provably the global
+   nearest only if its distance is ≤ the minimum possible distance to any
+   cell outside the ring.  Rows failing the guard (and rows with no candidate
+   at all) escalate to a larger k; the final remainder falls back to a
+   brute-force broadcast cross join — exact by definition, and by then the
+   remainder is a vanishing fraction (isolated points only).
+
+The escalation loop is driver-side control flow over shrinking DataFrames —
+bounded iterations, each a broadcast join (no big-side shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import cell_expr, haversine_col
+from ..geo import grid
+
+_DEG_KM = math.pi / 180.0 * 6371.0088  # km per degree of great-circle arc
+
+
+def explode_places_by_kring(spark: SparkSession, places_pdf, *,
+                            lat_col: str, lon_col: str,
+                            res: int, k: int) -> DataFrame:
+    """Small-side prep: one row per (place, covered cell), as a Spark DF.
+
+    ``places_pdf`` is a pandas DataFrame (broadcast-scale by contract).
+    """
+    cells = grid.cell_of(places_pdf[lat_col].to_numpy(),
+                         places_pdf[lon_col].to_numpy(), res)
+    rings = grid.k_ring(cells, k)  # (n, (2k+1)^2)
+    n, m = rings.shape
+    idx = np.repeat(np.arange(n), m)
+    flat = rings.ravel()
+    keep = flat >= 0
+    out = places_pdf.iloc[idx[keep]].reset_index(drop=True)
+    out["cell"] = flat[keep]
+    return spark.createDataFrame(out)
+
+
+def min_cell_km(res: int, max_abs_lat: float) -> float:
+    """Smallest ground extent of one cell step at ``res`` within ±max_abs_lat."""
+    lat_step, lon_step = grid.cell_size_deg(res)
+    return min(lat_step, lon_step * math.cos(math.radians(max_abs_lat))) * _DEG_KM
+
+
+def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
+             query_id: str, lat_col: str = "lat", lon_col: str = "lon",
+             place_lat: str = "latitude", place_lon: str = "longitude",
+             place_cols: list[str] | None = None,
+             res: int = grid.DEFAULT_RES,
+             k_schedule: tuple[int, ...] = (1, 4, 16),
+             max_abs_lat: float = 60.0) -> DataFrame:
+    """Exact nearest-place join: one output row per query row.
+
+    Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
+    Ties broken by the first column of ``place_cols`` (ascending) — callers
+    should pass a unique key first (e.g. geoname_id), mirroring the
+    deterministic tie rule used throughout the reference (min geoname_id,
+    enhance_data.py:279-290).
+    """
+    if place_cols is None:
+        place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
+    tiebreak = place_cols[0]
+
+    q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    remaining = q
+    results: list[DataFrame] = []
+
+    dist = haversine_col(F.col(lat_col), F.col(lon_col),
+                         F.col("__p_lat"), F.col("__p_lon"))
+
+    def best_of(cand: DataFrame) -> DataFrame:
+        """min(struct(dist, tiebreak, payload…)) per query — partial-agg friendly."""
+        packed = F.struct(
+            F.col("__dist").alias("d"),
+            F.col(tiebreak).alias("tb"),
+            *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
+            F.col("__p_lat").alias("__p_lat"), F.col("__p_lon").alias("__p_lon"),
+        )
+        agg = (cand.groupBy(query_id)
+               .agg(F.min(packed).alias("__best"), F.first("__qrow").alias("__qrow")))
+        sel = [F.col("__qrow.*"),
+               F.col("__best.tb").alias(tiebreak),
+               *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
+               F.col("__best.d").alias("knn_dist_km"),
+               F.col("__best.__p_lat").alias("__p_lat"),
+               F.col("__best.__p_lon").alias("__p_lon")]
+        return agg.select(*sel)
+
+    for k in k_schedule:
+        cand_small = explode_places_by_kring(
+            spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k
+        ).withColumnRenamed(place_lat, "__p_lat").withColumnRenamed(place_lon, "__p_lon")
+        rem = remaining.withColumn(
+            "__qrow", F.struct(*[F.col(c) for c in remaining.columns if c != "__qrow"]))
+        cand = (rem.join(F.broadcast(cand_small), rem["__cell"] == cand_small["cell"])
+                .withColumn("__dist", dist))
+        best = best_of(cand)
+        # exactness guard: nearest-in-ring is global nearest iff closer than
+        # any point outside the k-ring could possibly be
+        guard_km = k * min_cell_km(res, max_abs_lat)
+        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km))
+        results.append(exact.drop("__p_lat", "__p_lon"))
+        remaining = remaining.join(exact.select(query_id), query_id, "left_anti")
+        if not remaining.take(1):
+            remaining = None
+            break
+
+    if remaining is not None and remaining.take(1):
+        # brute force on the (tiny) remainder — exact, broadcast cross join
+        places_sdf = (spark.createDataFrame(places_pdf)
+                      .withColumnRenamed(place_lat, "__p_lat")
+                      .withColumnRenamed(place_lon, "__p_lon"))
+        rem = remaining.withColumn(
+            "__qrow", F.struct(*[F.col(c) for c in remaining.columns if c != "__qrow"]))
+        cand = rem.crossJoin(F.broadcast(places_sdf)).withColumn("__dist", dist)
+        results.append(best_of(cand).drop("__p_lat", "__p_lon"))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.drop("__cell")

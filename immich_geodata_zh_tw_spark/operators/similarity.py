@@ -1,0 +1,114 @@
+"""Embedding similarity search (driver mandate: ANN over array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the corpus, dot products via zip_with/aggregate (JVM higher-order
+  functions, no Python), min-struct top-k per query.  The baseline and the
+  oracle-checkable path.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane (SimHash) bucket
+  signatures from deterministic splitmix-derived planes; candidates = bucket
+  collisions under multiple rotations, then exact re-rank.  Approximate by
+  construction → rows-only check (no SQL oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..synth.hashing import u01
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float> columns, all JVM-side."""
+    def dot(x, y):
+        return (f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+                f"0.0D, (acc, v) -> acc + v)")
+    return F.expr(
+        f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id: str = "q_id", query_vec: str = "q_vec") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-id matches).
+
+    Queries are broadcast (small side); ranking via min-struct aggregation
+    for k=1, window row_number otherwise.
+    """
+    sim = cosine_expr(vec_col, query_vec)
+    pairs = (corpus.crossJoin(F.broadcast(queries))
+             .filter(F.col(id_col) != F.col(query_id))
+             .withColumn("cos_sim", F.round(sim, 9)))
+    if k == 1:
+        packed = F.struct((-F.col("cos_sim")).alias("neg"),
+                          F.col(id_col).alias("nid"))
+        return (pairs.groupBy(query_id)
+                .agg(F.min(packed).alias("b"))
+                .select(query_id,
+                        F.col("b.nid").alias("neighbor_id"),
+                        (-F.col("b.neg")).alias("cos_sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(),
+                                             F.col(id_col).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("neighbor_id"),
+                    "cos_sim", "rank"))
+
+
+def hyperplanes(n_planes: int, dim: int, *, seed: int = 1234) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix hashing."""
+    idx = np.arange(n_planes * dim, dtype=np.int64) + seed * 1_000_003
+    return (u01(idx) - 0.5).reshape(n_planes, dim)
+
+
+def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Bucket id = sign bits of plane dot products, as one JVM expression."""
+    n_planes, dim = planes.shape
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {planes[p, d]!r}"
+            for d in range(dim))
+        bits.append(f"shiftleft(CAST(({terms}) > 0.0 AS BIGINT), {p})")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int, n_planes: int = 12,
+                    n_tables: int = 2, k: int = 1) -> DataFrame:
+    """Approximate all-pairs nearest neighbor: bucket-collision candidates
+    from ``n_tables`` independent plane sets, exact cosine re-rank.
+
+    The shuffle key is the bucket hash (uniform); candidate fan-out is
+    bounded by bucket size — at 10^12 rows, raise n_planes to keep buckets
+    small rather than broadcasting anything.
+    """
+    sigs = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, seed=1234 + 7 * t)
+        sigs.append(F.struct(F.lit(t).alias("tbl"),
+                             lsh_signature_expr(vec_col, planes).alias("sig")))
+    tagged = corpus.select(id_col, vec_col,
+                           F.explode(F.array(*sigs)).alias("b")
+                           ).select(id_col, vec_col, "b.tbl", "b.sig")
+    l, r = tagged.alias("l"), tagged.alias("r")
+    pairs = (l.join(r, ["tbl", "sig"])
+             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"l.{vec_col}").alias("va"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col(f"r.{vec_col}").alias("vb"))
+             .distinct()
+             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 9))
+             .drop("va", "vb"))
+    # symmetric top-k per id
+    sym = (pairs.select(F.col("id_a").alias("q_id"), F.col("id_b").alias("neighbor_id"), "cos_sim")
+           .unionByName(pairs.select(F.col("id_b").alias("q_id"),
+                                     F.col("id_a").alias("neighbor_id"), "cos_sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("neighbor_id").asc())
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))

@@ -1,0 +1,110 @@
+"""Text-analysis operators for the training-data pipeline (driver mandate).
+
+Language-ID (stopword heuristic), quality scoring (length/punct/stopword
+ratios), token counting, and document fingerprinting — all pure JVM SQL
+expressions (no UDF on the hot path).
+
+Portability rule: every snippet here is emitted as SQL *text* that parses
+identically in Spark SQL and DuckDB (no backslash escapes — the two engines
+disagree on string-literal escaping), so the engine side (``F.expr``) and the
+DuckDB oracle run the very same formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword lists per language (heuristic, not a model)
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ein"],
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def stopword_hits_sql(lang: str, text_col: str = "text") -> str:
+    """Σ over the lang's stopwords of space-delimited occurrence counts.
+
+    Counted via padded replace-shrinkage — identical semantics in both
+    engines, no regex: count(w) = (len(padded) − len(replace(padded, ' w ', '')))
+    / len(' w ').  Overlap note: adjacent repeats (' a a ') share the middle
+    space, so replace catches every other one — both engines scan
+    left-to-right, so the (under)count is identical on both sides.
+    """
+    padded = f"concat(' ', {text_col}, ' ')"
+    terms = [
+        f"CAST((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def token_count_sql(text_col: str = "text") -> str:
+    """Space-separated token count: words = spaces-in-trimmed + 1 (0 if empty)."""
+    t = f"trim({text_col})"
+    return (f"(CASE WHEN length({t}) = 0 THEN 0 "
+            f"ELSE length({t}) - length(replace({t}, ' ', '')) + 1 END)")
+
+
+def punct_ratio_sql(text_col: str = "text") -> str:
+    # CAST AS DOUBLE: Spark parses bare decimal literals as DECIMAL, DuckDB
+    # as DOUBLE — forcing double arithmetic keeps both engines bit-identical
+    return (f"round(CAST(length({text_col}) - length(regexp_replace({text_col}, '[.,;:!?]', '')) "
+            f"AS DOUBLE) / greatest(length({text_col}), 1), 6)")
+
+
+def digit_ratio_sql(text_col: str = "text") -> str:
+    return (f"round(CAST(length({text_col}) - length(regexp_replace({text_col}, '[0-9]', '')) "
+            f"AS DOUBLE) / greatest(length({text_col}), 1), 6)")
+
+
+def quality_score_sql(text_col: str = "text") -> str:
+    """Blend of token-length saturation and stopword density, in [0, 1]."""
+    toks = token_count_sql(text_col)
+    sw = stopword_hits_sql("en", text_col)
+    return (
+        f"(CASE WHEN length({text_col}) < 20 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"round(least(CAST(1.0 AS DOUBLE), CAST({toks} AS DOUBLE) / 50.0) * 0.5 "
+        f"+ least(CAST(1.0 AS DOUBLE), CAST({sw} AS DOUBLE) * 10.0 / greatest({toks}, 1)) * 0.5, 6) END)"
+    )
+
+
+def predict_lang_sql(text_col: str = "text") -> str:
+    """Stopword-vote language ID: most hits wins, tie → alphabetical."""
+    votes = {lang: stopword_hits_sql(lang, text_col) for lang in STOPWORDS}
+    langs = sorted(votes)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"{votes[lang]} > 0"]
+        for other in langs[:i]:
+            conds.append(f"{votes[lang]} > {votes[other]}")   # earlier lang wins ties
+        for other in langs[i + 1:]:
+            conds.append(f"{votes[lang]} >= {votes[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "(CASE " + " ".join(branches) + " ELSE 'und' END)"
+
+
+def fingerprint_sql(text_col: str = "text") -> str:
+    """Normalized-content fingerprint: md5 of lowercased alnum+space text."""
+    return f"md5(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''))"
+
+
+# ---- Spark-side conveniences (wrap the shared SQL) ----
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (df
+            .withColumn("n_tokens", F.expr(token_count_sql(text_col)))
+            .withColumn("punct_ratio", F.expr(punct_ratio_sql(text_col)))
+            .withColumn("digit_ratio", F.expr(digit_ratio_sql(text_col)))
+            .withColumn("stopword_hits", F.expr(stopword_hits_sql("en", text_col)))
+            .withColumn("quality_score", F.expr(quality_score_sql(text_col))))
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    return F.expr(predict_lang_sql(text_col))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    return F.expr(fingerprint_sql(text_col))

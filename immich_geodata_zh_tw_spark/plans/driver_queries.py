@@ -1,0 +1,719 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md §2),
+each with a DuckDB-runnable ANSI-SQL oracle.
+
+Design rules for exact value-hash parity:
+
+* shared arithmetic (derived coordinates, minhash bands, text stats) is
+  emitted as SQL *text* that parses identically in Spark SQL and DuckDB, or
+  generated from one Python constant via ``repr`` (exact float round-trip);
+* aggregate doubles are rounded at a grain where both engines agree
+  (sums of arbitrary doubles differ only in the last ulp → round(…, 2..6));
+* no raw timestamps in outputs (engines disagree on tz rendering) — epochs
+  and dates only;
+* geo queries derive (lat, lon) *arithmetically* from driver tables
+  (events/supplier), so DuckDB can verify kNN/PIP results exactly against the
+  engine's production cell-index implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
+from ..operators import dedup, ids, merge, sample, similarity, textstats, translate
+from ..operators.admin_rules import japan_admin2_rules
+from ..operators.knn import knn_join
+from ..operators.pipjoin import pip_join
+from ..synth import TW_BBOX
+from ..synth.polygons import COUNTIES, N_TOWNSHIPS_PER_COUNTY, admin_polygons_pdf
+
+# ---------------------------------------------------------------------------
+# shared derived-coordinate formulas (identical text in Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+# CAST(...AS DOUBLE) early: Spark SQL parses bare decimal literals as DECIMAL
+# (12-digit arithmetic) while DuckDB parses them as DOUBLE — forcing the
+# division to double keeps the two engines bit-identical.
+PT_LAT = "(21.5001 + CAST((event_id * 2654435761) % 999983 AS DOUBLE) / 999983.0 * 3.9871)"
+PT_LON = "(119.5001 + CAST((event_id * 40503) % 999983 AS DOUBLE) / 999983.0 * 2.9871)"
+PL_LAT = "(21.5 + CAST((s_suppkey * 7919) % 997 AS DOUBLE) / 997.0 * 4.0)"
+PL_LON = "(119.5 + CAST((s_suppkey * 104729) % 997 AS DOUBLE) / 997.0 * 3.0)"
+
+# synthetic polygon-grid constants — computed with the SAME float ops as
+# synth/polygons.py, injected into oracle SQL via repr (exact round-trip)
+_G = 5
+_LA0, _LAT_MAX, _LO0, _LON_MAX = TW_BBOX
+_LAT_STEP = (_LAT_MAX - _LA0) / len(COUNTIES)
+_LON_STEP = (_LON_MAX - _LO0) / N_TOWNSHIPS_PER_COUNTY
+_VLAT = _LAT_STEP / _G
+_VLON = _LON_STEP / _G
+_HALF = _VLON / 2.0
+_GAP_LO = _LO0 + _HALF * 0.9
+_GAP_HI = _LO0 + _HALF * 1.1
+_COUNTY_LIST_SQL = "[" + ", ".join(f"'{c}'" for c in COUNTIES) + "]"
+
+EVENT_PRIORITY = ["purchase", "signup", "click", "view", "error"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark, sf_dir) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", F.expr(PT_LAT).alias("lat"), F.expr(PT_LON).alias("lon")))
+
+
+def _places_pdf(spark, sf_dir):
+    return (_t(spark, sf_dir, "supplier")
+            .select(F.col("s_suppkey").alias("place_id"),
+                    F.expr(PL_LAT).alias("latitude"),
+                    F.expr(PL_LON).alias("longitude"))
+            .toPandas())
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+def q_geo_cell_assign(spark, sf_dir):
+    """Grid-cell encode in pure Column algebra (functions/geo.py)."""
+    pts = _points(spark, sf_dir)
+    return pts.select("event_id",
+                      cell_expr(F.col("lat"), F.col("lon"), 13).alias("cell"))
+
+
+SQL_GEO_CELL_ASSIGN = f"""
+SELECT event_id, {cell_sql(PT_LAT, PT_LON, 13)} AS cell FROM events
+"""
+
+
+def q_geo_cell_histogram(spark, sf_dir):
+    """Cell histogram at res 8 — the skew-detection pass (SURVEY §4 X12)."""
+    pts = _points(spark, sf_dir)
+    return (pts.groupBy(cell_expr(F.col("lat"), F.col("lon"), 8).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_points")))
+
+
+SQL_GEO_CELL_HISTOGRAM = f"""
+SELECT {cell_sql(PT_LAT, PT_LON, 8)} AS cell, count(*) AS n_points
+FROM events GROUP BY 1
+"""
+
+_KNN_ORACLE = f"""
+WITH pts AS (SELECT event_id, {PT_LAT} AS lat, {PT_LON} AS lon FROM events),
+pls AS (SELECT s_suppkey AS place_id, {PL_LAT} AS plat, {PL_LON} AS plon FROM supplier),
+d AS (SELECT event_id, place_id,
+             {haversine_sql('lat', 'lon', 'plat', 'plon')} AS dist
+      FROM pts CROSS JOIN pls),
+r AS (SELECT event_id, place_id, dist,
+             row_number() OVER (PARTITION BY event_id ORDER BY dist, place_id) AS rn
+      FROM d)
+SELECT event_id, place_id, round(dist, 6) AS dist_km FROM r WHERE rn = 1
+"""
+
+
+def q_geo_knn_brute(spark, sf_dir):
+    """Exact kNN baseline: broadcast cross join + min-struct (no window)."""
+    pts = _points(spark, sf_dir)
+    pls = (_t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("place_id"),
+                   F.expr(PL_LAT).alias("plat"), F.expr(PL_LON).alias("plon")))
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("plat"), F.col("plon"))
+    packed = F.struct(d.alias("d"), F.col("place_id").alias("pid"))
+    return (pts.crossJoin(F.broadcast(pls))
+            .groupBy("event_id").agg(F.min(packed).alias("b"))
+            .select("event_id", F.col("b.pid").alias("place_id"),
+                    F.round(F.col("b.d"), 6).alias("dist_km")))
+
+
+def q_geo_knn_cells(spark, sf_dir):
+    """Production kNN: cell index + k-ring escalation (operators/knn.py) —
+    must equal the brute-force oracle exactly."""
+    pts = _points(spark, sf_dir)
+    out = knn_join(spark, pts, _places_pdf(spark, sf_dir),
+                   query_id="event_id", place_cols=["place_id"],
+                   res=9, k_schedule=(1, 3), max_abs_lat=26.0)
+    return out.select("event_id", "place_id",
+                      F.round(F.col("knn_dist_km"), 6).alias("dist_km"))
+
+
+def q_geo_pip_villages(spark, sf_dir):
+    """Production PIP join (WKB ray-casting + cell prefilter) vs the grid
+    arithmetic the synthetic polygons were built from."""
+    pts = _points(spark, sf_dir)
+    polys = admin_polygons_pdf(village_grid=_G).reset_index(drop=True)
+    polys.insert(0, "poly_id", range(len(polys)))
+    out = pip_join(spark, pts, polys[["poly_id", "geometry_wkb",
+                                      "county", "township", "village"]],
+                   id_col="poly_id", attr_cols=["county", "township", "village"],
+                   res=11)
+    return out.select("event_id", "county", "township", "village")
+
+
+SQL_GEO_PIP_VILLAGES = f"""
+WITH pts AS (SELECT event_id, {PT_LAT} AS lat, {PT_LON} AS lon FROM events),
+idx AS (
+  SELECT event_id, lat, lon,
+    CAST(least(greatest(floor((lat - {_LA0!r}) / {_LAT_STEP!r}), 0), {len(COUNTIES) - 1}) AS INT) AS ci,
+    CAST(least(greatest(floor((lon - {_LO0!r}) / {_LON_STEP!r}), 0), {N_TOWNSHIPS_PER_COUNTY - 1}) AS INT) AS tj
+  FROM pts),
+idx2 AS (
+  SELECT *,
+    CAST(least(greatest(floor((lat - ({_LA0!r} + ci * {_LAT_STEP!r})) / {_VLAT!r}), 0), {_G - 1}) AS INT) AS vi,
+    CAST(least(greatest(floor((lon - ({_LO0!r} + tj * {_LON_STEP!r})) / {_VLON!r}), 0), {_G - 1}) AS INT) AS vj
+  FROM idx),
+named AS (
+  SELECT event_id, ci, tj, vi, vj, lon,
+    ({_COUNTY_LIST_SQL})[ci + 1] AS county
+  FROM idx2)
+SELECT event_id, county,
+  concat(substr(county, 1, 2), lpad(CAST(tj + 1 AS VARCHAR), 2, '0'), '區') AS township,
+  concat(substr(county, 1, 2), lpad(CAST(tj + 1 AS VARCHAR), 2, '0'), '區',
+         lpad(CAST(vi * {_G} + vj + 1 AS VARCHAR), 3, '0'), '里') AS village
+FROM named
+WHERE NOT (ci = 0 AND tj = 0 AND vi = 0 AND vj = 0
+           AND lon > {_GAP_LO!r} AND lon < {_GAP_HI!r})
+"""
+
+
+# ---------------------------------------------------------------------------
+# tabular operator queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """A1/A2 group aggregates (TPC-H Q1 shape, avg-free for exactness)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """J2→window dedup: per customer keep max-totalprice order, tie min key
+    (reference enhance_data.py:273-290 rule shape)."""
+    o = _t(spark, sf_dir, "orders")
+    best = dedup.keep_best_per_key(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()])
+    return best.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+SQL_DEDUP_KEEP_BEST = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q_priority_pick(spark, sf_dir):
+    """A3 priority pick (alternate_names.py:61-85 shape) on events."""
+    e = _t(spark, sf_dir, "events")
+    out = translate.priority_pick(
+        e, key="user_id", lang_col="event_type", priority=EVENT_PRIORITY,
+        tiebreak=[F.col("ts").asc(), F.col("event_id").asc()])
+    return out.select("user_id", "event_id", "event_type")
+
+
+SQL_PRIORITY_PICK = f"""
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY
+    CASE event_type {' '.join(f"WHEN '{t}' THEN {i + 1}" for i, t in enumerate(EVENT_PRIORITY))}
+    ELSE {len(EVENT_PRIORITY) + 1} END, ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_dense_rank_codes(spark, sf_dir):
+    """W2 admin1-code assignment (base.py:627-671): zero-padded dense rank."""
+    n = _t(spark, sf_dir, "nation")
+    out = ids.dense_rank_codes(n, "n_name", prefix="N", width=2,
+                               partition_cols=["n_regionkey"])
+    return out.select("n_name", "n_regionkey", "code")
+
+
+SQL_DENSE_RANK_CODES = """
+SELECT n_name, n_regionkey,
+       concat('N', '.', lpad(CAST(dense_rank() OVER (
+           PARTITION BY n_regionkey ORDER BY n_name) AS VARCHAR), 2, '0')) AS code
+FROM nation
+"""
+
+
+def q_seq_id_assign(spark, sf_dir):
+    """W1 sequential geoname-id allocation, scalable two-pass variant
+    (base.py:137-143 semantics without a single-partition window)."""
+    s = _t(spark, sf_dir, "supplier")
+    out = ids.sequential_ids_scalable(s, ["s_name", "s_suppkey"],
+                                      base=5_000_000, out_col="seq_id")
+    return out.select("s_suppkey", "s_name", "seq_id")
+
+
+SQL_SEQ_ID_ASSIGN = """
+SELECT s_suppkey, s_name,
+       row_number() OVER (ORDER BY s_name, s_suppkey) + 4999999 AS seq_id
+FROM supplier
+"""
+
+
+def q_replace_by_key(spark, sf_dir):
+    """U3 delete+insert replace (base.py:694-722)."""
+    n = _t(spark, sf_dir, "nation")
+    replacement = (n.filter(F.col("n_regionkey") == 2)
+                   .withColumn("n_name", F.upper(F.col("n_name"))))
+    return merge.replace_by_key(n, replacement, F.col("n_regionkey") == 2)
+
+
+SQL_REPLACE_BY_KEY = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey != 2
+UNION ALL
+SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey FROM nation WHERE n_regionkey = 2
+"""
+
+
+def q_anti_join_filter(spark, sf_dir):
+    """P5/J6 membership anti-filter as a left_anti join
+    (enhance_data.py:262-265)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+            .filter(F.col("c_acctbal") >= 1000)
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+SQL_ANTI_JOIN_FILTER = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) AND c_acctbal >= 1000
+"""
+
+
+def q_marker_join(spark, sf_dir):
+    """J1/A1 duplicate-marker join (japan.py:281-307)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("o_date", F.to_date("o_orderdate")))
+    out = merge.marker_join(o, ["o_custkey", "o_date"], flag_col="has_dup")
+    return out.select("o_orderkey", "has_dup")
+
+
+SQL_MARKER_JOIN = """
+WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date FROM orders),
+d AS (SELECT o_custkey, o_date FROM o GROUP BY 1, 2 HAVING count(*) > 1)
+SELECT o.o_orderkey, (d.o_custkey IS NOT NULL) AS has_dup
+FROM o LEFT JOIN d USING (o_custkey, o_date)
+"""
+
+_NULLTOK_CASE = ("CASE WHEN p_size % 7 = 0 THEN '' WHEN p_size % 7 = 1 THEN 'None' "
+                 "WHEN p_size % 7 = 2 THEN 'nan' ELSE p_brand END")
+
+
+def q_coalesce_chain(spark, sf_dir):
+    """P6 null-token normalization + P10 coalesce chain
+    (base.py:389-398, translate.py:277-286)."""
+    p = _t(spark, sf_dir, "part")
+    raw = p.withColumn("c1", F.expr(_NULLTOK_CASE))
+    return raw.select(
+        "p_partkey",
+        translate.coalesce_chain(
+            translate.normalize_null_tokens(F.col("c1")),
+            F.col("p_type")).alias("final_name"))
+
+
+SQL_COALESCE_CHAIN = f"""
+SELECT p_partkey,
+       coalesce(CASE WHEN ({_NULLTOK_CASE}) IN ('', '\"\"', 'None', 'nan') THEN NULL
+                     ELSE ({_NULLTOK_CASE}) END, p_type) AS final_name
+FROM part
+"""
+
+
+def q_japan_admin2(spark, sf_dir):
+    """P9 Japan R1-R5 when-chain + gun-dup marker (japan.py:227-337),
+    applied to parts mapped into N03-shaped columns."""
+    p = _t(spark, sf_dir, "part")
+    shaped = p.select(
+        F.col("p_partkey"),
+        F.col("p_brand").alias("N03_001"),
+        F.expr("CASE WHEN p_size % 5 = 0 THEN concat(p_type, '郡') "
+               "WHEN p_size % 5 = 1 THEN 'None' "
+               "WHEN p_size % 5 = 2 THEN '' ELSE NULL END").alias("N03_003"),
+        F.expr("CASE WHEN p_size % 4 = 0 THEN concat(p_type, '市') "
+               "WHEN p_size % 4 = 1 THEN concat(p_type, '町') "
+               "WHEN p_size % 4 = 2 THEN 'nan' ELSE p_type END").alias("N03_004"),
+        F.expr("CASE WHEN p_size % 6 = 0 THEN concat('第', CAST(p_size AS STRING), '區') "
+               "ELSE NULL END").alias("N03_005"),
+    )
+    out = japan_admin2_rules(shaped)
+    return out.select("p_partkey", "admin_2")
+
+
+SQL_JAPAN_ADMIN2 = """
+WITH shaped AS (
+  SELECT p_partkey, p_brand AS pref,
+    CASE WHEN p_size % 5 = 0 THEN concat(p_type, '郡')
+         WHEN p_size % 5 = 1 THEN 'None'
+         WHEN p_size % 5 = 2 THEN '' ELSE NULL END AS gun_raw,
+    CASE WHEN p_size % 4 = 0 THEN concat(p_type, '市')
+         WHEN p_size % 4 = 1 THEN concat(p_type, '町')
+         WHEN p_size % 4 = 2 THEN 'nan' ELSE p_type END AS muni_raw,
+    CASE WHEN p_size % 6 = 0 THEN concat('第', CAST(p_size AS VARCHAR), '區')
+         ELSE NULL END AS ward_raw
+  FROM part),
+norm AS (
+  SELECT p_partkey, pref,
+    CASE WHEN gun_raw IN ('', '""', 'None', 'nan') THEN NULL ELSE gun_raw END AS gun,
+    CASE WHEN muni_raw IN ('', '""', 'None', 'nan') THEN NULL ELSE muni_raw END AS muni,
+    CASE WHEN ward_raw IN ('', '""', 'None', 'nan') THEN NULL ELSE ward_raw END AS ward
+  FROM shaped),
+dups AS (
+  SELECT pref, muni FROM norm GROUP BY 1, 2 HAVING count(*) > 1),
+flagged AS (
+  SELECT n.*, (d.pref IS NOT NULL) AS has_dup
+  FROM norm n LEFT JOIN dups d ON n.pref = d.pref AND n.muni = d.muni)
+SELECT p_partkey,
+  CASE WHEN ward IS NOT NULL AND muni IS NOT NULL AND muni LIKE '%市' THEN concat(muni, ward)
+       WHEN muni IS NOT NULL AND muni LIKE '%市' THEN muni
+       WHEN gun IS NOT NULL AND gun LIKE '%郡' AND muni IS NOT NULL AND has_dup THEN concat(gun, muni)
+       WHEN gun IS NOT NULL AND gun LIKE '%郡' AND muni IS NOT NULL THEN muni
+       WHEN gun IS NOT NULL AND gun LIKE '%郡' THEN gun
+       ELSE muni END AS admin_2
+FROM flagged
+"""
+
+
+def q_regex_extract_json(spark, sf_dir):
+    """P8/F13 regex extraction (props JSON 'k' value)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).alias("k_val"))
+
+
+SQL_REGEX_EXTRACT_JSON = """
+SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k_val FROM events
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W4 top-k per group (O-style): top 3 parts per brand by price."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(),
+                                              F.col("p_partkey").asc())
+    return (p.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("p_brand", "p_partkey", "p_retailprice", "rank"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part) WHERE rank <= 3
+"""
+
+
+def q_distinct_sorted(spark, sf_dir):
+    """A5/O2 distinct set extraction."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+SQL_DISTINCT_SORTED = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1"
+
+
+def q_global_max(spark, sf_dir):
+    """A4 global max/count scalar aggregates (geoname_ids.py:36-42 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.max(F.col("o_orderkey").cast("long")).alias("max_key"),
+                 F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_GLOBAL_MAX = "SELECT max(CAST(o_orderkey AS BIGINT)) AS max_key, count(*) AS n_rows FROM orders"
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1 union + W3 dropDuplicates (base.py:288, :718)."""
+    o = _t(spark, sf_dir, "orders")
+    u = (o.filter(F.col("o_orderstatus") == "F")
+         .unionByName(o.filter(F.col("o_totalprice") > 100000))
+         .dropDuplicates(["o_orderkey"]))
+    return u.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION_DEDUP = """
+SELECT o_orderstatus, count(*) AS n FROM (
+  SELECT DISTINCT o_orderkey, o_orderstatus FROM orders
+  WHERE o_orderstatus = 'F' OR o_totalprice > 100000)
+GROUP BY 1
+"""
+
+
+def q_diverse_sample(spark, sf_dir):
+    """O4 hierarchical diverse sample (base.py:229-295), deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    return sample.diverse_sample(c, ["c_mktsegment", "c_nationkey"],
+                                 n=20, order_col="c_custkey").select(
+        "c_mktsegment", "c_nationkey", "c_custkey")
+
+
+SQL_DIVERSE_SAMPLE = """
+SELECT c_mktsegment, c_nationkey, c_custkey FROM (
+  SELECT c_mktsegment, c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                            ORDER BY c_custkey) AS rn
+  FROM customer) WHERE rn = 1
+ORDER BY c_mktsegment, c_nationkey LIMIT 20
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization via lag + gap cumsum (streaming-adjacent batch op)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = sec - F.lag(sec).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+    return (e.withColumn("session_id", sess)
+            .groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+s AS (
+  SELECT user_id, event_id,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregate (streaming-shaped batch op)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", id_col="doc_id")
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_text_stats(spark, sf_dir):
+    """Token count / punct / digit / stopword / quality score — all JVM SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_text_stats(d, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_hits", "quality_score")
+
+
+SQL_DOC_TEXT_STATS = f"""
+SELECT doc_id,
+       {textstats.token_count_sql('text')} AS n_tokens,
+       {textstats.punct_ratio_sql('text')} AS punct_ratio,
+       {textstats.digit_ratio_sql('text')} AS digit_ratio,
+       {textstats.stopword_hits_sql('en', 'text')} AS stopword_hits,
+       {textstats.quality_score_sql('text')} AS quality_score
+FROM documents
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    """Stopword-vote language ID."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.predict_lang("text").alias("pred_lang"))
+
+
+SQL_DOC_LANGID = f"""
+SELECT doc_id, {textstats.predict_lang_sql('text')} AS pred_lang FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint groups."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(textstats.fingerprint("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT {textstats.fingerprint_sql('text')} AS fp, min(doc_id) AS rep_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (4 bands, 5-char shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(d, id_col="doc_id", text_col="text",
+                                         n_bands=4, shingle=5)
+
+
+def _minhash_band_sql_duck(b: int, shingle: int = 5) -> str:
+    return (f"list_min(list_transform(generate_series(1, greatest(length(text) - {shingle - 1}, 1)), "
+            f"i -> md5('{b}:' || substring(text, i, {shingle}))))")
+
+
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, {_minhash_band_sql_duck(b)} AS sig FROM documents"
+      for b in range(4))}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def q_embed_knn(spark, sf_dir):
+    """Brute-force cosine top-1 neighbor for the first 100 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 100)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.brute_force_topk(e, queries, k=1, id_col="vec_id",
+                                       vec_col="embedding", query_id="q_id",
+                                       query_vec="q_vec")
+
+
+SQL_EMBED_KNN = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 100),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT q.q_id, c.vec_id,
+             round(list_dot_product(c.v, q.q_vec)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.q_vec, q.q_vec))), 9) AS cos_sim
+      FROM c CROSS JOIN q WHERE c.vec_id != q.q_id),
+r AS (SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM p)
+SELECT q_id, vec_id AS neighbor_id, cos_sim FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "geo_cell_assign": q_geo_cell_assign,
+    "geo_cell_histogram": q_geo_cell_histogram,
+    "geo_knn_brute": q_geo_knn_brute,
+    "geo_knn_cells": q_geo_knn_cells,
+    "geo_pip_villages": q_geo_pip_villages,
+    "tpch_q1": q_tpch_q1,
+    "dedup_keep_best": q_dedup_keep_best,
+    "priority_pick": q_priority_pick,
+    "dense_rank_codes": q_dense_rank_codes,
+    "seq_id_assign": q_seq_id_assign,
+    "replace_by_key": q_replace_by_key,
+    "anti_join_filter": q_anti_join_filter,
+    "marker_join": q_marker_join,
+    "coalesce_chain": q_coalesce_chain,
+    "japan_admin2": q_japan_admin2,
+    "regex_extract_json": q_regex_extract_json,
+    "topk_per_group": q_topk_per_group,
+    "distinct_sorted": q_distinct_sorted,
+    "global_max": q_global_max,
+    "union_dedup": q_union_dedup,
+    "diverse_sample": q_diverse_sample,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_text_stats": q_doc_text_stats,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "embed_knn": q_embed_knn,
+}
+
+_ORACLES: dict[str, str] = {
+    "geo_cell_assign": SQL_GEO_CELL_ASSIGN,
+    "geo_cell_histogram": SQL_GEO_CELL_HISTOGRAM,
+    "geo_knn_brute": _KNN_ORACLE,
+    "geo_knn_cells": _KNN_ORACLE,
+    "geo_pip_villages": SQL_GEO_PIP_VILLAGES,
+    "tpch_q1": SQL_TPCH_Q1,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "priority_pick": SQL_PRIORITY_PICK,
+    "dense_rank_codes": SQL_DENSE_RANK_CODES,
+    "seq_id_assign": SQL_SEQ_ID_ASSIGN,
+    "replace_by_key": SQL_REPLACE_BY_KEY,
+    "anti_join_filter": SQL_ANTI_JOIN_FILTER,
+    "marker_join": SQL_MARKER_JOIN,
+    "coalesce_chain": SQL_COALESCE_CHAIN,
+    "japan_admin2": SQL_JAPAN_ADMIN2,
+    "regex_extract_json": SQL_REGEX_EXTRACT_JSON,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "distinct_sorted": SQL_DISTINCT_SORTED,
+    "global_max": SQL_GLOBAL_MAX,
+    "union_dedup": SQL_UNION_DEDUP,
+    "diverse_sample": SQL_DIVERSE_SAMPLE,
+    "sessionize": SQL_SESSIONIZE,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_text_stats": SQL_DOC_TEXT_STATS,
+    "doc_langid": SQL_DOC_LANGID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "embed_knn": SQL_EMBED_KNN,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,61 @@
+"""Flagship plan: reverse-geocode web pages (SURVEY.md §7.1).
+
+pages(url, warc_ts, html, text, lang)
+  → Arrow-UDF extract: (url, lat, lon, text)           [extract/html_meta]
+  → non-null + Taiwan-bbox filter                       [P2; pushdown-friendly]
+  → grid cell in Column algebra                         [functions/geo]
+  → PIP join vs admin polygons (exact admin_1/2/3)      [operators/pipjoin]
+  → kNN (k=1) naming join vs cities500-style points     [operators/knn]
+  → url, lat, lon, cell, county, township, village, name, admin1_code
+
+This is the Immich runtime semantic (reference README.md:103 — nearest-
+distance match against cities500) fused with the extract-stage polygon
+semantics, expressed as one Catalyst plan: the pages side is never shuffled —
+every join is broadcast, the kNN reduction is a map-side-combinable hash agg.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract.html_meta import extract_pages
+from ..functions.geo import cell_expr, in_bbox
+from ..geo import grid
+from ..operators.knn import knn_join
+from ..operators.pipjoin import pip_join
+from ..synth import TW_BBOX
+
+
+def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
+                          polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame, *,
+                          bbox: tuple[float, float, float, float] = TW_BBOX,
+                          res: int = 11,
+                          k_schedule: tuple[int, ...] = (1, 4)) -> DataFrame:
+    """Full reverse-geocode of a pages table against polygon + point tables."""
+    ext = extract_pages(pages)
+    pts = (ext
+           .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+           .filter(in_bbox(F.col("lat"), F.col("lon"), bbox))
+           .drop("text"))
+
+    polys = polys_pdf.reset_index(drop=True).copy()
+    polys.insert(0, "poly_id", range(len(polys)))
+    with_admin = pip_join(
+        spark, pts, polys[["poly_id", "geometry_wkb", "county", "township", "village"]],
+        id_col="poly_id", attr_cols=["county", "township", "village"], res=res,
+    ).drop("poly_id")
+
+    named = knn_join(
+        spark, with_admin, cities_pdf, query_id="url",
+        place_cols=["geoname_id", "name", "admin1_code"],
+        res=res, k_schedule=k_schedule, max_abs_lat=bbox[1] + 1.0,
+    )
+    return named.select(
+        "url", "lat", "lon",
+        cell_expr(F.col("lat"), F.col("lon"), grid.DEFAULT_RES).alias("cell"),
+        "county", "township", "village",
+        "geoname_id", "name", "admin1_code",
+        F.round("knn_dist_km", 6).alias("knn_dist_km"),
+    )

@@ -1,0 +1,148 @@
+"""kNN join and PIP join vs brute-force oracles (SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from immich_geodata_zh_tw_spark.geo import distance, grid, pip
+from immich_geodata_zh_tw_spark.operators import knn as knn_op
+from immich_geodata_zh_tw_spark.operators import pipjoin
+from immich_geodata_zh_tw_spark.synth import polygons
+
+
+@pytest.fixture(scope="module")
+def places_pdf():
+    rng = np.random.default_rng(7)
+    n = 200
+    return pd.DataFrame({
+        "place_id": np.arange(n),
+        "pname": [f"place{i}" for i in range(n)],
+        "latitude": rng.uniform(21.5, 25.5, n).round(8),
+        "longitude": rng.uniform(119.5, 122.5, n).round(8),
+    })
+
+
+@pytest.fixture(scope="module")
+def queries_pdf():
+    rng = np.random.default_rng(11)
+    n = 500
+    lat = rng.uniform(21.0, 26.0, n)
+    lon = rng.uniform(119.0, 123.0, n)
+    # a few far-away isolated points to force escalation / brute-force path
+    lat[:5] = [10.0, -30.0, 60.0, 21.0, 25.99]
+    lon[:5] = [100.0, 150.0, -120.0, 119.0, 123.0]
+    return pd.DataFrame({"qid": np.arange(n), "lat": lat, "lon": lon})
+
+
+def brute_knn(queries_pdf, places_pdf):
+    d = distance.haversine_np(
+        queries_pdf["lat"].to_numpy()[:, None], queries_pdf["lon"].to_numpy()[:, None],
+        places_pdf["latitude"].to_numpy()[None, :], places_pdf["longitude"].to_numpy()[None, :])
+    best = np.argmin(d, axis=1)  # unique distances w.h.p. → argmin is the rule
+    return pd.DataFrame({
+        "qid": queries_pdf["qid"].to_numpy(),
+        "place_id": places_pdf["place_id"].to_numpy()[best],
+        "dist": d[np.arange(len(best)), best],
+    })
+
+
+class TestKnnJoin:
+    def test_matches_bruteforce(self, spark, queries_pdf, places_pdf):
+        q = spark.createDataFrame(queries_pdf)
+        out = knn_op.knn_join(
+            spark, q, places_pdf, query_id="qid",
+            place_cols=["place_id", "pname"], res=10, k_schedule=(1, 4),
+            max_abs_lat=61.0,
+        ).toPandas().sort_values("qid").reset_index(drop=True)
+        want = brute_knn(queries_pdf, places_pdf)
+        assert len(out) == len(queries_pdf)
+        assert out["place_id"].tolist() == want["place_id"].tolist()
+        assert np.allclose(out["knn_dist_km"].to_numpy(), want["dist"].to_numpy(),
+                           rtol=1e-9)
+
+    def test_every_query_exactly_once(self, spark, queries_pdf, places_pdf):
+        q = spark.createDataFrame(queries_pdf)
+        out = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
+                              place_cols=["place_id"], res=8, k_schedule=(1,))
+        counts = out.groupBy("qid").count().filter("count != 1").count()
+        assert counts == 0
+        assert out.count() == len(queries_pdf)
+
+    def test_dense_single_cell(self, spark):
+        # all queries and places inside one cell — degenerate skew case
+        places = pd.DataFrame({
+            "place_id": [1, 2, 3],
+            "latitude": [25.001, 25.002, 25.003],
+            "longitude": [121.501, 121.502, 121.503],
+        })
+        q = spark.createDataFrame(pd.DataFrame(
+            {"qid": [0, 1], "lat": [25.0011, 25.0029], "lon": [121.5011, 121.5029]}))
+        out = (knn_op.knn_join(spark, q, places, query_id="qid",
+                               place_cols=["place_id"], res=10, k_schedule=(1,))
+               .toPandas().sort_values("qid"))
+        assert out["place_id"].tolist() == [1, 3]
+
+
+class TestPipJoin:
+    def test_points_in_synthetic_villages(self, spark):
+        polys = polygons.admin_polygons_pdf(village_grid=3)
+        polys = polys.reset_index().rename(columns={"index": "poly_id"})
+        rng = np.random.default_rng(3)
+        n = 300
+        pts_pdf = pd.DataFrame({
+            "pid": np.arange(n),
+            "lat": rng.uniform(21.6, 25.4, n),
+            "lon": rng.uniform(119.6, 122.4, n),
+        })
+        pts = spark.createDataFrame(pts_pdf)
+        out = pipjoin.pip_join(
+            spark, pts, polys, id_col="poly_id",
+            attr_cols=["county", "township", "village"], res=9,
+        ).toPandas().sort_values("pid")
+
+        # oracle: brute-force PIP over all polygons
+        want = {}
+        for _, prow in polys.iterrows():
+            inside = pip.contains_wkb(prow["geometry_wkb"],
+                                      pts_pdf["lon"].to_numpy(),
+                                      pts_pdf["lat"].to_numpy())
+            for pid in pts_pdf["pid"].to_numpy()[inside]:
+                assert pid not in want  # non-overlap invariant
+                want[pid] = prow["poly_id"]
+        assert dict(zip(out["pid"], out["poly_id"])) == want
+        # sanity: nearly every in-bbox point is inside some village
+        assert len(out) >= 0.95 * n
+
+    def test_left_join_keeps_outside_points(self, spark):
+        polys = polygons.admin_polygons_pdf(village_grid=2)
+        polys = polys.reset_index().rename(columns={"index": "poly_id"})
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"pid": [0, 1], "lat": [23.0, 50.0], "lon": [121.0, 10.0]}))
+        out = pipjoin.pip_join(spark, pts, polys, id_col="poly_id",
+                               attr_cols=["county"], res=8, how="left",
+                               point_id="pid").toPandas().sort_values("pid")
+        assert len(out) == 2
+        assert out.iloc[0]["county"] is not None
+        assert out.iloc[1]["county"] is None
+
+    def test_enclave_multipolygon(self, spark):
+        polys = polygons.admin_polygons_pdf(village_grid=5)
+        polys = polys.reset_index().rename(columns={"index": "poly_id"})
+        enc = polys.iloc[0]  # the two-part enclave village
+        g = pip.PreparedGeometry(bytes(enc["geometry_wkb"]))
+        # point in left part, point in the gap, point in right part
+        lon_l = g.lon_min + 0.01 * (g.lon_max - g.lon_min)
+        lon_r = g.lon_max - 0.01 * (g.lon_max - g.lon_min)
+        lon_gap = (g.lon_min + g.lon_max) / 2
+        lat_c = (g.lat_min + g.lat_max) / 2
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"pid": [0, 1, 2], "lat": [lat_c] * 3, "lon": [lon_l, lon_gap, lon_r]}))
+        out = pipjoin.pip_join(spark, pts, polys, id_col="poly_id",
+                               attr_cols=["village"], res=9).toPandas()
+        got = dict(zip(out["pid"], out["poly_id"]))
+        assert got.get(0) == enc["poly_id"]
+        assert got.get(2) == enc["poly_id"]
+        assert 1 not in got  # gap belongs to no polygon
