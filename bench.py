@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: end-to-end reverse-geocode of a deterministic synthetic pages
+table (extract → bbox filter → PIP admin join → kNN naming) sized to the sf
+(pages = 20 × events rows), reported as elapsed sec + pages/sec.  Additional
+per-query timings cover the operator suite's heavy hitters at the same sf.
+
+Scaling evidence (BASELINE.json north_rule): run ``python bench.py --scaling``
+to execute the same flagship job at two parallelism levels (N and 4N cores)
+and report throughput at both + efficiency; results land in BENCH/BASELINE.md
+via bench/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+from bench.common import flagship as _flagship  # noqa: E402
+from bench.common import materialize_pages  # noqa: E402
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from immich_geodata_zh_tw_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", parallelism=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    try:
+        from immich_geodata_zh_tw_spark.plans import driver_queries as dq
+
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        n_pages = n_events * 20
+        sf = {1_000: 0.001, 10_000: 0.01, 100_000: 0.1}.get(n_events, n_events / 1e6)
+
+        timings: dict[str, float] = {}
+
+        pages_path = materialize_pages(spark, n_pages)
+        t0 = time.perf_counter()
+        flagship_rows = _flagship(spark, pages_path).count()
+        flagship_sec = time.perf_counter() - t0
+        timings["reverse_geocode"] = round(flagship_sec, 3)
+
+        bench_queries = [
+            "geo_knn_cells", "geo_pip_villages", "geo_cell_histogram",
+            "tpch_q1", "dedup_keep_best", "sessionize",
+            "doc_exact_dedup", "doc_minhash_pairs", "doc_text_stats",
+            "embed_knn",
+        ]
+        qs = dq.queries()
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        return {
+            "metric": "reverse_geocode_e2e_sec",
+            "value": timings["reverse_geocode"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "pages": n_pages,
+            "pages_per_sec": round(n_pages / flagship_sec, 1),
+            "flagship_rows": flagship_rows,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        from bench.scaling import run_scaling
+
+        print(json.dumps(run_scaling(sf_dir, cpus)))
+        return
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

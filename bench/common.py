@@ -1,0 +1,29 @@
+"""Shared bench helpers: pages materialization + flagship plan."""
+
+from __future__ import annotations
+
+import os
+
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_pages")
+
+
+def materialize_pages(spark, n_pages: int) -> str:
+    """Write the deterministic pages table to parquet once (outside timing) —
+    the timed pipeline reads parquet, matching the real Iceberg-scan workload
+    rather than paying Python page *synthesis* inside the measurement."""
+    path = f"{PAGES_CACHE}/pages_{n_pages}.parquet"
+    if not os.path.exists(path):
+        from immich_geodata_zh_tw_spark.synth import pages
+
+        pages.pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship(spark, pages_path: str):
+    from immich_geodata_zh_tw_spark.plans.reverse_geocode import reverse_geocode_pages
+    from immich_geodata_zh_tw_spark.synth import cities, polygons
+
+    return reverse_geocode_pages(
+        spark, spark.read.parquet(pages_path),
+        polygons.admin_polygons_pdf(village_grid=5),
+        cities.cities_pdf(village_grid=5))

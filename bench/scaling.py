@@ -1,0 +1,56 @@
+"""Two-parallelism scaling protocol (BASELINE.json north_rule evidence).
+
+A real N→4N-executor cluster is unavailable in this sandbox, so per the driver
+instructions we run the identical flagship job on the same input at two local
+parallelism levels (local[N] and local[4N]) and report throughput at both plus
+``eff = (pages/sec @ 4N) / (4 × pages/sec @ N)``.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _run_once(cpus: int, n_pages: int) -> float:
+    from immich_geodata_zh_tw_spark.session import get_spark
+
+    from .common import flagship, materialize_pages
+
+    spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    try:
+        pages_path = materialize_pages(spark, n_pages)
+        t0 = time.perf_counter()
+        flagship(spark, pages_path).count()
+        return time.perf_counter() - t0
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, cpus_4n: int, *, n_pages: int | None = None,
+                warmup: bool = True) -> dict:
+    from immich_geodata_zh_tw_spark.session import get_spark
+
+    if n_pages is None:
+        spark = get_spark(app_name="scaling-size", parallelism=4)
+        try:
+            n_pages = spark.read.parquet(f"{sf_dir}/events.parquet").count() * 20
+        finally:
+            spark.stop()
+
+    cpus_n = max(cpus_4n // 4, 1)
+    results = {}
+    for label, cpus in (("N", cpus_n), ("4N", cpus_4n)):
+        if warmup:
+            _run_once(cpus, max(n_pages // 20, 1000))
+        sec = _run_once(cpus, n_pages)
+        results[label] = {"cpus": cpus, "sec": round(sec, 3),
+                          "pages_per_sec": round(n_pages / sec, 1)}
+    eff = results["4N"]["pages_per_sec"] / (4.0 * results["N"]["pages_per_sec"])
+    return {
+        "metric": "scaling_efficiency_n_to_4n",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_pages": n_pages,
+        "runs": results,
+    }

@@ -33,6 +33,7 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.geo import cell_expr, haversine_col
 from ..geo import grid
@@ -71,7 +72,7 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
              place_cols: list[str] | None = None,
              res: int = grid.DEFAULT_RES,
              k_schedule: tuple[int, ...] = (1, 4, 16),
-             max_abs_lat: float = 60.0) -> DataFrame:
+             max_abs_lat: float = 60.0, persist: bool = True) -> DataFrame:
     """Exact nearest-place join: one output row per query row.
 
     Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
@@ -85,6 +86,11 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
     tiebreak = place_cols[0]
 
     q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    if persist:
+        # the query side is typically post-extract / post-filter (a small
+        # fraction of the 100 TB scan) — persist it so each escalation round
+        # reuses it instead of re-running the upstream pipeline
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
     remaining = q
     results: list[DataFrame] = []
 
@@ -121,14 +127,17 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
         # exactness guard: nearest-in-ring is global nearest iff closer than
         # any point outside the k-ring could possibly be
         guard_km = k * min_cell_km(res, max_abs_lat)
-        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km))
-        results.append(exact.drop("__p_lat", "__p_lon"))
+        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km)).drop("__p_lat", "__p_lon")
+        if persist:
+            # materialized lazily by the next take(1) on remaining
+            exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+        results.append(exact)
         remaining = remaining.join(exact.select(query_id), query_id, "left_anti")
         if not remaining.take(1):
             remaining = None
             break
 
-    if remaining is not None and remaining.take(1):
+    if remaining is not None:
         # brute force on the (tiny) remainder — exact, broadcast cross join
         places_sdf = (spark.createDataFrame(places_pdf)
                       .withColumnRenamed(place_lat, "__p_lat")
