@@ -8,6 +8,9 @@ in local mode; on a real cluster AQE coalesces post-shuffle partitions).
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
+from tempfile import gettempdir
 
 from pyspark.sql import SparkSession
 
@@ -33,4 +36,23 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the spark-submit --py-files story).
+
+    Python workers unpickle UDFs by importing the module by name; on a real
+    cluster the package must ride along as a zip.  ``addPyFile`` makes every
+    entry point (pytest, bench.py, a bare script) deployment-correct without
+    relying on an inherited PYTHONPATH.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(gettempdir()) / f"{pkg_dir.name}-pyfiles.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))

@@ -1,0 +1,55 @@
+"""Incremental reverse-geocoding via Structured Streaming.
+
+The reference is batch-only with resume-by-key checkpoints (SURVEY.md §2.10);
+the Spark-native equivalent for a continuously-growing pages table is a file
+(or Iceberg) streaming source + ``foreachBatch``: Spark's streaming commit log
+provides exactly-once file-level progress tracking, and inside each micro
+batch the full batch engine (extract → PIP → kNN, including the escalation
+loop's driver-side actions, which are legal inside foreachBatch) runs
+unchanged.  ``Trigger.AvailableNow`` turns the same pipeline into a resumable
+incremental batch job — the streaming counterpart of the manifest runner in
+sources/manifest.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (BinaryType, StringType, StructField, StructType,
+                               TimestampType)
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
+                                output_path: str, checkpoint_path: str,
+                                polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame,
+                                available_now: bool = True):
+    """Stream new pages files into reverse-geocoded parquet output.
+
+    Returns the StreamingQuery; with ``available_now`` the query drains all
+    unprocessed files and stops (call ``awaitTermination()``).
+    """
+    from ..plans.reverse_geocode import reverse_geocode_pages
+
+    stream = (spark.readStream
+              .schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        out = reverse_geocode_pages(spark, batch_df, polys_pdf, cities_pdf)
+        out.write.mode("append").parquet(output_path)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

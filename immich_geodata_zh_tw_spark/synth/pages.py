@@ -121,13 +121,14 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
-def pages_df(spark, n: int, partitions: int | None = None):
+def pages_df(spark, n: int, partitions: int | None = None, start: int = 0):
     """Distributed deterministic pages table: ``spark.range`` → mapInPandas.
 
     Scales to any ``n`` without driver materialization — the bench-scale and
     test-scale tables are the same rows for the same ids.
     """
-    rng = spark.range(0, n, numPartitions=partitions) if partitions else spark.range(0, n)
+    rng = (spark.range(start, start + n, numPartitions=partitions)
+           if partitions else spark.range(start, start + n))
 
     def gen(batches):
         for pdf in batches:
