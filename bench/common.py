@@ -15,7 +15,12 @@ def materialize_pages(spark, n_pages: int) -> str:
     if not os.path.exists(path):
         from immich_geodata_zh_tw_spark.synth import pages
 
-        pages.pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+        # fixed file count, independent of the writing session's parallelism:
+        # small parquet files are one row group each (unsplittable), so a
+        # low-core writer would otherwise cap every reader's scan parallelism
+        n_files = max(64, n_pages // 100_000)
+        (pages.pages_df(spark, n_pages, partitions=n_files)
+         .write.mode("overwrite").parquet(path))
     return path
 
 

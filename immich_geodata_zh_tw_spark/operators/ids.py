@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 def sequential_ids(df: DataFrame, sort_cols: list[str], *, base: int,
                    out_col: str = "seq_id") -> DataFrame:
     w = Window.orderBy(*sort_cols)
-    return df.withColumn(out_col, F.row_number().over(w) + F.lit(base - 1))
+    return df.withColumn(
+        out_col, (F.row_number().over(w) + F.lit(base - 1)).cast("long"))
 
 
 def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,

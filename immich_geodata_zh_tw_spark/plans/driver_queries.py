@@ -642,6 +642,164 @@ SELECT q_id, vec_id AS neighbor_id, cos_sim FROM r WHERE rn = 1
 """
 
 
+def q_split_last(spark, sf_dir):
+    """F3 split + element_at(-1) (base.py:164-169 admin1 suffix extraction)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("last_word"))
+
+
+SQL_SPLIT_LAST = """
+SELECT p_partkey, list_extract(string_split(p_name, ' '), -1) AS last_word FROM part
+"""
+
+
+def q_korea_split_strip(spark, sf_dir):
+    """F13 Korea city/district regex split + F14 prefix strip + F5
+    disambiguation-suffix removal (south_korea.py:31,223-295,418-443,593-600),
+    over Korean-shaped strings fabricated from customer rows."""
+    from ..operators.admin_rules import (korea_admin3_strip,
+                                         korea_split_city_district,
+                                         strip_disambiguation_suffix)
+
+    c = _t(spark, sf_dir, "customer")
+    shaped = c.select(
+        "c_custkey",
+        F.expr("CASE WHEN c_custkey % 3 = 0 "
+               "THEN concat('城', CAST(c_nationkey AS STRING), '시',"
+               "            '區', CAST(c_custkey % 7 AS STRING), '구') "
+               "WHEN c_custkey % 3 = 1 THEN concat('郡', CAST(c_custkey % 5 AS STRING), '군') "
+               "ELSE concat('里', CAST(c_custkey % 11 AS STRING)) END").alias("sggnm"),
+        F.expr("concat('道', CAST(c_nationkey AS STRING))").alias("sidonm"),
+    ).withColumn(
+        "adm_nm",
+        F.expr("concat(sidonm, ' ', sggnm, ' 洞', CAST(c_custkey % 13 AS STRING),"
+               "       CASE WHEN c_custkey % 4 = 0 THEN ' (光州)' ELSE '' END)"))
+    out = korea_split_city_district(shaped, col="sggnm")
+    out = korea_admin3_strip(out)
+    return out.select(
+        "c_custkey", "city", "district",
+        strip_disambiguation_suffix(F.col("admin_3")).alias("admin_3"))
+
+
+SQL_KOREA_SPLIT_STRIP = """
+WITH shaped AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0
+         THEN concat('城', CAST(c_nationkey AS VARCHAR), '시', '區', CAST(c_custkey % 7 AS VARCHAR), '구')
+         WHEN c_custkey % 3 = 1 THEN concat('郡', CAST(c_custkey % 5 AS VARCHAR), '군')
+         ELSE concat('里', CAST(c_custkey % 11 AS VARCHAR)) END AS sggnm,
+    concat('道', CAST(c_nationkey AS VARCHAR)) AS sidonm
+  FROM customer),
+shaped2 AS (
+  SELECT *, concat(sidonm, ' ', sggnm, ' 洞', CAST(c_custkey % 13 AS VARCHAR),
+                   CASE WHEN c_custkey % 4 = 0 THEN ' (光州)' ELSE '' END) AS adm_nm
+  FROM shaped),
+split AS (
+  SELECT *,
+    regexp_extract(sggnm, '^(.+?시)(.+?(?:구|군))$', 1) AS m1,
+    regexp_extract(sggnm, '^(.+?시)(.+?(?:구|군))$', 2) AS m2
+  FROM shaped2)
+SELECT c_custkey,
+  CASE WHEN m1 != '' THEN m1 ELSE sggnm END AS city,
+  CASE WHEN m1 != '' THEN m2 ELSE NULL END AS district,
+  trim(regexp_replace(trim(replace(replace(adm_nm, sidonm, ''), sggnm, '')),
+       '\\s*\\([^)]+\\)$', '')) AS admin_3
+FROM split
+"""
+
+
+def q_han_detect(spark, sf_dir):
+    """F7 Unicode Han-script predicates (translate.py:52-69), over documents
+    text salted with Han characters for zh rows."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "name", F.expr("CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS STRING)) "
+                       "WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS STRING)) "
+                       "ELSE concat('台中', ' mixed ', CAST(doc_id AS STRING)) END"))
+    return salted.select(
+        "doc_id",
+        F.col("name").rlike("^[\\p{IsHan}\\-0-9]+$").alias("is_pure_han"),
+        F.col("name").rlike("[\\p{IsHan}]").alias("contains_han"))
+
+
+SQL_HAN_DETECT = r"""
+WITH salted AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS VARCHAR))
+         WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS VARCHAR))
+         ELSE concat('台中', ' mixed ', CAST(doc_id AS VARCHAR)) END AS name
+  FROM documents)
+SELECT doc_id,
+  regexp_matches(name, '^[\p{Han}\-0-9]+$') AS is_pure_han,
+  regexp_matches(name, '[\p{Han}]') AS contains_han
+FROM salted
+"""
+
+
+def q_multi_name_collapse(spark, sf_dir):
+    """F12 '/'-joined multi-name collapse (translate.py:125-147): if all
+    slash-separated parts are equal keep one, else keep the raw string."""
+    n = _t(spark, sf_dir, "nation")
+    raw = n.withColumn(
+        "multi", F.expr("CASE WHEN n_nationkey % 3 = 0 THEN concat(n_name, '/', n_name) "
+                        "WHEN n_nationkey % 3 = 1 THEN concat(n_name, '/', upper(n_name), 'X') "
+                        "ELSE n_name END"))
+    collapsed = F.expr(
+        "CASE WHEN size(array_distinct(transform(split(multi, '/'), x -> trim(x)))) = 1 "
+        "THEN trim(element_at(split(multi, '/'), 1)) ELSE multi END")
+    return raw.select("n_nationkey", collapsed.alias("collapsed_name"))
+
+
+SQL_MULTI_NAME_COLLAPSE = """
+WITH raw AS (
+  SELECT n_nationkey,
+    CASE WHEN n_nationkey % 3 = 0 THEN concat(n_name, '/', n_name)
+         WHEN n_nationkey % 3 = 1 THEN concat(n_name, '/', upper(n_name), 'X')
+         ELSE n_name END AS multi
+  FROM nation)
+SELECT n_nationkey,
+  CASE WHEN len(list_distinct(list_transform(string_split(multi, '/'), x -> trim(x)))) = 1
+       THEN trim(list_extract(string_split(multi, '/'), 1)) ELSE multi END AS collapsed_name
+FROM raw
+"""
+
+
+def q_metadata_coord_join(spark, sf_dir):
+    """J5 — the reference's per-row coordinate lookup re-expressed as a
+    broadcast equi-join on 8-dp-rounded coordinates (translate.py:187-215,
+    COORD_DECIMAL_PLACES=8 join-key stability, SURVEY.md §1.3)."""
+    from ..operators.translate import metadata_coordinate_join
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", F.round("lat", 8).alias("rlat"), F.round("lon", 8).alias("rlon"))
+    meta = (pts.filter(F.col("event_id") % 10 == 0)
+            .select("rlat", "rlon",
+                    F.concat(F.lit("第"), (F.col("event_id") % 97).cast("string"),
+                             F.lit("區")).alias("admin_2")))
+    return metadata_coordinate_join(
+        pts, meta, keys=["rlat", "rlon"], attrs=["admin_2"]).select(
+        "event_id", "admin_2")
+
+
+SQL_METADATA_COORD_JOIN = f"""
+WITH pts AS (SELECT event_id, round({PT_LAT}, 8) AS rlat, round({PT_LON}, 8) AS rlon FROM events),
+meta AS (SELECT rlat, rlon, concat('第', CAST(event_id % 97 AS VARCHAR), '區') AS admin_2
+         FROM pts WHERE event_id % 10 = 0)
+SELECT p.event_id, m.admin_2
+FROM pts p LEFT JOIN meta m ON p.rlat = m.rlat AND p.rlon = m.rlon
+"""
+
+
+def q_embed_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (scale path) —
+    rows-only driver check; recall vs brute force asserted in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(e, id_col="vec_id", vec_col="embedding",
+                                      dim=64, n_planes=4, n_tables=16, k=1)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -676,6 +834,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "embed_knn": q_embed_knn,
+    "split_last": q_split_last,
+    "korea_split_strip": q_korea_split_strip,
+    "han_detect": q_han_detect,
+    "multi_name_collapse": q_multi_name_collapse,
+    "metadata_coord_join": q_metadata_coord_join,
+    "embed_ann_lsh": q_embed_ann_lsh,
 }
 
 _ORACLES: dict[str, str] = {
@@ -708,6 +872,12 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "embed_knn": SQL_EMBED_KNN,
+    "split_last": SQL_SPLIT_LAST,
+    "korea_split_strip": SQL_KOREA_SPLIT_STRIP,
+    "han_detect": SQL_HAN_DETECT,
+    "multi_name_collapse": SQL_MULTI_NAME_COLLAPSE,
+    "metadata_coord_join": SQL_METADATA_COORD_JOIN,
+    # embed_ann_lsh: approximate by construction → rows-only check
 }
 
 

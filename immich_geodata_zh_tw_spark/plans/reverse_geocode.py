@@ -31,14 +31,25 @@ from ..synth import TW_BBOX
 def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
                           polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame, *,
                           bbox: tuple[float, float, float, float] = TW_BBOX,
-                          res: int = 11,
-                          k_schedule: tuple[int, ...] = (1, 4)) -> DataFrame:
+                          res: int = 10,
+                          k_schedule: tuple[int, ...] = (1, 3)) -> DataFrame:
+    # res 10 ⇒ k=1 exactness guard ≈ 17.6 km > the 12.2 km worst-case
+    # nearest-centroid distance of the village tiling, so virtually every row
+    # settles in the first round — one broadcast join + one partial agg.
     """Full reverse-geocode of a pages table against polygon + point tables."""
     ext = extract_pages(pages)
     pts = (ext
            .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
            .filter(in_bbox(F.col("lat"), F.col("lon"), bbox))
-           .drop("text"))
+           .drop("text")
+           # explicit exchange: (a) separates the extract mapInPandas and the
+           # PIP pandas UDF into different stages — chaining two Python
+           # workers inside one task pipeline doubles Python-process
+           # oversubscription per core; (b) rebalances rows after the bbox
+           # filter, whose selectivity is geographically skewed (dense urban
+           # partitions).  The shuffle payload is the post-filter minority of
+           # the input — cheap relative to both effects.
+           .repartition(spark.sparkContext.defaultParallelism))
 
     polys = polys_pdf.reset_index(drop=True).copy()
     polys.insert(0, "poly_id", range(len(polys)))

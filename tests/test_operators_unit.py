@@ -1,0 +1,159 @@
+"""Operator-level unit tests with tiny inline frames — mirrors the
+reference's pytest style (tests/test_geodata_base.py, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+class TestIds:
+    def test_sequential_ids_matches_scalable(self, spark):
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"name": ["c", "a", "b", "a"], "k": [1, 2, 3, 4]}))
+        simple = ids.sequential_ids(df, ["name", "k"], base=100).toPandas()
+        scalable = ids.sequential_ids_scalable(df, ["name", "k"], base=100).toPandas()
+        a = simple.sort_values("k")[["k", "seq_id"]].reset_index(drop=True)
+        b = scalable.sort_values("k")[["k", "seq_id"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert sorted(simple["seq_id"]) == [100, 101, 102, 103]
+
+    def test_dense_rank_width_from_count(self, spark):
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        df = spark.createDataFrame(pd.DataFrame({"admin_1": [f"n{i:02d}" for i in range(12)]}))
+        out = ids.dense_rank_codes(df, "admin_1", prefix="TW").toPandas()
+        # 12 distinct → width 2, zero-padded (reference base.py:654)
+        assert set(out["code"]) == {f"TW.{i + 1:02d}" for i in range(12)}
+
+
+class TestDedup:
+    def test_coordinate_dedup_rule(self, spark):
+        """Keep max population, tie → min geoname_id (enhance_data.py:273-290)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "latitude": [1.0, 1.0, 1.0, 2.0],
+            "longitude": [1.0, 1.0, 1.0, 2.0],
+            "population": [10, 50, 50, 7],
+            "geoname_id": [1, 3, 2, 9],
+        }))
+        out = dedup.coordinate_dedup(df).toPandas().sort_values("latitude")
+        assert out["geoname_id"].tolist() == [2, 9]  # pop 50, tie → min id 2
+
+    def test_exact_dedup_groups(self, spark):
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["x", "x", "y"]}))
+        out = dedup.exact_dedup(df, "text", id_col="doc_id").toPandas()
+        by_rep = out.set_index("rep_id")["dup_count"].to_dict()
+        assert by_rep == {1: 2, 3: 1}
+
+    def test_simhash_identical_texts_collide(self, spark):
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps", "the quick brown fox jumps",
+                     "a completely different sentence entirely"]}))
+        out = dedup.with_simhash(df, "text").toPandas().set_index("doc_id")
+        assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
+        assert out.loc[1, "simhash"] != out.loc[3, "simhash"]
+
+
+class TestAdminRules:
+    def test_japan_r1_to_r5(self, spark):
+        """One row per rule class (FIXTURES.md §7)."""
+        from immich_geodata_zh_tw_spark.operators.admin_rules import japan_admin2_rules
+
+        rows = [
+            # pref, gun, muni, ward                          → expected admin_2
+            ("東京都", None, "八王子市", None),               # R1 → 八王子市
+            ("東京都", None, "奥多摩町", None),               # R2 → 奥多摩町
+            ("神奈川県", None, "横浜市", "中区"),             # R3 → 横浜市中区
+            ("北海道", "空知郡", "南幌町", None),             # R4 no dup → 南幌町
+            ("北海道", "古宇郡", "泊村", None),               # R4 dup → 古宇郡泊村
+            ("北海道", "国後郡", "泊村", None),               # R4 dup → 国後郡泊村
+            ("島根県", "隠岐郡", None, None),                 # R5 → 隠岐郡
+            ("東京都", "nan", "", None),                      # null tokens → null
+        ]
+        df = spark.createDataFrame(pd.DataFrame(
+            rows, columns=["N03_001", "N03_003", "N03_004", "N03_005"]))
+        out = japan_admin2_rules(df).toPandas()
+        got = dict(zip(zip(out["N03_001"], out["N03_003"].fillna(""),
+                           out["N03_004"].fillna("")), out["admin_2"]))
+        assert got[("東京都", "", "八王子市")] == "八王子市"
+        assert got[("東京都", "", "奥多摩町")] == "奥多摩町"
+        assert got[("神奈川県", "", "横浜市")] == "横浜市中区"
+        assert got[("北海道", "空知郡", "南幌町")] == "南幌町"
+        assert got[("北海道", "古宇郡", "泊村")] == "古宇郡泊村"
+        assert got[("北海道", "国後郡", "泊村")] == "国後郡泊村"
+        assert got[("島根県", "隠岐郡", "")] == "隠岐郡"
+        assert pd.isna(got[("東京都", "nan", "")])
+
+    def test_korea_split(self, spark):
+        from immich_geodata_zh_tw_spark.operators.admin_rules import (
+            korea_split_city_district)
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"sggnm": ["수원시장안구", "안성시", "양평군"]}))
+        out = korea_split_city_district(df).toPandas()
+        assert out["city"].tolist() == ["수원시", "안성시", "양평군"]
+        assert out["district"].tolist()[0] == "장안구"
+        assert pd.isna(out["district"].tolist()[1])
+
+    def test_strip_disambiguation(self, spark):
+        from immich_geodata_zh_tw_spark.operators.admin_rules import (
+            strip_disambiguation_suffix)
+
+        df = spark.createDataFrame(pd.DataFrame({"n": ["西區 (光州)", "西區", "a (b) c"]}))
+        out = df.select(strip_disambiguation_suffix(F.col("n")).alias("s")).toPandas()
+        assert out["s"].tolist() == ["西區", "西區", "a (b) c"]
+
+
+class TestTranslate:
+    def test_priority_pick_with_preferred(self, spark):
+        """Language priority beats preferred flag; preferred breaks ties
+        within a language (alternate_names.py:61-85)."""
+        from immich_geodata_zh_tw_spark.operators.translate import priority_pick
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": [1, 1, 1, 2, 2],
+            "lang": ["zh", "zh-TW", "en", "zh-Hans", "zh-Hans"],
+            "name": ["甲", "乙", "c", "丙", "丁"],
+            "is_preferred_name": [1, None, 1, None, 1],
+        }))
+        out = priority_pick(df, key="geoname_id", lang_col="lang",
+                            preferred_col="is_preferred_name",
+                            tiebreak=[F.col("name").asc()]).toPandas()
+        got = dict(zip(out["geoname_id"], out["name"]))
+        assert got[1] == "乙"   # zh-TW outranks zh despite preferred flag
+        assert got[2] == "丁"   # same lang → preferred wins
+
+    def test_null_token_normalization(self, spark):
+        from immich_geodata_zh_tw_spark.operators.translate import (
+            normalize_null_tokens)
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"v": ["", '""', "None", "nan", "ok"]}))
+        out = df.select(normalize_null_tokens(F.col("v")).alias("v")).toPandas()
+        assert out["v"].isna().tolist() == [True, True, True, True, False]
+
+
+class TestSample:
+    def test_diverse_sample_level_selection(self, spark):
+        from immich_geodata_zh_tw_spark.operators.sample import diverse_sample
+
+        pdf = pd.DataFrame({
+            "a1": ["x"] * 6 + ["y"] * 6,
+            "a2": ["p", "p", "q", "q", "r", "r"] * 2,
+            "id": range(12),
+        })
+        df = spark.createDataFrame(pdf)
+        # n=4 needs level 2 (2 distinct a1 < 4 ≤ 6 distinct (a1, a2))
+        out = diverse_sample(df, ["a1", "a2"], n=4, order_col="id").toPandas()
+        assert len(out) == 4
+        assert out["id"].tolist() == [0, 2, 4, 6]  # first per group, group order

@@ -1,0 +1,106 @@
+"""Physical-plan regression guards: the plans we want, not just plans that
+pass (SURVEY.md §4).  If an operator silently degrades to a sort-merge join
+or loses scan pruning, these fail."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestPlanQuality:
+    def test_knn_join_is_broadcast_only(self, spark):
+        """The kNN hot path must never sort-merge-join the big side."""
+        from immich_geodata_zh_tw_spark.operators.knn import knn_join
+
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"qid": range(100), "lat": [23.5] * 100, "lon": [121.0] * 100}))
+        places = pd.DataFrame({
+            "place_id": range(10),
+            "latitude": [21.6 + 0.4 * i for i in range(10)],
+            "longitude": [120.0 + 0.2 * i for i in range(10)]})
+        out = knn_join(spark, pts, places, query_id="qid",
+                       place_cols=["place_id"], res=8, k_schedule=(1,),
+                       persist=False)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_knn_reduction_is_partial_agg_not_window(self, spark):
+        """min-struct reduction must be a two-phase aggregate with map-side
+        partial combine (partial_min before the exchange), never a Window
+        sort of all candidates.  Struct-typed buffers fall back from
+        HashAggregate to SortAggregate in Spark — acceptable: the shuffle
+        still carries one partial row per (task, query)."""
+        from immich_geodata_zh_tw_spark.operators.knn import knn_join
+
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"qid": range(50), "lat": [23.5] * 50, "lon": [121.0] * 50}))
+        places = pd.DataFrame({"place_id": [1], "latitude": [23.5],
+                               "longitude": [121.0]})
+        out = knn_join(spark, pts, places, query_id="qid",
+                       place_cols=["place_id"], res=8, k_schedule=(1,),
+                       persist=False)
+        plan = _plan(out)
+        assert "partial_min" in plan  # map-side combine before shuffle
+        assert "Window" not in plan
+
+    def test_pip_join_broadcast_and_no_bigside_shuffle(self, spark):
+        from immich_geodata_zh_tw_spark.operators.pipjoin import pip_join
+        from immich_geodata_zh_tw_spark.synth import polygons
+
+        polys = polygons.admin_polygons_pdf(village_grid=2)
+        polys = polys.reset_index().rename(columns={"index": "poly_id"})
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"pid": range(100), "lat": [23.5] * 100, "lon": [121.0] * 100}))
+        out = pip_join(spark, pts, polys, id_col="poly_id",
+                       attr_cols=["county"], res=8)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the only exchanges allowed are broadcast exchanges
+        import re
+        non_broadcast_exchanges = [
+            ln for ln in plan.splitlines()
+            if re.search(r"\bExchange hashpartitioning", ln)]
+        assert non_broadcast_exchanges == []
+
+    def test_parquet_scan_pruning(self, spark):
+        """Filters and projections must reach the parquet scan."""
+        df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+              .filter(F.col("l_quantity") > 40)
+              .select("l_orderkey", "l_quantity"))
+        plan = _plan(df)
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+        assert "l_extendedprice" not in plan  # column pruned
+
+    def test_extract_prunes_to_url_html(self, spark):
+        """Only (url, html) may cross the Arrow boundary in the extract."""
+        from immich_geodata_zh_tw_spark.extract.html_meta import extract_pages
+        from immich_geodata_zh_tw_spark.synth import pages
+
+        p = pages.pages_df(spark, 10)
+        plan = _plan(extract_pages(p))
+        # the mapInPandas input projection carries only url + html
+        assert "text" in plan  # output schema mentions text
+        idx = plan.find("extract_pages_batches")
+        assert idx >= 0
+
+    def test_whole_stage_codegen_on_cell_encode(self, spark):
+        """Cell encode is Column algebra — must stay inside codegen."""
+        from immich_geodata_zh_tw_spark.functions.geo import cell_expr
+
+        df = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+              .select(cell_expr(F.expr("CAST(user_id AS DOUBLE)"),
+                                F.expr("CAST(event_id AS DOUBLE)"), 10)
+                      .alias("cell")))
+        plan = _plan(df)
+        assert "codegen id" in plan  # '*'-starred operators in formatted mode
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
