@@ -1,0 +1,172 @@
+"""The reference's `main.py release` data pipeline as Catalyst plans.
+
+Re-expresses the enhance + translate stages (reference core/enhance_data.py,
+core/translate.py, core/geodata/base.py — see SURVEY.md §3.1) on DataFrames:
+
+* ``global_max_geoname_id``  — A4 scan over all id-bearing tables
+  (core/utils/geoname_ids.py:36-75);
+* ``generate_admin1_records`` — distinct admin_1 → zero-padded dense-rank
+  codes + sequential geoname ids (base.py:493-592, :627-671);
+* ``update_admin1``          — delete-by-prefix + insert (enhance_data.py:137-142);
+* ``merge_extra_data``       — anti-join new rows ≥ population floor, then
+  coordinate dedup keep-max-pop/min-id (enhance_data.py:222-297);
+* ``convert_to_cities_schema`` — GEODATA rows → cities500 rows: 8-dp rounded
+  coordinates, admin1-code lookup, sequential ids (base.py:71-188);
+* ``translate_cities500``    — metadata coordinate join (J5) + alternate-name
+  priority pick (A3) + coalesce chain (P10) + TW passthrough
+  (translate.py:149-338).
+
+Everything is built from the operator library; no step shuffles more than the
+keys + payload it aggregates, and all dimension sides are broadcastable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import coordinate_dedup
+from ..operators.ids import dense_rank_codes, sequential_ids_scalable
+from ..operators.merge import replace_by_key
+from ..operators.translate import (CHINESE_PRIORITY, coalesce_chain,
+                                   metadata_coordinate_join,
+                                   normalize_null_tokens, priority_pick)
+
+COORD_DECIMAL_PLACES = 8  # reference base.py:24-25
+
+
+def global_max_geoname_id(tables: list[DataFrame], id_col: str = "geoname_id") -> int:
+    """Max id across all id-bearing tables (geoname_ids.py:36-75)."""
+    maxes = [t.agg(F.max(F.col(id_col).cast("long")).alias("m")) for t in tables]
+    merged = reduce(DataFrame.unionByName, maxes)
+    row = merged.agg(F.max("m").alias("m")).first()
+    return int(row.m) if row.m is not None else 0
+
+
+def generate_admin1_records(geodata: DataFrame, *, country_code: str,
+                            base_geoname_id: int) -> DataFrame:
+    """One ADMIN1 row per distinct admin_1: code ``CC.<rank>`` (zero-padded,
+    alphabetical) + sequential geoname ids (base.py:493-592)."""
+    distinct = geodata.select("admin_1").distinct()
+    coded = dense_rank_codes(distinct, "admin_1", prefix=country_code, out_col="id")
+    with_ids = sequential_ids_scalable(coded, ["admin_1"], base=base_geoname_id,
+                                       out_col="geoname_id")
+    return with_ids.select(
+        F.col("id"),
+        F.col("admin_1").alias("name"),
+        F.col("admin_1").alias("asciiname"),
+        F.col("geoname_id").cast("string").alias("geoname_id"))
+
+
+def update_admin1(admin1: DataFrame, new_records: DataFrame, *,
+                  country_code: str) -> DataFrame:
+    """Replace a country's admin1 rows (delete-by-prefix + insert,
+    enhance_data.py:137-142)."""
+    return replace_by_key(admin1, new_records,
+                          F.col("id").startswith(f"{country_code}."))
+
+
+def convert_to_cities_schema(geodata: DataFrame, *, country_code: str,
+                             base_geoname_id: int,
+                             admin1_codes: DataFrame) -> DataFrame:
+    """GEODATA rows → cities500-shaped rows (base.py:71-188).
+
+    * coordinates rounded to 8 dp (join-key stability, SURVEY §1.3);
+    * admin1_code via broadcast join against the admin1 table (J7 — the
+      reference's dict lookup);
+    * geoname ids allocated sequentially after the full-column sort (W1).
+    """
+    g = geodata
+    for c in ("admin_1", "admin_2", "admin_3", "admin_4"):
+        g = g.withColumn(c, normalize_null_tokens(F.col(c)))
+    g = (g.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+         .withColumn("latitude", F.round("latitude", COORD_DECIMAL_PLACES))
+         .withColumn("longitude", F.round("longitude", COORD_DECIMAL_PLACES)))
+    sort_cols = ["country", "admin_1", "admin_2", "admin_3", "admin_4",
+                 "latitude", "longitude"]
+    g = sequential_ids_scalable(g, sort_cols, base=base_geoname_id,
+                                out_col="geoname_id")
+    a1 = admin1_codes.select(
+        F.col("name").alias("admin_1"),
+        F.element_at(F.split(F.col("id"), "\\."), -1).alias("admin1_code"))
+    g = g.join(F.broadcast(a1), "admin_1", "left")
+    name = coalesce_chain(F.col("admin_3"), F.col("admin_2"), F.col("admin_1"))
+    return g.select(
+        F.col("geoname_id").cast("string").alias("geoname_id"),
+        name.alias("name"),
+        name.alias("asciiname"),
+        F.lit(None).cast("string").alias("alternatenames"),
+        "latitude", "longitude",
+        F.lit("A").alias("feature_class"),
+        F.lit("ADM3").alias("feature_code"),
+        F.lit(country_code).alias("country_code"),
+        F.lit(None).cast("string").alias("cc2"),
+        "admin1_code",
+        F.col("admin_2").alias("admin2_code"),
+        F.lit(None).cast("string").alias("admin3_code"),
+        F.lit(None).cast("string").alias("admin4_code"),
+        F.lit(0).alias("population"),
+        F.lit(None).cast("string").alias("elevation"),
+        F.lit(0).alias("dem"),
+        F.lit("Asia/Taipei").alias("timezone"),
+        F.current_date().alias("modification_date"),
+    )
+
+
+def merge_extra_data(cities: DataFrame, extra: DataFrame, *,
+                     min_population: int = 100) -> DataFrame:
+    """Add missing high-population rows, then coordinate-dedup
+    (enhance_data.py:222-297): keep max population, tie → min geoname_id."""
+    new_rows = (extra.join(cities.select("geoname_id"), "geoname_id", "left_anti")
+                .filter(F.col("population") >= min_population))
+    merged = cities.unionByName(new_rows)
+    return coordinate_dedup(
+        merged.withColumn("geoname_id", F.col("geoname_id").cast("long"))
+    ).withColumn("geoname_id", F.col("geoname_id").cast("string"))
+
+
+def replace_country_rows(cities: DataFrame, handler_rows: DataFrame, *,
+                         country_code: str) -> DataFrame:
+    """U3: drop a country's rows, insert the handler-generated ones
+    (base.py:694-722)."""
+    return replace_by_key(cities, handler_rows,
+                          F.col("country_code") == country_code)
+
+
+def pick_chinese_names(alternate_names: DataFrame) -> DataFrame:
+    """Top-priority Chinese alternate name per geoname_id
+    (alternate_names.py:41-90), including the 桃園縣→桃園市 rewrite."""
+    zh = alternate_names.filter(F.col("lang").isin(CHINESE_PRIORITY))
+    best = priority_pick(zh, key="geoname_id", lang_col="lang",
+                         preferred_col="is_preferred_name",
+                         tiebreak=[F.col("name").asc()])
+    return best.select(
+        "geoname_id",
+        F.regexp_replace(F.col("name"), "桃園縣", "桃園市").alias("alternate_name"))
+
+
+def translate_cities500(cities: DataFrame, metadata: DataFrame,
+                        chinese_names: DataFrame, *,
+                        passthrough_country: str = "TW") -> DataFrame:
+    """translate.py:149-338 as one plan:
+
+    metadata coordinate join (J5, on 8-dp rounded coords + country) →
+    alternate-name left join (J3) → coalesce chain (P10) → passthrough rule:
+    rows of ``passthrough_country`` keep their (already-localized) name.
+    """
+    meta = metadata.select(
+        F.col("country_code"), F.col("latitude"), F.col("longitude"),
+        F.col("admin_2").alias("meta_name"))
+    joined = metadata_coordinate_join(
+        cities, meta, keys=["country_code", "latitude", "longitude"],
+        attrs=["meta_name"])
+    joined = joined.join(F.broadcast(chinese_names), "geoname_id", "left")
+    translated = coalesce_chain(F.col("meta_name"), F.col("alternate_name"),
+                                F.col("name"))
+    return (joined
+            .withColumn("name",
+                        F.when(F.col("country_code") == passthrough_country,
+                               F.col("name")).otherwise(translated))
+            .drop("meta_name", "alternate_name"))

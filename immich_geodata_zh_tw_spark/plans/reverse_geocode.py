@@ -37,7 +37,10 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
     # nearest-centroid distance of the village tiling, so virtually every row
     # settles in the first round — one broadcast join + one partial agg.
     """Full reverse-geocode of a pages table against polygon + point tables."""
-    ext = extract_pages(pages)
+    ext = extract_pages(pages).observe(
+        "extract_metrics",
+        F.count(F.lit(1)).alias("pages_extracted"),
+        F.count(F.col("lat")).alias("pages_with_geo"))
     pts = (ext
            .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
            .filter(in_bbox(F.col("lat"), F.col("lon"), bbox))
