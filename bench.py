@@ -40,10 +40,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timings: dict[str, float] = {}
 
         pages_path = materialize_pages(spark, n_pages)
+        # steady-state measurement: one warm-up pass (JIT/codegen/Python
+        # workers/broadcasts), drop plan-identity cache, then time
+        warm_path = materialize_pages(spark, max(n_pages // 20, 1000))
+        _flagship(spark, warm_path).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         flagship_rows = _flagship(spark, pages_path).count()
         flagship_sec = time.perf_counter() - t0
         timings["reverse_geocode"] = round(flagship_sec, 3)
+        spark.catalog.clearCache()
 
         bench_queries = [
             "geo_knn_cells", "geo_pip_villages", "geo_cell_histogram",

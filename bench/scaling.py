@@ -29,9 +29,13 @@ def _run_once(cpus: int, n_pages: int, *, warmup: bool = True) -> float:
         if warmup:
             flagship(spark, pages_path).count()
             spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        flagship(spark, pages_path).count()
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):  # min of 2 reps — single-machine variance is real
+            t0 = time.perf_counter()
+            flagship(spark, pages_path).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
     finally:
         spark.stop()
 

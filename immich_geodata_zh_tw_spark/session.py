@@ -51,8 +51,12 @@ def _ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = Path(__file__).resolve().parent
     zip_path = Path(gettempdir()) / f"{pkg_dir.name}-pyfiles.zip"
-    if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+    sources = sorted(pkg_dir.rglob("*.py"))
+    newest_src = max(p.stat().st_mtime for p in sources)
+    if not zip_path.exists() or zip_path.stat().st_mtime <= newest_src:
+        tmp = zip_path.with_suffix(".zip.tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sources:
                 zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+        tmp.replace(zip_path)  # atomic: concurrent sessions never see a partial zip
     spark.sparkContext.addPyFile(str(zip_path))
