@@ -66,6 +66,48 @@ def min_cell_km(res: int, max_abs_lat: float) -> float:
     return min(lat_step, lon_step * math.cos(math.radians(max_abs_lat))) * _DEG_KM
 
 
+def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
+                    query_id: str, lat_col: str = "lat", lon_col: str = "lon",
+                    place_lat: str = "latitude", place_lon: str = "longitude",
+                    place_cols: list[str] | None = None,
+                    res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
+    """Single-pass exact kNN as a *pure plan* — no driver actions, no persist.
+
+    Valid when the caller can guarantee every query's true nearest place lies
+    within the k-ring (e.g. a tiling-derived point set whose worst-case
+    nearest-centroid distance is below ``k * min_cell_km(res, lat)`` — the
+    flagship's village table satisfies this at res 10/k 1).  Queries with no
+    candidate in the ring are dropped; use :func:`knn_join` when coverage is
+    unknown.  One broadcast join + one partially-aggregated reduction: the
+    cheapest possible exact plan, and streaming/foreachBatch-safe.
+    """
+    if place_cols is None:
+        place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
+    tiebreak = place_cols[0]
+    cand_small = explode_places_by_kring(
+        spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k
+    ).withColumnRenamed(place_lat, "__p_lat").withColumnRenamed(place_lon, "__p_lon")
+    q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    rem = q.withColumn("__qrow", F.struct(*[F.col(c) for c in q.columns]))
+    dist = haversine_col(F.col(lat_col), F.col(lon_col),
+                         F.col("__p_lat"), F.col("__p_lon"))
+    cand = (rem.join(F.broadcast(cand_small), rem["__cell"] == cand_small["cell"])
+            .withColumn("__dist", dist))
+    packed = F.struct(
+        F.col("__dist").alias("d"),
+        F.col(tiebreak).alias("tb"),
+        *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
+    )
+    agg = (cand.groupBy(query_id)
+           .agg(F.min(packed).alias("__best"), F.first("__qrow").alias("__qrow")))
+    return agg.select(
+        F.col("__qrow.*"),
+        F.col("__best.tb").alias(tiebreak),
+        *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
+        F.col("__best.d").alias("knn_dist_km"),
+    ).drop("__cell")
+
+
 def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
              query_id: str, lat_col: str = "lat", lon_col: str = "lon",
              place_lat: str = "latitude", place_lon: str = "longitude",

