@@ -24,8 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
     (FIXTURES.md §1/§6).
     """
     from immich_geodata_zh_tw_spark.plans.reverse_geocode import reverse_geocode_pages
+    from immich_geodata_zh_tw_spark.session import _ship_package
     from immich_geodata_zh_tw_spark.synth import cities, pages, polygons
 
+    _ship_package(spark)  # driver-owned sessions: make executors able to import us
     n_events = spark.read.parquet(f"{SF0001}/events.parquet").count()
     pages_sdf = pages.pages_df(spark, max(n_events * 2, 1000))
     return reverse_geocode_pages(
@@ -38,8 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from immich_geodata_zh_tw_spark.plans import driver_queries
+    from immich_geodata_zh_tw_spark.session import _ship_package
 
-    return driver_queries.queries()
+    def _wrap(fn):
+        def run(spark, sf_dir):
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: _wrap(fn) for name, fn in driver_queries.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
