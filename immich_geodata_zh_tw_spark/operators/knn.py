@@ -71,41 +71,59 @@ def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
                     place_lat: str = "latitude", place_lon: str = "longitude",
                     place_cols: list[str] | None = None,
                     res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
-    """Single-pass exact kNN as a *pure plan* — no driver actions, no persist.
+    """Single-pass exact kNN as a *pure narrow plan* — zero shuffle.
 
     Valid when the caller can guarantee every query's true nearest place lies
     within the k-ring (e.g. a tiling-derived point set whose worst-case
     nearest-centroid distance is below ``k * min_cell_km(res, lat)`` — the
     flagship's village table satisfies this at res 10/k 1).  Queries with no
     candidate in the ring are dropped; use :func:`knn_join` when coverage is
-    unknown.  One broadcast join + one partially-aggregated reduction: the
-    cheapest possible exact plan, and streaming/foreachBatch-safe.
+    unknown.
+
+    Plan shape: the small side is pre-grouped per covering cell into an
+    ``array<struct(lat, lon, payload…)>`` and broadcast; each query row joins
+    its own cell's candidate array (1 row in → 1 row out — NO explode) and
+    picks the nearest with ``array_min(transform(...))`` in whole-stage
+    codegen.  A query-id-unique groupBy would shuffle every candidate row for
+    no reduction (ids are unique) — measured as the dominant non-scaling cost
+    at 10^7-row scale; this plan removes that shuffle entirely and is
+    streaming/foreachBatch-safe.
     """
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
     tiebreak = place_cols[0]
-    cand_small = explode_places_by_kring(
-        spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k
-    ).withColumnRenamed(place_lat, "__p_lat").withColumnRenamed(place_lon, "__p_lon")
+
+    exploded = explode_places_by_kring(
+        spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)
+    grouped = exploded.groupBy("cell").agg(
+        F.collect_list(F.struct(
+            F.col(place_lat).alias("plat"), F.col(place_lon).alias("plon"),
+            F.col(tiebreak).alias("tb"),
+            *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
+        )).alias("__places"))
+
     q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
-    rem = q.withColumn("__qrow", F.struct(*[F.col(c) for c in q.columns]))
-    dist = haversine_col(F.col(lat_col), F.col(lon_col),
-                         F.col("__p_lat"), F.col("__p_lon"))
-    cand = (rem.join(F.broadcast(cand_small), rem["__cell"] == cand_small["cell"])
-            .withColumn("__dist", dist))
-    packed = F.struct(
-        F.col("__dist").alias("d"),
-        F.col(tiebreak).alias("tb"),
-        *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
-    )
-    agg = (cand.groupBy(query_id)
-           .agg(F.min(packed).alias("__best"), F.first("__qrow").alias("__qrow")))
-    return agg.select(
-        F.col("__qrow.*"),
+    joined = q.join(F.broadcast(grouped), q["__cell"] == grouped["cell"], "inner")
+
+    dist_sql = haversine_sql_cols(lat_col, lon_col, "p.plat", "p.plon")
+    payload = ", ".join(["p.tb AS tb",
+                         *[f"p.{c} AS {c}" for c in place_cols if c != tiebreak]])
+    best = F.expr(
+        f"array_min(transform(__places, p -> struct({dist_sql} AS d, {payload})))")
+    out = joined.withColumn("__best", best)
+    return out.select(
+        *[c for c in queries.columns],
         F.col("__best.tb").alias(tiebreak),
         *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
         F.col("__best.d").alias("knn_dist_km"),
-    ).drop("__cell")
+    )
+
+
+def haversine_sql_cols(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Spark-SQL haversine text (same formula as geo/distance.py)."""
+    from ..geo.distance import haversine_sql
+
+    return haversine_sql(lat1, lon1, lat2, lon2)
 
 
 def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,

@@ -792,6 +792,41 @@ FROM pts p LEFT JOIN meta m ON p.rlat = m.rlat AND p.rlon = m.rlon
 """
 
 
+def q_zh_s2t(spark, sf_dir):
+    """F8 OpenCC-style s2t conversion (translate.py:72-97) at character
+    granularity via JVM ``translate`` — plus is_traditional/is_simplified
+    predicates."""
+    from ..functions import zh
+
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "name", F.expr("CASE WHEN lang = 'zh' THEN concat('台湾县', CAST(doc_id AS STRING)) "
+                       "WHEN lang = 'es' THEN concat('臺北市', CAST(doc_id AS STRING)) "
+                       "ELSE concat('x', CAST(doc_id AS STRING)) END"))
+    return salted.select(
+        "doc_id",
+        zh.s2t(F.col("name")).alias("name_t"),
+        zh.is_traditional(F.col("name")).alias("is_trad"),
+        zh.is_simplified(F.col("name")).alias("is_simp"))
+
+
+from ..functions.zh import s2t_sql as _s2t_sql  # noqa: E402
+
+SQL_ZH_S2T = f"""
+WITH salted AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'zh' THEN concat('台湾县', CAST(doc_id AS VARCHAR))
+         WHEN lang = 'es' THEN concat('臺北市', CAST(doc_id AS VARCHAR))
+         ELSE concat('x', CAST(doc_id AS VARCHAR)) END AS name
+  FROM documents)
+SELECT doc_id,
+  {_s2t_sql('name')} AS name_t,
+  ({_s2t_sql('name')} = name) AS is_trad,
+  ({_s2t_sql('name')} != name) AS is_simp
+FROM salted
+"""
+
+
 def q_embed_ann_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (scale path) —
     rows-only driver check; recall vs brute force asserted in pytest."""
@@ -839,6 +874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "han_detect": q_han_detect,
     "multi_name_collapse": q_multi_name_collapse,
     "metadata_coord_join": q_metadata_coord_join,
+    "zh_s2t": q_zh_s2t,
     "embed_ann_lsh": q_embed_ann_lsh,
 }
 
@@ -877,6 +913,7 @@ _ORACLES: dict[str, str] = {
     "han_detect": SQL_HAN_DETECT,
     "multi_name_collapse": SQL_MULTI_NAME_COLLAPSE,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
+    "zh_s2t": SQL_ZH_S2T,
     # embed_ann_lsh: approximate by construction → rows-only check
 }
 
