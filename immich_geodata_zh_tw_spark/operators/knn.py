@@ -153,41 +153,42 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
         q = q.persist(StorageLevel.MEMORY_AND_DISK)
     remaining = q
     results: list[DataFrame] = []
+    query_cols = [c for c in queries.columns]
 
-    dist = haversine_col(F.col(lat_col), F.col(lon_col),
-                         F.col("__p_lat"), F.col("__p_lon"))
+    dist_sql = _haversine_places_sql(lat_col, lon_col)
+    payload = ", ".join(["p.tb AS tb",
+                         *[f"p.{c} AS {c}" for c in place_cols if c != tiebreak]])
+    best_expr = F.expr(
+        f"array_min(transform(__places, p -> struct({dist_sql} AS d, {payload})))")
 
-    def best_of(cand: DataFrame) -> DataFrame:
-        """min(struct(dist, tiebreak, payload…)) per query — partial-agg friendly."""
-        packed = F.struct(
-            F.col("__dist").alias("d"),
-            F.col(tiebreak).alias("tb"),
-            *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
-            F.col("__p_lat").alias("__p_lat"), F.col("__p_lon").alias("__p_lon"),
-        )
-        agg = (cand.groupBy(query_id)
-               .agg(F.min(packed).alias("__best"), F.first("__qrow").alias("__qrow")))
-        sel = [F.col("__qrow.*"),
-               F.col("__best.tb").alias(tiebreak),
-               *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
-               F.col("__best.d").alias("knn_dist_km"),
-               F.col("__best.__p_lat").alias("__p_lat"),
-               F.col("__best.__p_lon").alias("__p_lon")]
-        return agg.select(*sel)
+    def _grouped(df_places: DataFrame) -> DataFrame:
+        """cell → array<struct(plat, plon, payload…)> (small side, broadcast)."""
+        return df_places.groupBy("cell").agg(
+            F.collect_list(F.struct(
+                F.col(place_lat).alias("plat"), F.col(place_lon).alias("plon"),
+                F.col(tiebreak).alias("tb"),
+                *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
+            )).alias("__places"))
+
+    def _best(joined: DataFrame) -> DataFrame:
+        """Per-row nearest via array_min(transform(...)) — zero shuffle."""
+        out = joined.withColumn("__best", best_expr)
+        return out.select(
+            *query_cols, F.col("__cell"),
+            F.col("__best.tb").alias(tiebreak),
+            *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
+            F.col("__best.d").alias("knn_dist_km"))
 
     for k in k_schedule:
-        cand_small = explode_places_by_kring(
-            spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k
-        ).withColumnRenamed(place_lat, "__p_lat").withColumnRenamed(place_lon, "__p_lon")
-        rem = remaining.withColumn(
-            "__qrow", F.struct(*[F.col(c) for c in remaining.columns if c != "__qrow"]))
-        cand = (rem.join(F.broadcast(cand_small), rem["__cell"] == cand_small["cell"])
-                .withColumn("__dist", dist))
-        best = best_of(cand)
+        grouped = _grouped(explode_places_by_kring(
+            spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k))
+        joined = remaining.join(F.broadcast(grouped),
+                                remaining["__cell"] == grouped["cell"], "inner")
+        best = _best(joined)
         # exactness guard: nearest-in-ring is global nearest iff closer than
         # any point outside the k-ring could possibly be
         guard_km = k * min_cell_km(res, max_abs_lat)
-        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km)).drop("__p_lat", "__p_lon")
+        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km))
         if persist:
             # materialized lazily by the next take(1) on remaining
             exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
@@ -198,16 +199,19 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
             break
 
     if remaining is not None:
-        # brute force on the (tiny) remainder — exact, broadcast cross join
-        places_sdf = (spark.createDataFrame(places_pdf)
-                      .withColumnRenamed(place_lat, "__p_lat")
-                      .withColumnRenamed(place_lon, "__p_lon"))
-        rem = remaining.withColumn(
-            "__qrow", F.struct(*[F.col(c) for c in remaining.columns if c != "__qrow"]))
-        cand = rem.crossJoin(F.broadcast(places_sdf)).withColumn("__dist", dist)
-        results.append(best_of(cand).drop("__p_lat", "__p_lon"))
+        # brute force on the (tiny) remainder — all places as one array
+        all_places = spark.createDataFrame(places_pdf).withColumn(
+            "cell", F.lit(0)).transform(_grouped).drop("cell")
+        joined = remaining.crossJoin(F.broadcast(all_places))
+        results.append(_best(joined))
 
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
     return out.drop("__cell")
+
+
+def _haversine_places_sql(lat_col: str, lon_col: str) -> str:
+    from ..geo.distance import haversine_sql
+
+    return haversine_sql(lat_col, lon_col, "p.plat", "p.plon")

@@ -33,12 +33,11 @@ class TestPlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
-    def test_knn_reduction_is_partial_agg_not_window(self, spark):
-        """min-struct reduction must be a two-phase aggregate with map-side
-        partial combine (partial_min before the exchange), never a Window
-        sort of all candidates.  Struct-typed buffers fall back from
-        HashAggregate to SortAggregate in Spark — acceptable: the shuffle
-        still carries one partial row per (task, query)."""
+    def test_knn_reduction_is_shuffle_free(self, spark):
+        """The per-query nearest reduction must be an array_min over the
+        broadcast candidate array — no big-side exchange, no aggregation of
+        candidate rows, no Window sort (query ids are unique, so a groupBy
+        would shuffle everything and reduce nothing)."""
         from immich_geodata_zh_tw_spark.operators.knn import knn_join
 
         pts = spark.createDataFrame(pd.DataFrame(
@@ -49,8 +48,11 @@ class TestPlanQuality:
                        place_cols=["place_id"], res=8, k_schedule=(1,),
                        persist=False)
         plan = _plan(out)
-        assert "partial_min" in plan  # map-side combine before shuffle
+        assert "array_min" in plan
         assert "Window" not in plan
+        # only the (tiny) candidate-grouping side may exchange; the query
+        # side's lineage from LocalTableScan → output must be exchange-free
+        assert "Exchange hashpartitioning(qid" not in plan
 
     def test_pip_join_broadcast_and_no_bigside_shuffle(self, spark):
         from immich_geodata_zh_tw_spark.operators.pipjoin import pip_join
