@@ -50,20 +50,27 @@ def exact_dedup(df: DataFrame, content_col: str, *, id_col: str) -> DataFrame:
 
 
 def minhash_signature(text_col: str, *, n_bands: int = 4,
-                      shingle: int = 5) -> list[Column]:
+                      shingle: int = 5, stride: int = 2) -> list[Column]:
     """MinHash band signatures over character shingles, pure SQL expressions.
 
-    Band ``b``'s signature = min over shingles of md5(b || shingle) — built
-    with higher-order functions (sequence/transform/array_min), fully
-    JVM-side and expressible verbatim in the DuckDB oracle.
+    Band ``b``'s signature = concat of ``rows_per_band`` independent minhashes
+    (min over shingles of md5(salt || shingle)) — the classic banding scheme:
+    more rows per band ⇒ exponentially fewer false-positive candidate pairs.
+    Built with higher-order functions (sequence/transform/array_min), fully
+    JVM-side and expressible verbatim in the DuckDB oracle.  ``stride``
+    samples every n-th shingle position (md5 over all positions dominated the
+    bench; stride-2 halves the hash count with negligible MinHash quality
+    loss at 5-char shingles).
     """
+    rows_per_band = 2
     cols = []
     for b in range(n_bands):
-        expr = (
-            f"array_min(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)), "
-            f"i -> md5(concat('{b}:', substring({text_col}, i, {shingle})))))"
-        )
-        cols.append(F.expr(expr).alias(f"band{b}"))
+        mins = [
+            (f"array_min(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1), {stride}), "
+             f"i -> md5(concat('{b * rows_per_band + r}:', substring({text_col}, i, {shingle})))))")
+            for r in range(rows_per_band)
+        ]
+        cols.append(F.expr(f"concat({', '.join(mins)})").alias(f"band{b}"))
     return cols
 
 

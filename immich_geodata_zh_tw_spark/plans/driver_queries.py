@@ -599,9 +599,14 @@ def q_doc_minhash_pairs(spark, sf_dir):
                                          n_bands=4, shingle=5)
 
 
-def _minhash_band_sql_duck(b: int, shingle: int = 5) -> str:
-    return (f"list_min(list_transform(generate_series(1, greatest(length(text) - {shingle - 1}, 1)), "
-            f"i -> md5('{b}:' || substring(text, i, {shingle}))))")
+def _minhash_band_sql_duck(b: int, shingle: int = 5, stride: int = 2,
+                           rows_per_band: int = 2) -> str:
+    mins = [
+        (f"list_min(list_transform(generate_series(1, greatest(length(text) - {shingle - 1}, 1), {stride}), "
+         f"i -> md5('{b * rows_per_band + r}:' || substring(text, i, {shingle}))))")
+        for r in range(rows_per_band)
+    ]
+    return "concat(" + ", ".join(mins) + ")"
 
 
 SQL_DOC_MINHASH_PAIRS = f"""
