@@ -1,0 +1,67 @@
+"""Explicit partitioning evidence (north_rule: partitioning/shuffle handled
+explicitly): bucketed co-located joins skip the shuffle; lat-band partitioned
+tables prune files under bbox predicates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the join key co-locate: SortMergeJoin
+        without Exchange (the 10^12-scale recipe for repeated big-big joins,
+        SURVEY.md §4/X15)."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            left = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+            right = spark.range(0, 10_000).withColumn("w", F.col("id") + 1)
+            for name, df in (("bk_left", left), ("bk_right", right)):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (df.write.bucketBy(8, "id").sortBy("id")
+                 .mode("overwrite").saveAsTable(name))
+            j = spark.table("bk_left").join(spark.table("bk_right"), "id")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan  # co-located
+            assert j.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS bk_left")
+            spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+class TestPartitionPruning:
+    def test_lat_band_partition_pruning(self, spark, tmp_path):
+        """Pages partitioned by latitude band: a bbox filter prunes
+        partitions at planning time (SURVEY.md §4 X13)."""
+        path = str(tmp_path / "banded")
+        pdf = pd.DataFrame({
+            "pid": range(1000),
+            "lat": [20.0 + (i % 40) * 0.25 for i in range(1000)],
+            "lon": [120.0] * 1000,
+        })
+        df = spark.createDataFrame(pdf).withColumn(
+            "lat_band", F.floor(F.col("lat")).cast("int"))
+        df.write.partitionBy("lat_band").mode("overwrite").parquet(path)
+
+        narrow = (spark.read.parquet(path)
+                  .filter((F.col("lat_band") >= 24) & (F.col("lat_band") <= 25)))
+        plan = _plan(narrow)
+        # partition filters are applied at the scan, not as a post-filter
+        assert "PartitionFilters: [isnotnull(lat_band" in plan.replace("#", "@") \
+            or "PartitionFilters" in plan
+        files_scanned = narrow.select(F.input_file_name()).distinct().count()
+        all_files = (spark.read.parquet(path)
+                     .select(F.input_file_name()).distinct().count())
+        assert files_scanned < all_files / 3  # only 2 of 10 bands read
+        assert narrow.count() == sum(1 for i in range(1000)
+                                     if 24 <= 20.0 + (i % 40) * 0.25 < 26)
