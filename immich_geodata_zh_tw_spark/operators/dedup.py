@@ -75,12 +75,26 @@ def minhash_signature(text_col: str, *, n_bands: int = 4,
 
 
 def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
-                            n_bands: int = 4, shingle: int = 5) -> DataFrame:
+                            n_bands: int = 4, shingle: int = 5,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate near-dup pairs: docs sharing any band signature.
 
     Explode to (band_idx, sig) → self-join per bucket → distinct (a, b) with
-    a < b.  The shuffle key is the band hash — uniformly distributed, so no
-    skew; bucket sizes bound the join fan-out.
+    a < b.  The shuffle key is the band hash — uniformly distributed across
+    *distinct* contents, so no key skew; bucket sizes bound the join fan-out.
+
+    **Scale guard** (VERDICT.md round-1 item 7): a corpus heavy in *exact*
+    duplicates puts every copy in the same bucket of every band — one
+    m-member bucket emits O(m²) pairs.  Two mitigations, composable:
+
+    * run :func:`exact_dedup` first and feed only representatives (exact-dup
+      membership is recoverable from the hash groups, so no information is
+      lost — the recommended 100-TB shape);
+    * ``max_bucket_size=N`` keeps only the N smallest ids per (band, sig)
+      bucket (deterministic windowed cap) — recall degrades gracefully on
+      pathological buckets instead of the job degenerating to quadratic.
+      Default ``None`` preserves the exact candidate-pair semantics the
+      DuckDB oracle checks.
     """
     sigs = df.select(F.col(id_col), *minhash_signature(text_col, n_bands=n_bands,
                                                        shingle=shingle))
@@ -90,6 +104,10 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
             for b in range(n_bands)])).alias("bs"),
     ).select(id_col, F.col("bs.band_idx"), F.col("bs.sig"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "sig").orderBy(F.col(id_col).asc())
+        bands = (bands.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= max_bucket_size).drop("__rn"))
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right, ["band_idx", "sig"])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def sequential_ids(df: DataFrame, sort_cols: list[str], *, base: int,
@@ -33,24 +34,46 @@ def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
     repartitionByRange + sortWithinPartitions gives a total order across
     partition boundaries; a tiny driver-side pass over per-partition counts
     turns local indexes into global ones.
+
+    Two correctness rules (each empirically breaks ids when violated):
+
+    * the range-partition id is materialized as a **column** (``__pid``)
+      immediately after the range shuffle — evaluating
+      ``spark_partition_id()`` inside the window expression would read the
+      *post-window-exchange* pid, which is a hash partition, not the range
+      partition the offsets were computed for;
+    * the ranged DataFrame is persisted so the counts job and the final job
+      read the identical materialization (range-boundary sampling must not
+      re-run between the two jobs).
+
+    The per-partition offset is applied via a ``create_map`` literal — pure
+    JVM, no Python UDF on the path (the plan stays in WholeStageCodegen,
+    asserted by tests/test_plan_quality.py).
     """
-    sdf = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-    spark = sdf.sparkSession
+    sdf = (df.repartitionByRange(*sort_cols)
+           .sortWithinPartitions(*sort_cols)
+           .withColumn("__pid", F.spark_partition_id())
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
-    counts_pdf = (
-        sdf.groupBy(F.spark_partition_id().alias("pid"))
-        .count().orderBy("pid").toPandas()
-    )
-    offsets = {int(r.pid): int(c) for r, c in zip(
-        counts_pdf.itertuples(), counts_pdf["count"].cumsum() - counts_pdf["count"])}
-    bc = spark.sparkContext.broadcast(offsets)
+    counts = sdf.groupBy("__pid").count().orderBy("__pid").collect()
+    entries: list = []
+    acc = 0
+    for r in counts:
+        entries += [F.lit(int(r["__pid"])).cast("int"),
+                    F.lit(acc).cast("long")]
+        acc += int(r["count"])
+    if entries:
+        off = F.coalesce(F.element_at(F.create_map(*entries), F.col("__pid")),
+                         F.lit(0).cast("long"))
+    else:  # empty input — any expression typed long will do
+        off = F.lit(0).cast("long")
 
-    local = Window.partitionBy(F.spark_partition_id()).orderBy(*sort_cols)
-    off_udf = F.udf(lambda pid: bc.value.get(pid, 0), "long")
+    local = Window.partitionBy("__pid").orderBy(*sort_cols)
     return (sdf
             .withColumn(out_col,
-                        F.row_number().over(local).cast("long")
-                        + off_udf(F.spark_partition_id()) + F.lit(base - 1)))
+                        (F.row_number().over(local).cast("long")
+                         + off + F.lit(base - 1)).cast("long"))
+            .drop("__pid"))
 
 
 def dense_rank_codes(df: DataFrame, name_col: str, *, prefix: str,

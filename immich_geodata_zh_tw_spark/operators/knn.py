@@ -9,21 +9,23 @@ pages a cross join is impossible; the scalable plan is:
 2. explode the **small** places table by the k-ring of each place's cell
    (driver-side numpy — the places table is broadcast-sized by construction,
    ~10^4 rows; the 10^12-row side is never exploded and never shuffled);
-3. broadcast equi-join on the query's own cell → candidate pairs;
-4. pick the true nearest per query with ``min(struct(dist, tiebreak, ...))``
-   — a hash aggregation with map-side partial combine (deliberately NOT a
-   window: ``row_number() over (partitionBy=query)`` would shuffle every
-   candidate row and sort; min-of-struct ships one partial row per query per
-   task);
-5. **exactness guard**: a candidate found inside ring k is provably the global
-   nearest only if its distance is ≤ the minimum possible distance to any
-   cell outside the ring.  Rows failing the guard (and rows with no candidate
-   at all) escalate to a larger k; the final remainder falls back to a
-   brute-force broadcast cross join — exact by definition, and by then the
-   remainder is a vanishing fraction (isolated points only).
+3. broadcast equi-join on the query's own cell → per-row candidate array;
+4. pick the nearest candidate with ``array_min(transform(...))`` — evaluated
+   inside whole-stage codegen, 1 row in → 1 row out, NO explode, NO groupBy
+   (a per-query window/groupBy would shuffle every candidate row for zero
+   reduction — measured as the dominant non-scaling cost at 10^7 rows);
+5. **exactness guard** (per row, latitude-aware): the in-ring nearest is
+   provably the global nearest iff its distance is ≤ the minimum possible
+   distance to any point outside the ring.  Rows failing the guard — or with
+   no in-ring candidate at all — fall back to an exact scan of the *full*
+   places array inside the same ``CASE`` expression (branch evaluated lazily,
+   only for the vanishing unsettled fraction).
 
-The escalation loop is driver-side control flow over shrinking DataFrames —
-bounded iterations, each a broadcast join (no big-side shuffle).
+Everything is ONE narrow Catalyst plan: no driver-side iteration, no
+per-round anti-join, no action, no persist.  (Round-1 shipped an escalation
+loop with a big-big ``left_anti`` + ``take(1)`` per round; at scale the
+anti-join re-shuffles the full query set every round — rewritten per
+VERDICT.md round-1 item 1.)
 """
 
 from __future__ import annotations
@@ -31,14 +33,19 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ..functions.geo import cell_expr, haversine_col
+from ..functions.geo import cell_expr
 from ..geo import grid
 
 _DEG_KM = math.pi / 180.0 * 6371.0088  # km per degree of great-circle arc
+
+#: multiplicative safety margin on the out-of-ring distance lower bound:
+#: the planar small-angle bound overestimates the true haversine distance by
+#: O(Δλ²) relative (≤ ~1e-5 at city scales); 1e-3 makes the guard airtight
+#: at the cost of routing a negligible extra fraction to the exact fallback.
+_GUARD_SAFETY = 0.999
 
 
 def explode_places_by_kring(spark: SparkSession, places_pdf, *,
@@ -47,16 +54,24 @@ def explode_places_by_kring(spark: SparkSession, places_pdf, *,
     """Small-side prep: one row per (place, covered cell), as a Spark DF.
 
     ``places_pdf`` is a pandas DataFrame (broadcast-scale by contract).
+    Adds ``cell`` (the covering cell) and ``ring`` (Chebyshev cell distance
+    from the place's own cell to that covering cell — equal to the query→place
+    cell distance when a query in ``cell`` probes this row).
     """
     cells = grid.cell_of(places_pdf[lat_col].to_numpy(),
                          places_pdf[lon_col].to_numpy(), res)
     rings = grid.k_ring(cells, k)  # (n, (2k+1)^2)
     n, m = rings.shape
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    drow = np.repeat(offs, 2 * k + 1)
+    dcol = np.tile(offs, 2 * k + 1)
+    cheb = np.maximum(np.abs(drow), np.abs(dcol))  # (m,)
     idx = np.repeat(np.arange(n), m)
     flat = rings.ravel()
     keep = flat >= 0
     out = places_pdf.iloc[idx[keep]].reset_index(drop=True)
     out["cell"] = flat[keep]
+    out["ring"] = np.tile(cheb, n)[keep].astype(np.int32)
     return spark.createDataFrame(out)
 
 
@@ -66,28 +81,91 @@ def min_cell_km(res: int, max_abs_lat: float) -> float:
     return min(lat_step, lon_step * math.cos(math.radians(max_abs_lat))) * _DEG_KM
 
 
-def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
-                    query_id: str, lat_col: str = "lat", lon_col: str = "lon",
-                    place_lat: str = "latitude", place_lon: str = "longitude",
-                    place_cols: list[str] | None = None,
-                    res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
-    """Single-pass exact kNN as a *pure narrow plan* — zero shuffle.
+def guard_km_col(lat: Column, *, res: int, k: int) -> Column:
+    """Per-row lower bound (km) on the distance from a query at ``lat`` to any
+    point OUTSIDE its k-ring at ``res`` — pure Column algebra.
 
-    Valid when the caller can guarantee every query's true nearest place lies
-    within the k-ring (e.g. a tiling-derived point set whose worst-case
-    nearest-centroid distance is below ``k * min_cell_km(res, lat)`` — the
-    flagship's village table satisfies this at res 10/k 1).  Queries with no
-    candidate in the ring are dropped; use :func:`knn_join` when coverage is
-    unknown.
+    A point outside the ring sits in a cell at Chebyshev distance ≥ k+1, so
+    it is separated from the query by ≥ k full cell steps in latitude OR
+    longitude; the longitude step is evaluated at the worst (highest) latitude
+    reachable inside the ring, so the bound holds row-by-row without a global
+    ``max_abs_lat`` assumption (round-1 used a fixed 60° constant — unsafe for
+    data above it, ADVICE.md item 4).
+    """
+    lat_step, lon_step = grid.cell_size_deg(res)
+    eff_lat = F.least(F.abs(lat) + F.lit((k + 1) * lat_step), F.lit(89.999))
+    step = F.least(F.lit(lat_step),
+                   F.lit(lon_step) * F.cos(F.radians(eff_lat)))
+    return F.lit(k * _DEG_KM * _GUARD_SAFETY) * step
 
-    Plan shape: the small side is pre-grouped per covering cell into an
-    ``array<struct(lat, lon, payload…)>`` and broadcast; each query row joins
-    its own cell's candidate array (1 row in → 1 row out — NO explode) and
-    picks the nearest with ``array_min(transform(...))`` in whole-stage
-    codegen.  A query-id-unique groupBy would shuffle every candidate row for
-    no reduction (ids are unique) — measured as the dominant non-scaling cost
-    at 10^7-row scale; this plan removes that shuffle entirely and is
-    streaming/foreachBatch-safe.
+
+def max_nn_spacing_km(places_pdf, *, lat_col: str = "latitude",
+                      lon_col: str = "longitude",
+                      chunk: int = 2048) -> float:
+    """Max over places of the distance to its nearest other place (km).
+
+    Driver-side chunked numpy O(n²) — the places table is pandas-resident by
+    contract (~10^4 rows).  For a tiling-derived point set this is a proxy for
+    the covering radius (worst-case query→nearest-place distance): adjacent
+    tile centroids are one tile apart, so covering radius ≈ half-diagonal ≤
+    nearest-neighbor spacing for aspect ratios ≤ ~1.4.  Callers use it to
+    validate the static-kNN exactness precondition (VERDICT.md round-1 item 5).
+    """
+    lat = np.radians(places_pdf[lat_col].to_numpy(dtype=np.float64))
+    lon = np.radians(places_pdf[lon_col].to_numpy(dtype=np.float64))
+    n = lat.size
+    if n < 2:
+        return math.inf
+    worst = 0.0
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        dlat = lat[i0:i1, None] - lat[None, :]
+        dlon = lon[i0:i1, None] - lon[None, :]
+        a = (np.sin(dlat / 2) ** 2
+             + np.cos(lat[i0:i1, None]) * np.cos(lat[None, :])
+             * np.sin(dlon / 2) ** 2)
+        d = 2.0 * 6371.0088 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+        # mask self-distance
+        for j in range(i1 - i0):
+            d[j, i0 + j] = np.inf
+        worst = max(worst, float(d.min(axis=1).max()))
+    return worst
+
+
+def _candidate_struct(place_lat: str, place_lon: str, tiebreak: str,
+                      place_cols: list[str]) -> Column:
+    return F.struct(
+        F.col(place_lat).alias("plat"), F.col(place_lon).alias("plon"),
+        F.col(tiebreak).alias("tb"),
+        *[F.col(c).alias(c) for c in place_cols if c != tiebreak])
+
+
+def _best_over(array_col: str, lat_col: str, lon_col: str, tiebreak: str,
+               place_cols: list[str]) -> Column:
+    dist_sql = _haversine_places_sql(lat_col, lon_col)
+    payload = ", ".join(["p.tb AS tb",
+                         *[f"p.{c} AS {c}" for c in place_cols if c != tiebreak]])
+    return F.expr(
+        f"array_min(transform({array_col}, p -> struct({dist_sql} AS d, {payload})))")
+
+
+def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
+             query_id: str, lat_col: str = "lat", lon_col: str = "lon",
+             place_lat: str = "latitude", place_lon: str = "longitude",
+             place_cols: list[str] | None = None,
+             res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
+    """Exact nearest-place join: one output row per query row, ONE narrow plan.
+
+    Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
+    Ties broken by the first column of ``place_cols`` (ascending) — callers
+    should pass a unique key first (e.g. geoname_id), mirroring the
+    deterministic tie rule used throughout the reference (min geoname_id,
+    enhance_data.py:279-290).
+
+    ``k`` is the candidate ring radius; rows whose in-ring nearest fails the
+    per-row exactness guard (or that have no in-ring candidate) are resolved
+    against the full places array inside the same CASE expression — exact by
+    definition, evaluated only for that residual fraction.
     """
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
@@ -96,20 +174,73 @@ def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
     exploded = explode_places_by_kring(
         spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)
     grouped = exploded.groupBy("cell").agg(
-        F.collect_list(F.struct(
-            F.col(place_lat).alias("plat"), F.col(place_lon).alias("plon"),
-            F.col(tiebreak).alias("tb"),
-            *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
-        )).alias("__places"))
+        F.collect_list(_candidate_struct(place_lat, place_lon, tiebreak,
+                                         place_cols)).alias("__places"))
+
+    # one-row DF carrying ALL places as a single array — the brute-force
+    # fallback operand (same broadcast payload the round-1 tail used, now
+    # fused into the per-row CASE instead of a separate plan + union)
+    all_places = (spark.createDataFrame(places_pdf)
+                  .agg(F.collect_list(
+                      _candidate_struct(place_lat, place_lon, tiebreak,
+                                        place_cols)).alias("__all")))
+
+    q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    joined = (q.join(F.broadcast(grouped), q["__cell"] == grouped["cell"], "left")
+              .drop("cell")
+              .crossJoin(F.broadcast(all_places)))
+
+    ring_best = _best_over("__places", lat_col, lon_col, tiebreak, place_cols)
+    brute_best = _best_over("__all", lat_col, lon_col, tiebreak, place_cols)
+    guard = guard_km_col(F.col(lat_col), res=res, k=k)
+
+    out = joined.withColumn("__rb", ring_best)
+    settled = F.col("__rb").isNotNull() & (F.col("__rb.d") <= guard)
+    out = out.withColumn("__best", F.when(settled, F.col("__rb"))
+                         .otherwise(brute_best))
+    return out.select(
+        *[c for c in queries.columns],
+        F.col("__best.tb").alias(tiebreak),
+        *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
+        F.col("__best.d").alias("knn_dist_km"),
+    )
+
+
+def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
+                    query_id: str, lat_col: str = "lat", lon_col: str = "lon",
+                    place_lat: str = "latitude", place_lon: str = "longitude",
+                    place_cols: list[str] | None = None,
+                    res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
+    """Single-pass exact kNN as a *pure narrow plan* — zero shuffle, no
+    fallback branch.
+
+    Valid when the caller can guarantee every query's true nearest place lies
+    within the k-ring (e.g. a tiling-derived point set whose worst-case
+    nearest-centroid distance is below the ring guard — validate with
+    :func:`max_nn_spacing_km`; the flagship does, and falls back to
+    :func:`knn_join` when the check fails).  Queries with no candidate in the
+    ring are dropped; use :func:`knn_join` when coverage is unknown.
+
+    Plan shape: the small side is pre-grouped per covering cell into an
+    ``array<struct(lat, lon, payload…)>`` and broadcast; each query row joins
+    its own cell's candidate array (1 row in → 1 row out — NO explode) and
+    picks the nearest with ``array_min(transform(...))`` in whole-stage
+    codegen.  Streaming/foreachBatch-safe (no actions).
+    """
+    if place_cols is None:
+        place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
+    tiebreak = place_cols[0]
+
+    exploded = explode_places_by_kring(
+        spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)
+    grouped = exploded.groupBy("cell").agg(
+        F.collect_list(_candidate_struct(place_lat, place_lon, tiebreak,
+                                         place_cols)).alias("__places"))
 
     q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
     joined = q.join(F.broadcast(grouped), q["__cell"] == grouped["cell"], "inner")
 
-    dist_sql = haversine_sql_cols(lat_col, lon_col, "p.plat", "p.plon")
-    payload = ", ".join(["p.tb AS tb",
-                         *[f"p.{c} AS {c}" for c in place_cols if c != tiebreak]])
-    best = F.expr(
-        f"array_min(transform(__places, p -> struct({dist_sql} AS d, {payload})))")
+    best = _best_over("__places", lat_col, lon_col, tiebreak, place_cols)
     out = joined.withColumn("__best", best)
     return out.select(
         *[c for c in queries.columns],
@@ -124,91 +255,6 @@ def haversine_sql_cols(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     from ..geo.distance import haversine_sql
 
     return haversine_sql(lat1, lon1, lat2, lon2)
-
-
-def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
-             query_id: str, lat_col: str = "lat", lon_col: str = "lon",
-             place_lat: str = "latitude", place_lon: str = "longitude",
-             place_cols: list[str] | None = None,
-             res: int = grid.DEFAULT_RES,
-             k_schedule: tuple[int, ...] = (1, 4, 16),
-             max_abs_lat: float = 60.0, persist: bool = True) -> DataFrame:
-    """Exact nearest-place join: one output row per query row.
-
-    Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
-    Ties broken by the first column of ``place_cols`` (ascending) — callers
-    should pass a unique key first (e.g. geoname_id), mirroring the
-    deterministic tie rule used throughout the reference (min geoname_id,
-    enhance_data.py:279-290).
-    """
-    if place_cols is None:
-        place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
-    tiebreak = place_cols[0]
-
-    q = queries.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
-    if persist:
-        # the query side is typically post-extract / post-filter (a small
-        # fraction of the 100 TB scan) — persist it so each escalation round
-        # reuses it instead of re-running the upstream pipeline
-        q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    remaining = q
-    results: list[DataFrame] = []
-    query_cols = [c for c in queries.columns]
-
-    dist_sql = _haversine_places_sql(lat_col, lon_col)
-    payload = ", ".join(["p.tb AS tb",
-                         *[f"p.{c} AS {c}" for c in place_cols if c != tiebreak]])
-    best_expr = F.expr(
-        f"array_min(transform(__places, p -> struct({dist_sql} AS d, {payload})))")
-
-    def _grouped(df_places: DataFrame) -> DataFrame:
-        """cell → array<struct(plat, plon, payload…)> (small side, broadcast)."""
-        return df_places.groupBy("cell").agg(
-            F.collect_list(F.struct(
-                F.col(place_lat).alias("plat"), F.col(place_lon).alias("plon"),
-                F.col(tiebreak).alias("tb"),
-                *[F.col(c).alias(c) for c in place_cols if c != tiebreak],
-            )).alias("__places"))
-
-    def _best(joined: DataFrame) -> DataFrame:
-        """Per-row nearest via array_min(transform(...)) — zero shuffle."""
-        out = joined.withColumn("__best", best_expr)
-        return out.select(
-            *query_cols, F.col("__cell"),
-            F.col("__best.tb").alias(tiebreak),
-            *[F.col(f"__best.{c}").alias(c) for c in place_cols if c != tiebreak],
-            F.col("__best.d").alias("knn_dist_km"))
-
-    for k in k_schedule:
-        grouped = _grouped(explode_places_by_kring(
-            spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k))
-        joined = remaining.join(F.broadcast(grouped),
-                                remaining["__cell"] == grouped["cell"], "inner")
-        best = _best(joined)
-        # exactness guard: nearest-in-ring is global nearest iff closer than
-        # any point outside the k-ring could possibly be
-        guard_km = k * min_cell_km(res, max_abs_lat)
-        exact = best.filter(F.col("knn_dist_km") <= F.lit(guard_km))
-        if persist:
-            # materialized lazily by the next take(1) on remaining
-            exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
-        results.append(exact)
-        remaining = remaining.join(exact.select(query_id), query_id, "left_anti")
-        if not remaining.take(1):
-            remaining = None
-            break
-
-    if remaining is not None:
-        # brute force on the (tiny) remainder — all places as one array
-        all_places = spark.createDataFrame(places_pdf).withColumn(
-            "cell", F.lit(0)).transform(_grouped).drop("cell")
-        joined = remaining.crossJoin(F.broadcast(all_places))
-        results.append(_best(joined))
-
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.drop("__cell")
 
 
 def _haversine_places_sql(lat_col: str, lon_col: str) -> str:

@@ -28,8 +28,18 @@ from pyspark.sql.types import BooleanType
 from ..functions.geo import cell_expr
 from ..geo import grid, pip
 
-# executor-local cache: broadcast id → {poly_id: PreparedGeometry}
+# executor-local cache: per-pip_join-call key → {poly_id: PreparedGeometry}.
+# Keyed by a driver-side monotonic counter captured in the UDF closure (one
+# key per pip_join call, never recycled), NOT ``id(bc.value)`` — Python
+# object ids ARE recycled after GC, so a long-lived executor serving several
+# pip_join calls could silently hit a stale entry and test points against the
+# wrong polygon set (ADVICE.md round-1 item 3).  Bounded: oldest entries
+# evicted beyond _CACHE_MAX.
+import itertools
+
 _PREPARED_CACHE: dict[int, dict] = {}
+_CACHE_MAX = 8
+_CALL_COUNTER = itertools.count()
 
 
 def polygon_cells_pdf(polys_pdf: pd.DataFrame, *, id_col: str,
@@ -69,10 +79,13 @@ def pip_join(spark: SparkSession, points: DataFrame, polys_pdf: pd.DataFrame, *,
                                                     wkb_col=wkb_col, res=res))
     bc = spark.sparkContext.broadcast(
         {pid: bytes(buf) for pid, buf in zip(polys_pdf[id_col], polys_pdf[wkb_col])})
+    call_key = next(_CALL_COUNTER)  # closure-captured, unique per call
 
     @F.pandas_udf(BooleanType())
     def contains_udf(pid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cache = _PREPARED_CACHE.setdefault(id(bc.value), {})
+        if call_key not in _PREPARED_CACHE and len(_PREPARED_CACHE) >= _CACHE_MAX:
+            _PREPARED_CACHE.pop(next(iter(_PREPARED_CACHE)))
+        cache = _PREPARED_CACHE.setdefault(call_key, {})
         out = np.zeros(len(pid), dtype=bool)
         lon_np = lon.to_numpy(dtype=np.float64)
         lat_np = lat.to_numpy(dtype=np.float64)

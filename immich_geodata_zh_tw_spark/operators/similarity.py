@@ -90,17 +90,23 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
         planes = hyperplanes(n_planes, dim, seed=1234 + 7 * t)
         sigs.append(F.struct(F.lit(t).alias("tbl"),
                              lsh_signature_expr(vec_col, planes).alias("sig")))
-    tagged = corpus.select(id_col, vec_col,
+    # ids + signatures ONLY ride the bucket self-join and the pair distinct;
+    # the embedding arrays are re-attached exactly once afterwards.  Round 1
+    # carried both full vectors through the join AND the distinct — at 10^12
+    # rows that shuffles the entire embedding corpus twice (VERDICT.md
+    # round-1 item 7).
+    tagged = corpus.select(id_col,
                            F.explode(F.array(*sigs)).alias("b")
-                           ).select(id_col, vec_col, "b.tbl", "b.sig")
+                           ).select(id_col, "b.tbl", "b.sig")
     l, r = tagged.alias("l"), tagged.alias("r")
-    pairs = (l.join(r, ["tbl", "sig"])
-             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"l.{vec_col}").alias("va"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col(f"r.{vec_col}").alias("vb"))
-             .distinct()
+    id_pairs = (l.join(r, ["tbl", "sig"])
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .select(F.col(f"l.{id_col}").alias("id_a"),
+                        F.col(f"r.{id_col}").alias("id_b"))
+                .distinct())
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (id_pairs.join(va, "id_a").join(vb, "id_b")
              .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 9))
              .drop("va", "vb"))
     # symmetric top-k per id

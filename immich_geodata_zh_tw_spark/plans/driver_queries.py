@@ -136,7 +136,7 @@ def q_geo_knn_cells(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = knn_join(spark, pts, _places_pdf(spark, sf_dir),
                    query_id="event_id", place_cols=["place_id"],
-                   res=9, k_schedule=(1, 3), max_abs_lat=26.0)
+                   res=9, k=1)
     return out.select("event_id", "place_id",
                       F.round(F.col("knn_dist_km"), 6).alias("dist_km"))
 

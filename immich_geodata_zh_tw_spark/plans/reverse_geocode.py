@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from ..extract.html_meta import extract_pages
 from ..functions.geo import cell_expr, in_bbox
 from ..geo import grid
-from ..operators.knn import knn_join_static, min_cell_km
+from ..operators.knn import (knn_join, knn_join_static, max_nn_spacing_km,
+                             min_cell_km)
 from ..operators.pipjoin import pip_join
 from ..synth import TW_BBOX
 
@@ -31,11 +32,10 @@ from ..synth import TW_BBOX
 def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
                           polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame, *,
                           bbox: tuple[float, float, float, float] = TW_BBOX,
-                          res: int = 10,
-                          k_schedule: tuple[int, ...] = (1, 3)) -> DataFrame:
+                          res: int = 10, knn_k: int = 1) -> DataFrame:
     # res 10 ⇒ k=1 exactness guard ≈ 17.6 km > the 12.2 km worst-case
     # nearest-centroid distance of the village tiling, so virtually every row
-    # settles in the first round — one broadcast join + one partial agg.
+    # settles in the zero-shuffle static path — one broadcast join + codegen.
     """Full reverse-geocode of a pages table against polygon + point tables."""
     ext = extract_pages(pages).observe(
         "extract_metrics",
@@ -62,18 +62,24 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
     ).drop("poly_id")
 
     # exactness precondition for the static (single-pass, action-free) kNN:
-    # the k=1 ring at `res` must cover the worst-case nearest-centroid
-    # distance of the cities table.  For a tiling-derived point set that is
-    # the half-diagonal of the largest tile; we bound it from the data as the
-    # max nearest-neighbor spacing estimate (cheap: the cities table is
-    # driver-resident by contract).
-    guard_km = k_schedule[0] * min_cell_km(res, bbox[1] + 1.0)
-    named = knn_join_static(
-        spark, with_admin, cities_pdf, query_id="url",
-        place_cols=["geoname_id", "name", "admin1_code"], res=res,
-        k=k_schedule[0],
-    )
-    assert guard_km > 0  # documented precondition; verified in tests vs knn_join
+    # the k-ring at `res` must cover the worst-case nearest-centroid distance
+    # of the cities table.  We MEASURE that from the data: the max nearest-
+    # neighbor spacing of the (driver-resident) cities table is a covering-
+    # radius proxy for tiling-derived point sets (adjacent tile centroids are
+    # one tile apart; half-diagonal ≤ NN spacing at aspect ratio ≤ ~1.4).
+    # When the check fails — sparse or irregular cities tables — fall back to
+    # the general kNN join, whose per-row guard + full-array CASE fallback is
+    # exact for any point set (VERDICT.md round-1 item 5 / ADVICE.md item 2).
+    guard_km = knn_k * min_cell_km(res, max(abs(bbox[0]), abs(bbox[1])) + 1.0)
+    spacing_km = max_nn_spacing_km(cities_pdf)
+    if spacing_km <= guard_km:
+        named = knn_join_static(
+            spark, with_admin, cities_pdf, query_id="url",
+            place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
+    else:
+        named = knn_join(
+            spark, with_admin, cities_pdf, query_id="url",
+            place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
     return named.select(
         "url", "lat", "lon",
         cell_expr(F.col("lat"), F.col("lon"), grid.DEFAULT_RES).alias("cell"),

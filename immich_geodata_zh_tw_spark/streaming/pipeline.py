@@ -3,10 +3,14 @@
 The reference is batch-only with resume-by-key checkpoints (SURVEY.md §2.10);
 the Spark-native equivalent for a continuously-growing pages table is a file
 (or Iceberg) streaming source + ``foreachBatch``: Spark's streaming commit log
-provides exactly-once file-level progress tracking, and inside each micro
-batch the full batch engine (extract → PIP → kNN, including the escalation
-loop's driver-side actions, which are legal inside foreachBatch) runs
-unchanged.  ``Trigger.AvailableNow`` turns the same pipeline into a resumable
+provides exactly-once *file-level progress tracking*, and inside each micro
+batch the full batch engine (extract → PIP → kNN — a single action-free plan)
+runs unchanged.  End-to-end output semantics are exactly-once because the
+sink write is **idempotent**: each micro-batch overwrites its own
+deterministic ``batch_id``-derived subdirectory, so a batch retried after a
+mid-write failure replaces its partial output instead of duplicating rows
+(a plain append-mode write would be at-least-once — ADVICE.md round-1
+item 5).  ``Trigger.AvailableNow`` turns the same pipeline into a resumable
 incremental batch job — the streaming counterpart of the manifest runner in
 sources/manifest.py.
 """
@@ -45,7 +49,8 @@ def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         out = reverse_geocode_pages(spark, batch_df, polys_pdf, cities_pdf)
-        out.write.mode("append").parquet(output_path)
+        # idempotent per-batch sink: retried batches overwrite, never append
+        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

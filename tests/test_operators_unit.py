@@ -20,6 +20,42 @@ class TestIds:
         pd.testing.assert_frame_equal(a, b)
         assert sorted(simple["seq_id"]) == [100, 101, 102, 103]
 
+    def test_scalable_ids_many_partitions_no_aqe_coalesce(self, spark):
+        """Round-1 regression (ADVICE.md item 1): with AQE coalescing off the
+        range shuffle yields several real partitions; ids must still be the
+        exact sorted sequence (unique, gap-free) — the old implementation
+        looked up offsets by the post-window-exchange pid and produced
+        duplicate ids here."""
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        n = 2000
+        df = spark.createDataFrame(pd.DataFrame(
+            {"name": [f"x{(i * 37) % n:05d}" for i in range(n)],
+             "k": list(range(n))}))
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        old = spark.conf.get(key, "true")
+        try:
+            spark.conf.set(key, "false")
+            out = ids.sequential_ids_scalable(
+                df, ["name", "k"], base=1000).toPandas()
+        finally:
+            spark.conf.set(key, old)
+        assert len(set(out["seq_id"])) == n  # unique
+        got = out.sort_values(["name", "k"])["seq_id"].tolist()
+        assert got == list(range(1000, 1000 + n))  # exact sorted sequence
+
+    def test_scalable_ids_plan_has_no_python_udf(self, spark):
+        """W1 must stay JVM-side (VERDICT.md round-1 item 3)."""
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"name": ["c", "a", "b"], "k": [1, 2, 3]}))
+        out = ids.sequential_ids_scalable(df, ["name", "k"], base=10)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
     def test_dense_rank_width_from_count(self, spark):
         from immich_geodata_zh_tw_spark.operators import ids
 

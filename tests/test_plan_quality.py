@@ -27,8 +27,7 @@ class TestPlanQuality:
             "latitude": [21.6 + 0.4 * i for i in range(10)],
             "longitude": [120.0 + 0.2 * i for i in range(10)]})
         out = knn_join(spark, pts, places, query_id="qid",
-                       place_cols=["place_id"], res=8, k_schedule=(1,),
-                       persist=False)
+                       place_cols=["place_id"], res=8, k=1)
         plan = _plan(out)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
@@ -45,8 +44,7 @@ class TestPlanQuality:
         places = pd.DataFrame({"place_id": [1], "latitude": [23.5],
                                "longitude": [121.0]})
         out = knn_join(spark, pts, places, query_id="qid",
-                       place_cols=["place_id"], res=8, k_schedule=(1,),
-                       persist=False)
+                       place_cols=["place_id"], res=8, k=1)
         plan = _plan(out)
         assert "array_min" in plan
         assert "Window" not in plan

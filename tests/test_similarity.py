@@ -36,6 +36,29 @@ class TestLshAnn:
         sim_ratio = (joined["cos_sim_a"] >= joined["cos_sim_x"] - 0.05).mean()
         assert sim_ratio > 0.8, f"quality {sim_ratio:.2f}"
 
+    def test_bucket_join_carries_no_vectors(self, spark, embeddings):
+        """The bucket self-join + pair distinct must shuffle ids/signatures
+        only; embedding arrays re-attach once afterwards (VERDICT.md round-1
+        item 7).  Guard: no hash-partition exchange row carries the embedding
+        column."""
+        from immich_geodata_zh_tw_spark.operators import similarity
+
+        out = similarity.lsh_bucket_topk(embeddings, id_col="vec_id",
+                                         vec_col="embedding", dim=64,
+                                         n_planes=4, n_tables=2, k=1)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        import re
+        # every shuffle (hash-partition) Exchange block's Input must be free
+        # of vector columns; vectors may only appear in BroadcastExchange
+        # (the single id→vector re-attach)
+        blocks = re.split(r"\n\n", plan)
+        shuffle_blocks = [b for b in blocks
+                          if re.match(r"\(\d+\) Exchange\b", b.strip())]
+        assert shuffle_blocks, "expected at least one shuffle exchange"
+        for b in shuffle_blocks:
+            assert not re.search(r"\b(embedding|va|vb)#", b), b
+
     def test_deterministic(self, spark, embeddings):
         from immich_geodata_zh_tw_spark.operators import similarity
 

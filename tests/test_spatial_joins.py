@@ -54,8 +54,7 @@ class TestKnnJoin:
         q = spark.createDataFrame(queries_pdf)
         out = knn_op.knn_join(
             spark, q, places_pdf, query_id="qid",
-            place_cols=["place_id", "pname"], res=10, k_schedule=(1, 4),
-            max_abs_lat=61.0,
+            place_cols=["place_id", "pname"], res=10, k=1,
         ).toPandas().sort_values("qid").reset_index(drop=True)
         want = brute_knn(queries_pdf, places_pdf)
         assert len(out) == len(queries_pdf)
@@ -66,7 +65,7 @@ class TestKnnJoin:
     def test_every_query_exactly_once(self, spark, queries_pdf, places_pdf):
         q = spark.createDataFrame(queries_pdf)
         out = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
-                              place_cols=["place_id"], res=8, k_schedule=(1,))
+                              place_cols=["place_id"], res=8, k=1)
         counts = out.groupBy("qid").count().filter("count != 1").count()
         assert counts == 0
         assert out.count() == len(queries_pdf)
@@ -85,13 +84,65 @@ class TestKnnJoin:
             "lon": rng.uniform(119.5, 122.5, 300)}))
         a = knn_op.knn_join(spark, q, cts, query_id="qid",
                             place_cols=["geoname_id"], place_lat="latitude",
-                            place_lon="longitude", res=10, k_schedule=(1, 3),
-                            max_abs_lat=26.5).toPandas().sort_values("qid")
+                            place_lon="longitude", res=10, k=1).toPandas().sort_values("qid")
         b = knn_op.knn_join_static(spark, q, cts, query_id="qid",
                                    place_cols=["geoname_id"], res=10,
                                    k=1).toPandas().sort_values("qid")
         assert len(b) == 300  # coverage precondition held
         assert a["geoname_id"].tolist() == b["geoname_id"].tolist()
+
+    def test_guard_detects_sparse_cities_and_falls_back(self, spark):
+        """VERDICT.md round-1 item 5: a cities table sparser than the village
+        tiling must NOT silently drop/mis-name rows — the flagship measures
+        max nearest-neighbor spacing and falls back to the exact knn_join."""
+        from immich_geodata_zh_tw_spark.operators.knn import (max_nn_spacing_km,
+                                                              min_cell_km)
+        from immich_geodata_zh_tw_spark.plans.reverse_geocode import \
+            reverse_geocode_pages
+        from immich_geodata_zh_tw_spark.synth import pages, polygons
+
+        # 4 far-apart cities: NN spacing ≫ the k=1 guard at res 10
+        sparse = pd.DataFrame({
+            "geoname_id": [1, 2, 3, 4],
+            "name": ["a", "b", "c", "d"],
+            "admin1_code": ["01", "02", "03", "04"],
+            "latitude": [21.7, 25.3, 21.7, 25.3],
+            "longitude": [119.7, 119.7, 122.3, 122.3],
+        })
+        assert max_nn_spacing_km(sparse) > 1 * min_cell_km(10, 26.5)
+        p = pages.pages_df(spark, 400)
+        out = reverse_geocode_pages(
+            spark, p, polygons.admin_polygons_pdf(village_grid=2), sparse,
+        ).toPandas()
+        # every extracted in-bbox page row gets named (nothing dropped) …
+        from immich_geodata_zh_tw_spark.extract.html_meta import extract_pages
+        from immich_geodata_zh_tw_spark.functions.geo import in_bbox
+        from immich_geodata_zh_tw_spark.synth import TW_BBOX
+        expected = (extract_pages(p)
+                    .filter(F.col("lat").isNotNull())
+                    .filter(in_bbox(F.col("lat"), F.col("lon"), TW_BBOX))
+                    .count())
+        assert len(out) == expected and expected > 0
+        # … and with the true nearest city (brute-force check)
+        d = distance.haversine_np(
+            out["lat"].to_numpy()[:, None], out["lon"].to_numpy()[:, None],
+            sparse["latitude"].to_numpy()[None, :],
+            sparse["longitude"].to_numpy()[None, :])
+        want = sparse["geoname_id"].to_numpy()[np.argmin(d, axis=1)]
+        assert out["geoname_id"].tolist() == want.tolist()
+
+    def test_knn_join_is_one_plan_no_actions(self, spark, queries_pdf, places_pdf):
+        """The general kNN must be a single narrow plan (round-1 ran per-round
+        take(1) actions + a big-big left_anti): the plan must contain no
+        anti-join and no exchange on the query side."""
+        q = spark.createDataFrame(queries_pdf)
+        out = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
+                              place_cols=["place_id"], res=10, k=1)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "LeftAnti" not in plan
+        assert "Exchange hashpartitioning(qid" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1
 
     def test_dense_single_cell(self, spark):
         # all queries and places inside one cell — degenerate skew case
@@ -103,7 +154,7 @@ class TestKnnJoin:
         q = spark.createDataFrame(pd.DataFrame(
             {"qid": [0, 1], "lat": [25.0011, 25.0029], "lon": [121.5011, 121.5029]}))
         out = (knn_op.knn_join(spark, q, places, query_id="qid",
-                               place_cols=["place_id"], res=10, k_schedule=(1,))
+                               place_cols=["place_id"], res=10, k=1)
                .toPandas().sort_values("qid"))
         assert out["place_id"].tolist() == [1, 3]
 
