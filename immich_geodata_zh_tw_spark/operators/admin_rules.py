@@ -70,6 +70,33 @@ def korea_split_city_district(df: DataFrame, *, col: str = "sggnm",
             .withColumn(district_out, F.when(matched, district)))
 
 
+def sejong_normalize(df: DataFrame, *, sido: str = "sidonm",
+                     sgg: str = "sggnm", admin3: str = "admin_3",
+                     sejong: str = "세종특별자치시") -> DataFrame:
+    """Sejong single-tier normalization (south_korea.py:173-221).
+
+    세종특별자치시 is Korea's only single-tier special autonomous city — no
+    city/gun/gu layer.  When ``sidonm`` is Sejong and ``sggnm`` is NOT a real
+    읍/면/동 unit (i.e. it's an institution name: council, city hall…),
+    promote ``admin_3`` (the 읍/면/동) into ``sggnm`` (admin_2) and clear
+    ``admin_3`` — so the cities500 ``name`` (admin_2 by default) has a real
+    administrative value.
+    """
+    is_dong = (F.col(sgg).endswith("읍") | F.col(sgg).endswith("면")
+               | F.col(sgg).endswith("동"))
+    # materialize the mask BEFORE rewriting sggnm — the promoted admin_3
+    # usually ends in 동, so re-evaluating the mask after the first
+    # withColumn would see the new sggnm and skip clearing admin_3
+    d = df.withColumn("__sejong", (F.col(sido) == sejong) & ~is_dong)
+    return (d
+            .withColumn(sgg, F.when(F.col("__sejong"), F.col(admin3))
+                        .otherwise(F.col(sgg)))
+            .withColumn(admin3, F.when(F.col("__sejong"),
+                                       F.lit(None).cast("string"))
+                        .otherwise(F.col(admin3)))
+            .drop("__sejong"))
+
+
 def korea_admin3_strip(df: DataFrame, *, adm_nm: str = "adm_nm",
                        sido: str = "sidonm", sgg: str = "sggnm",
                        out_col: str = "admin_3") -> DataFrame:

@@ -36,6 +36,65 @@ def metadata_coordinate_join(cities: DataFrame, metadata: DataFrame, *,
     return cities.join(F.broadcast(meta), keys, "left")
 
 
+def extract_chinese_names_sql(col: str, *, dialect: str = "spark") -> str:
+    """F11 — the reference's comma-candidate scan (translate.py:230-263) as a
+    single JVM/DuckDB expression, no Python.
+
+    Reference loop semantics: scan comma-split ``alternatenames``; return the
+    first *traditional* candidate; else s2t(first *simplified* candidate);
+    else the first candidate *containing* Han; else NULL.  The loop's
+    bookkeeping (the elif chain that can route a second simplified candidate
+    into the generic slot) only matters in branches that are unreachable at
+    the return: the generic slot is consulted only when no traditional AND no
+    simplified candidate exists anywhere — in which case every exclusion is
+    vacuous — so three order-preserving ``filter``+first reductions are
+    exactly equivalent:
+
+        coalesce(first(trad), s2t(first(simp)), first(contains_han))
+    """
+    from ..functions.zh import (HAS_CHINESE_SQL, IS_CHINESE_SQL, _s2t_text,
+                                _t2s_text)
+
+    if dialect == "spark":
+        def first(pred: str) -> str:
+            return f"get(filter(split({col}, ','), w -> {pred}), 0)"
+        regex = "regexp_like"
+    elif dialect == "duckdb":
+        def first(pred: str) -> str:
+            return f"(list_filter(string_split({col}, ','), w -> {pred}))[1]"
+        regex = "regexp_matches"
+    else:
+        raise ValueError(dialect)
+
+    is_cn = f"{regex}(w, '{IS_CHINESE_SQL[dialect]}')"
+    trad = f"({is_cn} AND {_s2t_text('w')} = w)"
+    simp = f"({is_cn} AND {_t2s_text('w')} = w)"
+    inc = f"{regex}(w, '{HAS_CHINESE_SQL[dialect]}')"
+    return (f"coalesce({first(trad)}, "
+            f"{_s2t_text(first(simp))}, "
+            f"{first(inc)})")
+
+
+def extract_chinese_names(col: str) -> Column:
+    """Column form of :func:`extract_chinese_names_sql` (Spark dialect).
+
+    ``col`` is a column *name* (the expression is SQL-generated)."""
+    return F.expr(extract_chinese_names_sql(col, dialect="spark"))
+
+
+def fix_li_names(col: Column) -> Column:
+    """裏→里 final-name fixup (reference translate.py:313-320).
+
+    Polars ``str.replace`` replaces the FIRST occurrence only; the anchored
+    pattern reproduces that (one possible match) under Spark's replace-all
+    ``regexp_replace``.
+    """
+    return F.regexp_replace(col, "裏(.*)$", "里$1")
+
+
+FIX_LI_SQL_DUCK = "regexp_replace({col}, '裏(.*)$', '里\\1')"
+
+
 def priority_pick(df: DataFrame, *, key: str, lang_col: str,
                   priority: list[str] | None = None,
                   preferred_col: str | None = None,

@@ -797,17 +797,25 @@ FROM pts p LEFT JOIN meta m ON p.rlat = m.rlat AND p.rlon = m.rlon
 """
 
 
+#: shared zh test vocabulary — exercises the character stage, every word-fixup
+#: family (髮/后/乾·幹/麵/裡/製), pure-traditional fixpoints, and non-Han text
+_ZH_WORDS = ["台湾县", "头发", "皇后", "干部", "面条", "这里", "制造",
+             "臺北市", "高雄市", "Berlin", "台中 mixed", "新营区"]
+_ZH_ARRAY_SPARK = "array(" + ", ".join(f"'{w}'" for w in _ZH_WORDS) + ")"
+_ZH_ARRAY_DUCK = "[" + ", ".join(f"'{w}'" for w in _ZH_WORDS) + "]"
+_N_ZH = len(_ZH_WORDS)
+
+
 def q_zh_s2t(spark, sf_dir):
-    """F8 OpenCC-style s2t conversion (translate.py:72-97) at character
-    granularity via JVM ``translate`` — plus is_traditional/is_simplified
-    predicates."""
+    """F8 OpenCC-style s2t conversion (translate.py:72-97): character stage
+    + word-level fixups, plus the reference-definition is_traditional /
+    is_simplified predicates (is_chinese ∧ conversion fixpoint)."""
     from ..functions import zh
 
     d = _t(spark, sf_dir, "documents")
     salted = d.withColumn(
-        "name", F.expr("CASE WHEN lang = 'zh' THEN concat('台湾县', CAST(doc_id AS STRING)) "
-                       "WHEN lang = 'es' THEN concat('臺北市', CAST(doc_id AS STRING)) "
-                       "ELSE concat('x', CAST(doc_id AS STRING)) END"))
+        "name", F.expr(f"element_at({_ZH_ARRAY_SPARK}, "
+                       f"CAST(doc_id % {_N_ZH} AS INT) + 1)"))
     return salted.select(
         "doc_id",
         zh.s2t(F.col("name")).alias("name_t"),
@@ -815,20 +823,99 @@ def q_zh_s2t(spark, sf_dir):
         zh.is_simplified(F.col("name")).alias("is_simp"))
 
 
-from ..functions.zh import s2t_sql as _s2t_sql  # noqa: E402
+from ..functions.zh import (IS_CHINESE_SQL, s2t_sql as _s2t_sql,  # noqa: E402
+                            t2s_sql as _t2s_sql)
 
 SQL_ZH_S2T = f"""
 WITH salted AS (
-  SELECT doc_id,
-    CASE WHEN lang = 'zh' THEN concat('台湾县', CAST(doc_id AS VARCHAR))
-         WHEN lang = 'es' THEN concat('臺北市', CAST(doc_id AS VARCHAR))
-         ELSE concat('x', CAST(doc_id AS VARCHAR)) END AS name
+  SELECT doc_id, ({_ZH_ARRAY_DUCK})[CAST(doc_id % {_N_ZH} AS INT) + 1] AS name
   FROM documents)
 SELECT doc_id,
   {_s2t_sql('name')} AS name_t,
-  ({_s2t_sql('name')} = name) AS is_trad,
-  ({_s2t_sql('name')} != name) AS is_simp
+  (regexp_matches(name, '{IS_CHINESE_SQL['duckdb']}')
+   AND {_s2t_sql('name')} = name) AS is_trad,
+  (regexp_matches(name, '{IS_CHINESE_SQL['duckdb']}')
+   AND {_t2s_sql('name')} = name) AS is_simp
 FROM salted
+"""
+
+
+_ALT_CASES = ["Taipei,台北,臺北", "Taipei,台北,Tai-pei", "foo,bar",
+              "hello世界town,xyz", "", "头发屋,發街", "皇后區,queens",
+              "新营,Xinying,新營"]
+_ALT_ARRAY_SPARK = "array(" + ", ".join(f"'{w}'" for w in _ALT_CASES) + ")"
+_ALT_ARRAY_DUCK = "[" + ", ".join(f"'{w}'" for w in _ALT_CASES) + "]"
+
+
+def q_extract_chinese_names(spark, sf_dir):
+    """F11 — the reference's alternatenames comma-candidate scan
+    (translate.py:230-263): first traditional, else s2t(first simplified),
+    else first Han-containing — as one JVM expression (no Python)."""
+    from ..operators.translate import extract_chinese_names
+
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "alternatenames",
+        F.expr(f"element_at({_ALT_ARRAY_SPARK}, "
+               f"CAST(doc_id % {len(_ALT_CASES)} AS INT) + 1)"))
+    return salted.select(
+        "doc_id", extract_chinese_names("alternatenames").alias("picked"))
+
+
+def _sql_extract_chinese_names() -> str:
+    from ..operators.translate import extract_chinese_names_sql
+
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+    ({_ALT_ARRAY_DUCK})[CAST(doc_id % {len(_ALT_CASES)} AS INT) + 1]
+      AS alternatenames
+  FROM documents)
+SELECT doc_id,
+  {extract_chinese_names_sql('alternatenames', dialect='duckdb')} AS picked
+FROM salted
+"""
+
+
+def q_korea_sejong(spark, sf_dir):
+    """P9 Sejong single-tier normalization (south_korea.py:173-221): promote
+    admin_3 읍/면/동 into admin_2 when the sido is 세종특별자치시 and sggnm
+    is an institution name."""
+    from ..operators.admin_rules import sejong_normalize
+
+    c = _t(spark, sf_dir, "customer")
+    shaped = c.select(
+        "c_custkey",
+        F.expr("CASE WHEN c_custkey % 3 = 0 THEN '세종특별자치시' "
+               "ELSE '경기도' END").alias("sidonm"),
+        F.expr("CASE WHEN c_custkey % 2 = 0 "
+               "THEN concat('기관', CAST(c_custkey % 5 AS STRING)) "
+               "ELSE concat('조치원', CAST(c_custkey % 7 AS STRING), '읍') END"
+               ).alias("sggnm"),
+        F.expr("concat('한솔', CAST(c_custkey % 11 AS STRING), '동')")
+        .alias("admin_3"),
+    )
+    out = sejong_normalize(shaped)
+    return out.select("c_custkey", "sidonm", "sggnm", "admin_3")
+
+
+SQL_KOREA_SEJONG = """
+WITH shaped AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN '세종특별자치시' ELSE '경기도' END AS sidonm,
+    CASE WHEN c_custkey % 2 = 0 THEN concat('기관', CAST(c_custkey % 5 AS VARCHAR))
+         ELSE concat('조치원', CAST(c_custkey % 7 AS VARCHAR), '읍') END AS sggnm,
+    concat('한솔', CAST(c_custkey % 11 AS VARCHAR), '동') AS admin_3
+  FROM customer),
+masked AS (
+  SELECT *, (sidonm = '세종특별자치시'
+             AND NOT (sggnm LIKE '%읍' OR sggnm LIKE '%면' OR sggnm LIKE '%동'))
+            AS sj
+  FROM shaped)
+SELECT c_custkey, sidonm,
+  CASE WHEN sj THEN admin_3 ELSE sggnm END AS sggnm,
+  CASE WHEN sj THEN NULL ELSE admin_3 END AS admin_3
+FROM masked
 """
 
 
@@ -880,6 +967,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_name_collapse": q_multi_name_collapse,
     "metadata_coord_join": q_metadata_coord_join,
     "zh_s2t": q_zh_s2t,
+    "extract_chinese_names": q_extract_chinese_names,
+    "korea_sejong": q_korea_sejong,
     "embed_ann_lsh": q_embed_ann_lsh,
 }
 
@@ -919,6 +1008,8 @@ _ORACLES: dict[str, str] = {
     "multi_name_collapse": SQL_MULTI_NAME_COLLAPSE,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
     "zh_s2t": SQL_ZH_S2T,
+    "extract_chinese_names": _sql_extract_chinese_names(),
+    "korea_sejong": SQL_KOREA_SEJONG,
     # embed_ann_lsh: approximate by construction → rows-only check
 }
 

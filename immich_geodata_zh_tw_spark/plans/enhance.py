@@ -31,6 +31,7 @@ from ..operators.dedup import coordinate_dedup
 from ..operators.ids import dense_rank_codes, sequential_ids_scalable
 from ..operators.merge import replace_by_key
 from ..operators.translate import (CHINESE_PRIORITY, coalesce_chain,
+                                   extract_chinese_names, fix_li_names,
                                    metadata_coordinate_join,
                                    normalize_null_tokens, priority_pick)
 
@@ -150,12 +151,22 @@ def pick_chinese_names(alternate_names: DataFrame) -> DataFrame:
 def translate_cities500(cities: DataFrame, metadata: DataFrame,
                         chinese_names: DataFrame, *,
                         passthrough_country: str = "TW") -> DataFrame:
-    """translate.py:149-338 as one plan:
+    """translate.py:149-338 as one plan, all steps:
 
-    metadata coordinate join (J5, on 8-dp rounded coords + country) →
-    alternate-name left join (J3) → coalesce chain (P10) → passthrough rule:
-    rows of ``passthrough_country`` keep their (already-localized) name.
+    1. metadata coordinate join (J5, on 8-dp rounded coords + country);
+    2. alternate-name left join (J3), s2t-converted unless already
+       traditional (translate.py:219-229);
+    3. ``extract_chinese_names`` comma-candidate scan over ``alternatenames``
+       (F11, translate.py:230-263) — pure JVM expression;
+    3.5. empty-string → NULL so the coalesce skips blanks;
+    4. final = coalesce(metadata, alternate, extracted) (translate.py:277-286);
+    4.5. passthrough: rows of ``passthrough_country`` keep their original
+       (already-localized) name;
+    5/6. 裏→里 final-name fixup, first occurrence (translate.py:313-320);
+    7. name = asciiname = coalesce(final, name) (translate.py:323-326).
     """
+    from ..functions import zh
+
     meta = metadata.select(
         F.col("country_code"), F.col("latitude"), F.col("longitude"),
         F.col("admin_2").alias("meta_name"))
@@ -163,10 +174,25 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
         cities, meta, keys=["country_code", "latitude", "longitude"],
         attrs=["meta_name"])
     joined = joined.join(F.broadcast(chinese_names), "geoname_id", "left")
-    translated = coalesce_chain(F.col("meta_name"), F.col("alternate_name"),
-                                F.col("name"))
+
+    alt = F.col("alternate_name")
+    alt_translated = F.when(zh.is_traditional(alt), alt).otherwise(zh.s2t(alt))
+    if "alternatenames" in cities.columns:
+        extracted = extract_chinese_names("alternatenames")
+    else:  # engine-generated cities rows carry no alternatenames
+        extracted = F.lit(None).cast("string")
+
+    def blank_to_null(c):
+        return F.when(c == "", F.lit(None)).otherwise(c)
+
+    final = coalesce_chain(blank_to_null(F.col("meta_name")),
+                           blank_to_null(alt_translated),
+                           blank_to_null(extracted))
+    final = F.when(F.col("country_code") == passthrough_country,
+                   F.col("name")).otherwise(final)
+    final = fix_li_names(final)
+    named = coalesce_chain(final, F.col("name"))
     return (joined
-            .withColumn("name",
-                        F.when(F.col("country_code") == passthrough_country,
-                               F.col("name")).otherwise(translated))
+            .withColumn("name", named)
+            .withColumn("asciiname", named)
             .drop("meta_name", "alternate_name"))

@@ -92,15 +92,17 @@ class TestConvertAndMerge:
 class TestTranslate:
     def test_priority_and_passthrough(self, spark):
         cities = spark.createDataFrame(pd.DataFrame({
-            "geoname_id": ["1", "2", "3"],
-            "name": ["Tokyo", "Seoul", "臺北"],
-            "country_code": ["JP", "KR", "TW"],
-            "latitude": [35.0, 37.5, 25.0],
-            "longitude": [139.0, 127.0, 121.5],
+            "geoname_id": ["1", "2", "3", "4", "5"],
+            "name": ["Tokyo", "Seoul", "臺北", "Nagoya", "Osaka"],
+            "country_code": ["JP", "KR", "TW", "JP", "JP"],
+            "latitude": [35.0, 37.5, 25.0, 35.2, 34.7],
+            "longitude": [139.0, 127.0, 121.5, 136.9, 135.5],
+            "alternatenames": [None, None, None, "Nagoya,名古屋", None],
         }))
         metadata = spark.createDataFrame(pd.DataFrame({
-            "country_code": ["JP"], "latitude": [35.0], "longitude": [139.0],
-            "admin_2": ["東京都"],
+            "country_code": ["JP", "JP"],
+            "latitude": [35.0, 34.7], "longitude": [139.0, 135.5],
+            "admin_2": ["東京都", "大裏區裏"],
         }))
         alt = spark.createDataFrame(pd.DataFrame({
             "geoname_id": ["2", "2", "3"],
@@ -114,6 +116,10 @@ class TestTranslate:
         assert got["1"] == "東京都"   # metadata join wins
         assert got["2"] == "首爾"     # zh-TW outranks zh+preferred
         assert got["3"] == "臺北"     # TW passthrough keeps original
+        assert got["4"] == "名古屋"   # F11 alternatenames scan fallback
+        assert got["5"] == "大里區裏"  # 裏→里 fixup, FIRST occurrence only
+        # asciiname mirrors the final name (reference translate.py:323-326)
+        assert dict(zip(out["geoname_id"], out["asciiname"])) == got
 
     def test_taoyuan_rewrite(self, spark):
         alt = spark.createDataFrame(pd.DataFrame({

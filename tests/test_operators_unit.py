@@ -101,6 +101,25 @@ class TestDedup:
 
 
 class TestAdminRules:
+    def test_sejong_normalization(self, spark):
+        """Reference south_korea.py:173-221: Sejong rows whose sggnm is an
+        institution (no 읍/면/동 suffix) promote admin_3 to admin_2; real
+        읍/면/동 sggnm rows and non-Sejong rows are untouched."""
+        from immich_geodata_zh_tw_spark.operators.admin_rules import sejong_normalize
+
+        rows = [
+            ("세종특별자치시", "세종시의회", "한솔동"),   # institution → promote
+            ("세종특별자치시", "조치원읍", "교리"),       # real 읍 → keep
+            ("경기도", "수원시장안구", "정자동"),         # not Sejong → keep
+        ]
+        df = spark.createDataFrame(pd.DataFrame(
+            rows, columns=["sidonm", "sggnm", "admin_3"]))
+        out = sejong_normalize(df).toPandas()
+        got = list(zip(out["sggnm"], out["admin_3"]))
+        assert got[0] == ("한솔동", None)
+        assert got[1] == ("조치원읍", "교리")
+        assert got[2] == ("수원시장안구", "정자동")
+
     def test_japan_r1_to_r5(self, spark):
         """One row per rule class (FIXTURES.md §7)."""
         from immich_geodata_zh_tw_spark.operators.admin_rules import japan_admin2_rules
