@@ -919,6 +919,219 @@ FROM masked
 """
 
 
+#: extra-cities coordinate formulas — PL_* with the part key (same modulus,
+#: so extras collide with supplier-derived cities exactly when
+#: p_partkey ≡ s_suppkey (mod 997), exercising the merge dedup)
+EX_LAT = PL_LAT.replace("s_suppkey", "p_partkey")
+EX_LON = PL_LON.replace("s_suppkey", "p_partkey")
+
+
+def q_release_pipeline(spark, sf_dir):
+    """The reference's ``main.py release`` §3.1 chain end-to-end as one
+    oracle-checked plan (enhance_data.py:10-68 + translate.py:149-338):
+
+    global max geoname id → admin1 record generation (dense-rank codes +
+    sequential ids) → GEODATA→cities500 conversion (8-dp rounding, admin1
+    dim join, scalable sequential ids) → merge-extra + coordinate dedup →
+    translate (metadata coordinate join, alternate-name s2t, F11
+    alternatenames scan, 裏→里 fixup).
+
+    GEODATA is synthesized deterministically from the supplier table
+    (driver tables only, per TESTDATA.md); extra cities come from part with
+    deliberately colliding coordinates to exercise the dedup winner rule.
+    """
+    from . import enhance
+
+    s = _t(spark, sf_dir, "supplier")
+    geodata = s.select(
+        F.expr(PL_LAT).alias("latitude"), F.expr(PL_LON).alias("longitude"),
+        F.lit("日本").alias("country"),
+        F.expr("concat('州', CAST(s_suppkey % 7 AS STRING))").alias("admin_1"),
+        F.expr("CASE WHEN s_suppkey % 5 = 0 THEN NULL "
+               "ELSE concat('城', CAST(s_suppkey % 11 AS STRING)) END"
+               ).alias("admin_2"),
+        F.expr("CASE WHEN s_suppkey % 3 = 0 "
+               "THEN concat('町', CAST(s_suppkey % 13 AS STRING)) "
+               "ELSE NULL END").alias("admin_3"),
+        F.lit(None).cast("string").alias("admin_4"))
+
+    base = enhance.global_max_geoname_id(
+        [_t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("geoname_id"))])
+    admin1 = enhance.generate_admin1_records(
+        geodata, country_code="JP", base_geoname_id=base + 1)
+    base2 = base + 1 + admin1.count()  # reference threads current_max_id
+    cities = enhance.convert_to_cities_schema(
+        geodata, country_code="JP", base_geoname_id=base2, admin1_codes=admin1)
+
+    p = _t(spark, sf_dir, "part")
+    extra = p.select(
+        (F.col("p_partkey") + F.lit(base2 + 10_000_000)).cast("long")
+        .cast("string").alias("geoname_id"),
+        F.col("p_name").alias("name"), F.col("p_name").alias("asciiname"),
+        F.expr("concat('Foo,名城', CAST(p_partkey % 50 AS STRING))")
+        .alias("alternatenames"),
+        F.round(F.expr(EX_LAT), 8).alias("latitude"),
+        F.round(F.expr(EX_LON), 8).alias("longitude"),
+        F.lit("P").alias("feature_class"), F.lit("PPL").alias("feature_code"),
+        F.lit("JP").alias("country_code"),
+        F.lit(None).cast("string").alias("cc2"),
+        F.lit(None).cast("string").alias("admin1_code"),
+        F.lit(None).cast("string").alias("admin2_code"),
+        F.lit(None).cast("string").alias("admin3_code"),
+        F.lit(None).cast("string").alias("admin4_code"),
+        (F.col("p_size") * 100).alias("population"),
+        F.lit(None).cast("string").alias("elevation"),
+        F.lit(0).alias("dem"), F.lit("Asia/Tokyo").alias("timezone"),
+        F.current_date().alias("modification_date"))
+    cities = cities.withColumn("alternatenames",
+                               F.lit(None).cast("string"))
+    merged = enhance.merge_extra_data(cities, extra, min_population=300)
+
+    meta = s.filter(F.col("s_suppkey") % 4 == 0).select(
+        F.lit("JP").alias("country_code"),
+        F.round(F.expr(PL_LAT), 8).alias("latitude"),
+        F.round(F.expr(PL_LON), 8).alias("longitude"),
+        F.expr("concat('目裏', CAST(s_suppkey % 9 AS STRING), '裏')")
+        .alias("admin_2"))
+    cn = merged.select("geoname_id").filter(
+        F.col("geoname_id").cast("long") % 3 == 0).select(
+        "geoname_id",
+        F.concat(F.lit("替"), (F.col("geoname_id").cast("long") % 100)
+                 .cast("string")).alias("alternate_name"))
+    translated = enhance.translate_cities500(merged, meta, cn)
+    return translated.select("geoname_id", "name", "asciiname",
+                             "latitude", "longitude", "admin1_code",
+                             "population")
+
+
+def _sql_release_pipeline() -> str:
+    from ..functions.zh import IS_CHINESE_SQL, s2t_sql
+    from ..operators.translate import extract_chinese_names_sql
+
+    is_cn = IS_CHINESE_SQL["duckdb"]
+    alt_t = (f"CASE WHEN regexp_matches(alternate_name, '{is_cn}') "
+             f"AND {s2t_sql('alternate_name')} = alternate_name "
+             f"THEN alternate_name ELSE {s2t_sql('alternate_name')} END")
+    extracted = extract_chinese_names_sql("alternatenames", dialect="duckdb")
+    return f"""
+WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS base FROM orders),
+g AS (
+  SELECT round({PL_LAT}, 8) AS latitude, round({PL_LON}, 8) AS longitude,
+         '日本' AS country,
+         concat('州', CAST(s_suppkey % 7 AS VARCHAR)) AS admin_1,
+         CASE WHEN s_suppkey % 5 = 0 THEN NULL
+              ELSE concat('城', CAST(s_suppkey % 11 AS VARCHAR)) END AS admin_2,
+         CASE WHEN s_suppkey % 3 = 0
+              THEN concat('町', CAST(s_suppkey % 13 AS VARCHAR))
+              ELSE NULL END AS admin_3,
+         CAST(NULL AS VARCHAR) AS admin_4
+  FROM supplier),
+a1 AS (SELECT DISTINCT admin_1 FROM g),
+a1n AS (SELECT count(*) AS n FROM a1),
+a1c AS (SELECT admin_1,
+        concat('JP.', lpad(CAST(row_number() OVER (ORDER BY admin_1) AS VARCHAR),
+                           CAST(length(CAST((SELECT n FROM a1n) AS VARCHAR)) AS INTEGER),
+                           '0')) AS id
+        FROM a1),
+cid AS (
+  SELECT g.*,
+         row_number() OVER (ORDER BY country, admin_1,
+                            admin_2 NULLS FIRST, admin_3 NULLS FIRST,
+                            admin_4 NULLS FIRST, latitude, longitude)
+         + (SELECT base FROM mx) + (SELECT n FROM a1n) AS gid
+  FROM g),
+cities AS (
+  SELECT CAST(cid.gid AS VARCHAR) AS geoname_id,
+         coalesce(admin_3, admin_2, admin_1) AS name,
+         coalesce(admin_3, admin_2, admin_1) AS asciiname,
+         CAST(NULL AS VARCHAR) AS alternatenames,
+         latitude, longitude, 'JP' AS country_code,
+         list_extract(string_split(a1c.id, '.'), -1) AS admin1_code,
+         0 AS population
+  FROM cid LEFT JOIN a1c USING (admin_1)),
+extra AS (
+  SELECT CAST(p_partkey + (SELECT base FROM mx) + (SELECT n FROM a1n)
+              + 1 + 10000000 AS VARCHAR) AS geoname_id,
+         p_name AS name, p_name AS asciiname,
+         concat('Foo,名城', CAST(p_partkey % 50 AS VARCHAR)) AS alternatenames,
+         round({EX_LAT}, 8) AS latitude, round({EX_LON}, 8) AS longitude,
+         'JP' AS country_code, CAST(NULL AS VARCHAR) AS admin1_code,
+         p_size * 100 AS population
+  FROM part WHERE p_size * 100 >= 300),
+merged AS (SELECT * FROM cities UNION ALL SELECT * FROM extra),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY latitude, longitude
+              ORDER BY population DESC, CAST(geoname_id AS BIGINT)) AS rn
+    FROM merged) WHERE rn = 1),
+meta AS (
+  SELECT 'JP' AS country_code, round({PL_LAT}, 8) AS latitude,
+         round({PL_LON}, 8) AS longitude,
+         concat('目裏', CAST(s_suppkey % 9 AS VARCHAR), '裏') AS meta_name
+  FROM supplier WHERE s_suppkey % 4 = 0),
+cn AS (
+  SELECT geoname_id,
+         concat('替', CAST(CAST(geoname_id AS BIGINT) % 100 AS VARCHAR))
+           AS alternate_name
+  FROM dedup WHERE CAST(geoname_id AS BIGINT) % 3 = 0),
+t AS (
+  SELECT d.*, m.meta_name, c.alternate_name
+  FROM dedup d
+  LEFT JOIN meta m ON d.country_code = m.country_code
+                   AND d.latitude = m.latitude AND d.longitude = m.longitude
+  LEFT JOIN cn c ON d.geoname_id = c.geoname_id),
+fin AS (
+  SELECT *, regexp_replace(
+    coalesce(
+      CASE WHEN meta_name = '' THEN NULL ELSE meta_name END,
+      CASE WHEN ({alt_t}) = '' THEN NULL ELSE ({alt_t}) END,
+      CASE WHEN ({extracted}) = '' THEN NULL ELSE ({extracted}) END),
+    '裏(.*)$', '里\\1') AS final_name
+  FROM t)
+SELECT geoname_id, coalesce(final_name, name) AS name,
+       coalesce(final_name, name) AS asciiname,
+       latitude, longitude, admin1_code, population
+FROM fin
+"""
+
+
+def q_country_localize(spark, sf_dir):
+    """J7-style localization dim join: map rows to ISO country codes and
+    broadcast-join the zh-TW country name (reference i18n-iso-countries
+    zh-tw.json shape; functions/countries.py)."""
+    from ..functions.countries import COUNTRY_ZH_TW, localize_country
+
+    codes = sorted(COUNTRY_ZH_TW)
+    arr = "array(" + ", ".join(f"'{c}'" for c in codes) + ")"
+    c = _t(spark, sf_dir, "customer")
+    shaped = c.select(
+        "c_custkey",
+        F.expr(f"CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE "
+               f"element_at({arr}, CAST(c_custkey % {len(codes)} AS INT) + 1) "
+               f"END").alias("country_code"))
+    return localize_country(shaped).select("c_custkey", "country_code",
+                                           "country_zh")
+
+
+def _sql_country_localize() -> str:
+    from ..functions.countries import (COUNTRY_ZH_TW, country_dim_values_sql)
+
+    codes = sorted(COUNTRY_ZH_TW)
+    arr = "[" + ", ".join(f"'{c}'" for c in codes) + "]"
+    return f"""
+WITH shaped AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 5 = 0 THEN 'XX'
+         ELSE ({arr})[CAST(c_custkey % {len(codes)} AS INT) + 1] END
+      AS country_code
+  FROM customer)
+SELECT s.c_custkey, s.country_code, dim.country_zh
+FROM shaped s LEFT JOIN {country_dim_values_sql()}
+  ON s.country_code = dim.country_code
+"""
+
+
 def q_embed_ann_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (scale path) —
     rows-only driver check; recall vs brute force asserted in pytest."""
@@ -969,6 +1182,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zh_s2t": q_zh_s2t,
     "extract_chinese_names": q_extract_chinese_names,
     "korea_sejong": q_korea_sejong,
+    "country_localize": q_country_localize,
+    "release_pipeline": q_release_pipeline,
     "embed_ann_lsh": q_embed_ann_lsh,
 }
 
@@ -1010,6 +1225,8 @@ _ORACLES: dict[str, str] = {
     "zh_s2t": SQL_ZH_S2T,
     "extract_chinese_names": _sql_extract_chinese_names(),
     "korea_sejong": SQL_KOREA_SEJONG,
+    "country_localize": _sql_country_localize(),
+    "release_pipeline": _sql_release_pipeline(),
     # embed_ann_lsh: approximate by construction → rows-only check
 }
 

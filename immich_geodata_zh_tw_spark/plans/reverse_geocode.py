@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extract.html_meta import extract_pages
+from ..functions.countries import localize_country
 from ..functions.geo import cell_expr, in_bbox
 from ..geo import grid
 from ..operators.knn import (knn_join, knn_join_static, max_nn_spacing_km,
@@ -80,10 +81,14 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
         named = knn_join(
             spark, with_admin, cities_pdf, query_id="url",
             place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
-    return named.select(
+    # localized country display name (reference i18n-iso-countries zh-tw.json
+    # via Immich's display path, README.md:103) — broadcast dim join
+    localized = localize_country(
+        named.withColumn("country_code", F.lit("TW")))
+    return localized.select(
         "url", "lat", "lon",
         cell_expr(F.col("lat"), F.col("lon"), grid.DEFAULT_RES).alias("cell"),
         "county", "township", "village",
-        "geoname_id", "name", "admin1_code",
+        "geoname_id", "name", "admin1_code", "country_zh",
         F.round("knn_dist_km", 6).alias("knn_dist_km"),
     )
