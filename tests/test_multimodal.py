@@ -1,4 +1,6 @@
-"""Multimodal binary-column plumbing: header parsing real, decode stubbed."""
+"""Multimodal binary-column kernels: headers real for all formats; BMP pixel
+and PCM-16 WAV sample decode REAL (content-statistics features); codec
+formats (PNG/GIF/JPEG pixels) remain the declared stub."""
 
 from __future__ import annotations
 
@@ -27,25 +29,79 @@ class TestHeaderParsing:
         rate, nbytes = mm.parse_wav_header(mm.make_wav(16000, 100))
         assert rate == 16000 and nbytes == 200
 
+    def test_bmp(self):
+        assert mm.parse_bmp_header(mm.make_bmp(17, 9)) == ("bmp", 17, 9)
+
     def test_garbage(self):
         assert mm.parse_image_header(b"notanimage") is None
         assert mm.parse_wav_header(b"RIFFxxxx") is None
+        assert mm.parse_bmp_header(b"XX") is None
+
+
+class TestRealDecode:
+    def test_bmp_pixels_round_trip(self):
+        """decode(make_bmp) must reproduce the generator's exact pixels."""
+        w, h, seed = 17, 9, 5  # odd width → row padding exercised
+        px = mm.decode_bmp_pixels(mm.make_bmp(w, h, seed=seed))
+        assert px is not None and px.shape == (h, w, 3)
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)[:, None]
+        want_r = np.broadcast_to(((x + y + seed) * 5) % 256, (h, w))
+        want_g = np.broadcast_to(((y * 13 + seed) * 3) % 256, (h, w))
+        want_b = np.broadcast_to(((x + seed) * 7) % 256, (h, w))
+        assert (px[..., 0] == want_r).all()
+        assert (px[..., 1] == want_g).all()
+        assert (px[..., 2] == want_b).all()
+
+    def test_wav_samples_round_trip(self):
+        buf = mm.make_wav(16000, 96, amplitude=8000, period=32)
+        rate, channels, samples = mm.decode_wav_samples(buf)
+        assert (rate, channels) == (16000, 1)
+        assert samples.shape == (96,)
+        t = np.arange(96, dtype=np.int64) % 32
+        tri = np.where(t < 16, t, 32 - t) - 8
+        assert (samples == tri * 1000).all()
+
+    def test_image_feature_is_real_statistics(self):
+        px = mm.decode_bmp_pixels(mm.make_bmp(16, 8, seed=1))
+        f = mm.image_feature(px)
+        flat = px.astype(np.float32).reshape(-1, 3) / 255.0
+        assert np.allclose(f[0:3], flat.mean(axis=0), atol=1e-6)
+        assert np.allclose(f[3:6], flat.std(axis=0), atol=1e-6)
+        assert f[14] == np.float32(16.0 / 8.0)  # aspect ratio
+
+    def test_audio_feature_is_real_statistics(self):
+        rate, _, samples = mm.decode_wav_samples(
+            mm.make_wav(8000, 200, amplitude=4000))
+        f = mm.audio_feature(samples, rate)
+        s = samples.astype(np.float32) / 32768.0
+        assert np.isclose(f[2], np.sqrt(np.mean(s * s)), atol=1e-6)  # RMS
+        assert np.isclose(f[5], 200.0 / 8000.0)  # duration
+        assert f[2] > 0  # non-silent waveform
 
 
 class TestSparkPlumbing:
     def test_decode_media_plan(self, spark):
-        decoded = mm.decode_media(mm.media_df(spark, 100)).toPandas()
-        assert len(decoded) == 100
-        imgs = decoded[decoded["media_type"] == "image"]
+        decoded = mm.decode_media(mm.media_df(spark, 99)).toPandas()
+        assert len(decoded) == 99
+        bmps = decoded[decoded["format"] == "bmp"]
+        pngs = decoded[decoded["format"] == "png"]
         auds = decoded[decoded["media_type"] == "audio"]
-        assert (imgs["format"] == "png").all()
-        assert imgs["width"].between(16, 79).all()
-        assert (auds["format"] == "wav").all()
+        assert len(bmps) == len(pngs) == len(auds) == 33
+        # real decodes flagged as such; codec formats as stub
+        assert bmps["real_decode"].all()
+        assert auds["real_decode"].all()
+        assert not pngs["real_decode"].any()
+        assert bmps["width"].between(8, 23).all()
         assert auds["sample_rate"].isin([8000, 16000, 24000, 32000, 40000]).all()
-        # stub features: deterministic, fixed dim, valid floats
         feats = np.array(decoded["feature"].tolist())
-        assert feats.shape == (100, 16)
+        assert feats.shape == (99, 16)
         assert np.isfinite(feats).all()
+        # real features carry content statistics, not hashes: the aspect
+        # slot of every bmp equals width/height exactly
+        bf = np.array(bmps["feature"].tolist())
+        assert np.allclose(bf[:, 14],
+                           bmps["width"].to_numpy() / bmps["height"].to_numpy())
 
     def test_features_deterministic(self, spark):
         a = mm.decode_media(mm.media_df(spark, 20)).toPandas().sort_values("url")
