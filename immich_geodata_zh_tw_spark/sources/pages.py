@@ -1,0 +1,55 @@
+"""Pages-table source: Iceberg catalog table with parquet-path fallback (S5).
+
+``BASELINE.json input_hint`` specifies the production input as an **Iceberg
+table** of Common-Crawl-style pages ``(url, warc_ts, html, text, lang)``.
+This sandbox ships no Iceberg runtime jars, so the reader resolves in order:
+
+1. ``catalog.db.table`` name → ``spark.read.table`` (Iceberg via Spark SQL
+   catalog — partition pruning, snapshot isolation, hidden-partition
+   transforms all come from the table format);
+2. explicit ``format='iceberg'`` path load;
+3. parquet directory fallback (what the sandbox tests/bench use) — same
+   schema, same downstream plan.
+
+**Partition spec (production note).**  The 10^12-row table should be
+partitioned by ``days(warc_ts)`` + ``bucket(64, url)``:
+
+* the flagship's Taiwan-bbox predicate cannot prune on lat/lon (they're
+  inside ``html``), but crawl-window queries prune on ``warc_ts`` days and
+  resume/backfill jobs address single days;
+* ``bucket(url)`` bounds file sizes under hot crawl days and co-locates
+  repeated fetches of the same url for dedup;
+* after the extract stage the engine re-addresses rows by grid cell — a
+  derived ``cell_prefix`` column (cell >> k) is worth persisting on the
+  extracted intermediate table so downstream geo queries get storage-level
+  pruning (SURVEY.md §4 X13).
+
+DDL shape (run on a cluster with Iceberg jars)::
+
+    CREATE TABLE crawl.pages (
+        url string, warc_ts timestamp, html binary, text string, lang string)
+    USING iceberg
+    PARTITIONED BY (days(warc_ts), bucket(64, url))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Resolve the pages table from an Iceberg table name, an Iceberg path,
+    or a parquet directory — whichever the environment provides."""
+    if not ("/" in source or source.endswith(".parquet")):
+        df = spark.read.table(source)  # catalog table (Iceberg in prod)
+    else:
+        try:
+            df = spark.read.format("iceberg").load(source)
+        except Exception:  # no Iceberg jars — sandbox fallback
+            df = spark.read.parquet(source)
+    missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"pages source {source!r} lacks columns {missing}")
+    return df.select(*PAGES_COLUMNS)

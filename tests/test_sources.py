@@ -60,3 +60,24 @@ class TestGeonamesIO:
         df = geonames.read_admin1_tsv(spark, str(raw)).toPandas()
         assert df.iloc[0]["id"] == "TW.01"
         assert df.iloc[0]["name"] == "臺北市"
+
+
+class TestPagesSource:
+    def test_parquet_fallback_and_schema_gate(self, spark, tmp_path):
+        from immich_geodata_zh_tw_spark.sources.pages import read_pages
+        from immich_geodata_zh_tw_spark.synth import pages
+
+        path = str(tmp_path / "pages")
+        pages.pages_df(spark, 50).write.parquet(path)
+        df = read_pages(spark, path)
+        assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+        assert df.count() == 50
+
+    def test_missing_columns_rejected(self, spark, tmp_path):
+        import pytest
+        from immich_geodata_zh_tw_spark.sources.pages import read_pages
+
+        path = str(tmp_path / "bad")
+        spark.range(3).write.parquet(path)
+        with pytest.raises(ValueError, match="lacks columns"):
+            read_pages(spark, path)
