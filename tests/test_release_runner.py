@@ -1,0 +1,78 @@
+"""Stage-gated release runner (reference main.py:189-271 --pass-* flags)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from immich_geodata_zh_tw_spark.plans.release import run_release
+
+
+@pytest.fixture()
+def inputs(spark):
+    tw_raw = spark.createDataFrame(pd.DataFrame({
+        "COUNTYNAME": ["臺北市", "高雄市"], "TOWNNAME": ["中正區", "左營區"],
+        "VILLNAME": ["建國里", "裏港里"],
+        "latitude": [25.032, 22.690], "longitude": [121.519, 120.294],
+    }))
+    cities = spark.createDataFrame(pd.DataFrame({
+        "geoname_id": ["100", "200"],
+        "name": ["Old TW Row", "Paris"],
+        "asciiname": ["Old TW Row", "Paris"],
+        "alternatenames": [None, "paris,巴黎"],
+        "latitude": [25.0, 48.85], "longitude": [121.5, 2.35],
+        "feature_class": ["P", "P"], "feature_code": ["PPL", "PPL"],
+        "country_code": ["TW", "FR"], "cc2": [None, None],
+        "admin1_code": [None, "11"], "admin2_code": [None, None],
+        "admin3_code": [None, None], "admin4_code": [None, None],
+        "population": [100, 2000000], "elevation": [None, None],
+        "dem": [0, 0], "timezone": ["Asia/Taipei", "Europe/Paris"],
+        "modification_date": pd.to_datetime(["2026-01-01", "2026-01-01"]).date,
+    }))
+    admin1 = spark.createDataFrame(pd.DataFrame({
+        "id": ["TW.99", "FR.11"], "name": ["stale", "Île-de-France"],
+        "asciiname": ["stale", "Ile-de-France"], "geoname_id": ["9", "10"],
+    }))
+    metadata = spark.createDataFrame(pd.DataFrame({
+        "country_code": ["FR"], "latitude": [48.85], "longitude": [2.35],
+        "admin_2": ["巴黎市"],
+    }))
+    chinese = spark.createDataFrame(pd.DataFrame({
+        "geoname_id": ["200"], "alternate_name": ["巴黎"],
+    }))
+    return dict(country_inputs={"TW": tw_raw}, cities=cities, admin1=admin1,
+                metadata=metadata, chinese_names=chinese)
+
+
+class TestReleaseRunner:
+    def test_full_run_produces_release(self, spark, tmp_path, inputs):
+        res = run_release(spark, workdir=tmp_path, **inputs,
+                          release_date="2026-08-16")
+        translated = spark.read.parquet(res["translated"]).toPandas()
+        # TW handler replaced the stale TW row with 2 village rows
+        tw = translated[translated["country_code"] == "TW"]
+        assert len(tw) == 2
+        assert set(tw["name"]) == {"建國里", "里港里"}  # 裏→里 fixup applied
+        # FR row translated via the metadata coordinate join
+        fr = translated[translated["country_code"] == "FR"]
+        assert fr["name"].tolist() == ["巴黎市"]
+        # admin1 replace-by-key: stale TW.99 gone, new TW.* present, FR kept
+        a1 = spark.read.parquet(res["admin1"]).toPandas()
+        assert "TW.99" not in set(a1["id"])
+        assert any(i.startswith("TW.") for i in a1["id"])
+        assert "FR.11" in set(a1["id"])
+        # pack artifacts exist
+        import zipfile
+        with zipfile.ZipFile(res["zip"]) as zf:
+            assert "geodata/cities500.txt" in zf.namelist()
+
+    def test_skip_stages_reuses_artifacts(self, spark, tmp_path, inputs):
+        run_release(spark, workdir=tmp_path, **inputs,
+                    skip={"translate", "pack"})
+        # enhance artifacts exist; translate output doesn't yet
+        assert (tmp_path / "cities500_enhanced").exists()
+        assert not (tmp_path / "cities500_translated").exists()
+        # second run skipping enhance picks up stage-1 artifacts (R6)
+        res = run_release(spark, workdir=tmp_path, **inputs,
+                          skip={"enhance"}, release_date="2026-08-16")
+        assert spark.read.parquet(res["translated"]).count() == 3
