@@ -46,25 +46,46 @@ def completed_splits(spark: SparkSession, manifest_path: str) -> DataFrame | Non
 
 def checkpointed_run(spark: SparkSession, df: DataFrame, *, split_col: str,
                      process, output_path: str, manifest_path: str,
-                     run_id: str | None = None) -> dict:
+                     run_id: str | None = None,
+                     batch_size: int | None = None) -> dict:
     """Process only not-yet-committed splits of ``df``; fully resumable.
 
     ``process(sub_df) -> DataFrame`` must keep ``split_col`` in its output.
     Committed output lands under ``output_path`` partitioned by ``split_col``
     (dynamic overwrite → re-runs are idempotent); one manifest row per split:
     ``(run_id, split_id, status, row_count, wall_ms, schema_version, input_fingerprint)``.
+
+    ``batch_size`` = R3 checkpoint cadence (reference flushes every
+    ``batch_size`` rows / 20 cache writes): pending splits are processed in
+    batches of that many splits, the manifest appended after EACH batch, so a
+    mid-run failure loses at most one batch of work instead of the whole run.
+    Default None = single batch.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     all_splits = df.select(F.col(split_col).alias("split_id")).distinct()
     done = completed_splits(spark, manifest_path)
     pending = (all_splits.join(done, "split_id", "left_anti")
                if done is not None else all_splits)
-    pending_ids = [r.split_id for r in pending.collect()]
+    pending_ids = sorted([r.split_id for r in pending.collect()])
     if not pending_ids:
         return {"run_id": run_id, "processed_splits": 0, "rows": 0}
 
+    step = batch_size or len(pending_ids)
+    total_rows = 0
+    for i in range(0, len(pending_ids), step):
+        total_rows += _run_batch(spark, df, split_col=split_col,
+                                 process=process, output_path=output_path,
+                                 manifest_path=manifest_path, run_id=run_id,
+                                 pending_ids=pending_ids[i:i + step])
+    return {"run_id": run_id, "processed_splits": len(pending_ids),
+            "rows": total_rows}
+
+
+def _run_batch(spark: SparkSession, df: DataFrame, *, split_col: str,
+               process, output_path: str, manifest_path: str,
+               run_id: str, pending_ids: list) -> int:
+    """One checkpoint batch: process → commit partitions → append manifest."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sub = df.filter(F.col(split_col).isin(pending_ids))
     # input fingerprint per split: order-insensitive xor-ish hash of row hashes
     t0 = time.time()
@@ -87,5 +108,4 @@ def checkpointed_run(spark: SparkSession, df: DataFrame, *, split_col: str,
                      .withColumn("schema_version", F.lit(MANIFEST_SCHEMA_VERSION))
                      .withColumn("committed_at", F.current_timestamp()))
     manifest_rows.write.mode("append").parquet(manifest_path)
-    n_rows = committed.count()
-    return {"run_id": run_id, "processed_splits": len(pending_ids), "rows": n_rows}
+    return committed.count()
