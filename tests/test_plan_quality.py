@@ -72,6 +72,43 @@ class TestPlanQuality:
             if re.search(r"\bExchange hashpartitioning", ln)]
         assert non_broadcast_exchanges == []
 
+    def test_minhash_single_digest_pass(self, spark):
+        """The MinHash signature must evaluate md5 ONCE per shingle position
+        (digest-slice rows) — round 1 paid 8 evaluations.  The candidate-pair
+        plan contains exactly one md5 per self-join side."""
+        from immich_geodata_zh_tw_spark.operators.dedup import minhash_candidate_pairs
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = minhash_candidate_pairs(d, id_col="doc_id", text_col="text")
+        plan = _plan(out)
+        assert plan.count("md5") <= 2, f"md5 evaluated {plan.count('md5')}×"
+
+    def test_flagship_single_wide_op(self, spark):
+        """The full reverse-geocode plan: no sort-merge join, and the ONLY
+        non-broadcast exchange is the single documented post-filter
+        repartition — the pages side is otherwise never shuffled."""
+        import re
+        from immich_geodata_zh_tw_spark.plans.reverse_geocode import \
+            reverse_geocode_pages
+        from immich_geodata_zh_tw_spark.synth import cities, pages, polygons
+
+        out = reverse_geocode_pages(
+            spark, pages.pages_df(spark, 100),
+            polygons.admin_polygons_pdf(village_grid=2),
+            cities.cities_pdf(village_grid=2))
+        plan = _plan(out)
+        assert "SortMergeJoin" not in plan
+        blocks = re.split(r"\n\n", plan)
+        shuffles = [b for b in blocks
+                    if re.match(r"\(\d+\) Exchange\b", b.strip())]
+        # pages-side rows (url/html/lat/lon) cross exactly ONE exchange — the
+        # documented post-filter repartition; any other shuffle may only
+        # touch dimension-sized sides (the cell→array place grouping)
+        pages_shuffles = [b for b in shuffles
+                          if re.search(r"\b(url|html)#", b)]
+        assert len(pages_shuffles) == 1, pages_shuffles
+        assert "RoundRobinPartitioning" in pages_shuffles[0]
+
     def test_parquet_scan_pruning(self, spark):
         """Filters and projections must reach the parquet scan."""
         df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
