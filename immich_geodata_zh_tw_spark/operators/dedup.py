@@ -146,6 +146,40 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
             .distinct())
 
 
+def shingle_set_expr(text_col: str, *, shingle: int = 5, stride: int = 2) -> str:
+    """Distinct character n-gram set as one JVM expression (Spark SQL text;
+    DuckDB twin uses list_distinct/list_transform/generate_series)."""
+    return (f"array_distinct(transform(sequence(1, "
+            f"greatest(length({text_col}) - {shingle - 1}, 1), {stride}), "
+            f"i -> substring({text_col}, i, {shingle})))")
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
+                        n_bands: int = 4, shingle: int = 5,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity over LSH candidate pairs.
+
+    Two-stage near-dup pipeline: MinHash banding proposes candidates (cheap,
+    bucketed — never all-pairs), then the exact shingle-set Jaccard scores
+    each candidate; ``threshold`` keeps pairs at/above it.  The shingle
+    arrays ride only the candidate-pair joins (pair count ≪ corpus²), never
+    the banding shuffle.  All JVM higher-order functions
+    (array_intersect/array_union) — no Python.
+    """
+    pairs = minhash_candidate_pairs(df, id_col=id_col, text_col=text_col,
+                                    n_bands=n_bands, shingle=shingle)
+    sh = df.select(F.col(id_col), F.expr(
+        shingle_set_expr(text_col, shingle=shingle)).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    jac = F.expr("CAST(size(array_intersect(__sha, __shb)) AS DOUBLE) "
+                 "/ size(array_union(__sha, __shb))")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .drop("__sha", "__shb"))
+
+
 def with_simhash(df: DataFrame, text_col: str, *, shingle: int = 4,
                  n_bits: int = 16, out_col: str = "simhash") -> DataFrame:
     """SimHash fingerprint over character shingles, pure SQL expressions.

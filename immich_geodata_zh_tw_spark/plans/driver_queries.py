@@ -628,6 +628,43 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def q_doc_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard over MinHash-LSH candidates (two-stage near-dup:
+    bucketed candidates → exact shingle-set score; driver mandate family)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
+                                     threshold=0.2)
+
+
+SQL_DOC_JACCARD_PAIRS = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1), 2),
+                        i -> md5(substring(text, i, 5))) AS mh,
+         list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - 4, 1), 2),
+             i -> substring(text, i, 5))) AS sh
+  FROM documents),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, {_minhash_band_sql_duck(b)} AS sig FROM hashed"
+      for b in range(4))}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig
+  WHERE l.doc_id < r.doc_id),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM pairs p
+  JOIN hashed a ON p.id_a = a.doc_id
+  JOIN hashed b ON p.id_b = b.doc_id)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+"""
+
+
 def q_embed_knn(spark, sf_dir):
     """Brute-force cosine top-1 neighbor for the first 100 vectors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1180,6 +1217,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
     "korea_split_strip": q_korea_split_strip,
@@ -1223,6 +1261,7 @@ _ORACLES: dict[str, str] = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,
     "korea_split_strip": SQL_KOREA_SPLIT_STRIP,

@@ -125,6 +125,24 @@ class TestDedup:
         assert len(capped) == 10
         assert capped["id_a"].max() <= 4 and capped["id_b"].max() <= 4
 
+    def test_ngram_jaccard_scores_candidates(self, spark):
+        """Exact Jaccard over LSH candidates: identical docs score 1.0,
+        near-dups score high, unrelated pairs are filtered by threshold."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, base.replace("lazy", "hazy"),
+                     "completely unrelated content with nothing shared xyz"],
+        }))
+        out = dedup.ngram_jaccard_pairs(df, id_col="doc_id", text_col="text",
+                                        threshold=0.3).toPandas()
+        scores = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+        assert scores[(1, 2)] == 1.0
+        assert scores[(1, 3)] > 0.6
+        assert all(4 not in k for k in scores)
+
     def test_simhash_identical_texts_collide(self, spark):
         from immich_geodata_zh_tw_spark.operators import dedup
 
