@@ -184,18 +184,39 @@ def with_simhash(df: DataFrame, text_col: str, *, shingle: int = 4,
                  n_bits: int = 16, out_col: str = "simhash") -> DataFrame:
     """SimHash fingerprint over character shingles, pure SQL expressions.
 
-    Per bit b: sign of Σ_shingles (±1 by bit b of xxhash64(shingle)).  The
-    shingle-hash array is materialized once, then each bit is one
-    ``aggregate()`` over it — all JVM-side.  ``n_bits`` defaults to 16 to
-    keep expression depth sane; near-dup grouping uses the fingerprint value
+    Per bit b: sign of Σ_shingles (±1 by the high bit of hex char b of
+    md5(shingle) — a hex char > '7' has its top bit set, so the comparison
+    is a 1-char string test both Spark and DuckDB evaluate identically;
+    round 1 used xxhash64, which DuckDB lacks, leaving SimHash without an
+    oracle).  The md5 array is materialized once and ONE ``aggregate`` folds
+    all ``n_bits`` counters (same single-pass named_struct trick as
+    :func:`minhash_agg_expr`).  Near-dup grouping uses the fingerprint value
     directly (identical fingerprints ⇒ near-dup bucket).
     """
+    assert n_bits <= 32  # md5 hex has 32 chars
     shingles = (f"transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)), "
-                f"i -> xxhash64(substring({text_col}, i, {shingle})))")
-    staged = df.withColumn("__shg", F.expr(shingles))
+                f"i -> md5(substring({text_col}, i, {shingle})))")
+    init = "named_struct(" + ", ".join(f"'b{b}', 0" for b in range(n_bits)) + ")"
+    merge = ("(acc, h) -> named_struct(" + ", ".join(
+        f"'b{b}', acc.b{b} + CASE WHEN substring(h, {b + 1}, 1) > '7' "
+        f"THEN 1 ELSE -1 END" for b in range(n_bits)) + ")")
+    staged = df.withColumn("__shagg", F.expr(
+        f"aggregate({shingles}, {init}, {merge})"))
     bits = " + ".join(
-        f"shiftleft(CAST(aggregate(__shg, 0L, "
-        f"(acc, h) -> acc + CASE WHEN (h >> {b}) % 2 != 0 THEN 1 ELSE -1 END) > 0 "
-        f"AS BIGINT), {b})"
+        f"shiftleft(CAST(__shagg.b{b} > 0 AS BIGINT), {b})"
         for b in range(n_bits))
-    return staged.withColumn(out_col, F.expr(bits)).drop("__shg")
+    return staged.withColumn(out_col, F.expr(bits)).drop("__shagg")
+
+
+def simhash_sql_duck(text_col: str, *, shingle: int = 4,
+                     n_bits: int = 16) -> str:
+    """DuckDB twin of :func:`with_simhash` (per-bit list_sum re-derivation —
+    oracle-side recomputation is free)."""
+    shingles = (f"list_transform(generate_series(1, greatest(length({text_col}) - {shingle - 1}, 1)), "
+                f"i -> md5(substring({text_col}, i, {shingle})))")
+    bits = " + ".join(
+        f"(CAST(list_sum(list_transform({shingles}, "
+        f"h -> CASE WHEN substring(h, {b + 1}, 1) > '7' THEN 1 ELSE -1 END)) > 0 "
+        f"AS BIGINT) << {b})"
+        for b in range(n_bits))
+    return f"({bits})"

@@ -628,6 +628,49 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def q_doc_simhash(spark, sf_dir):
+    """SimHash near-dup buckets: fingerprint groups with counts + rep id
+    (identical fingerprints ⇒ near-dup bucket)."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.with_simhash(d, "text")
+            .groupBy("simhash")
+            .agg(F.min("doc_id").alias("rep_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_DOC_SIMHASH = f"""
+SELECT {dedup.simhash_sql_duck('text')} AS simhash,
+       min(doc_id) AS rep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_embed_knn_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=3) — the window-ranked k>1 path."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 50)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.brute_force_topk(e, queries, k=3, id_col="vec_id",
+                                       vec_col="embedding", query_id="q_id",
+                                       query_vec="q_vec")
+
+
+SQL_EMBED_KNN_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT q.q_id, c.vec_id,
+             round(list_dot_product(c.v, q.q_vec)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.q_vec, q.q_vec))), 9) AS cos_sim
+      FROM c CROSS JOIN q WHERE c.vec_id != q.q_id),
+r AS (SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM p)
+SELECT q_id, vec_id AS neighbor_id, cos_sim, rn AS rank FROM r WHERE rn <= 3
+"""
+
+
 def q_doc_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard over MinHash-LSH candidates (two-stage near-dup:
     bucketed candidates → exact shingle-set score; driver mandate family)."""
@@ -1218,6 +1261,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_simhash": q_doc_simhash,
+    "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
     "korea_split_strip": q_korea_split_strip,
@@ -1262,6 +1307,8 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,
     "korea_split_strip": SQL_KOREA_SPLIT_STRIP,
