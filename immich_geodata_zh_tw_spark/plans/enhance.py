@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import coordinate_dedup
-from ..operators.ids import dense_rank_codes, sequential_ids_scalable
+from ..operators.ids import (dense_rank_codes, sequential_ids,
+                             sequential_ids_scalable)
 from ..operators.merge import replace_by_key
 from ..operators.translate import (CHINESE_PRIORITY, coalesce_chain,
                                    extract_chinese_names, fix_li_names,
@@ -49,11 +50,17 @@ def global_max_geoname_id(tables: list[DataFrame], id_col: str = "geoname_id") -
 def generate_admin1_records(geodata: DataFrame, *, country_code: str,
                             base_geoname_id: int) -> DataFrame:
     """One ADMIN1 row per distinct admin_1: code ``CC.<rank>`` (zero-padded,
-    alphabetical) + sequential geoname ids (base.py:493-592)."""
+    alphabetical) + sequential geoname ids (base.py:493-592).
+
+    admin_1 sets are dimension-sized by construction (a country has tens of
+    first-level divisions), so the plain single-window ``sequential_ids`` is
+    correct here and avoids the scalable variant's two driver actions +
+    persist; the big cities500 allocation keeps the scalable path.
+    """
     distinct = geodata.select("admin_1").distinct()
     coded = dense_rank_codes(distinct, "admin_1", prefix=country_code, out_col="id")
-    with_ids = sequential_ids_scalable(coded, ["admin_1"], base=base_geoname_id,
-                                       out_col="geoname_id")
+    with_ids = sequential_ids(coded, ["admin_1"], base=base_geoname_id,
+                              out_col="geoname_id")
     return with_ids.select(
         F.col("id"),
         F.col("admin_1").alias("name"),

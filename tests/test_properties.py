@@ -1,0 +1,92 @@
+"""Property-based invariants (hypothesis) for the pure kernels — the grid
+index, haversine, and the zh conversion.  These run driver-side (numpy /
+plain Python), no Spark session needed."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from immich_geodata_zh_tw_spark.functions import zh
+from immich_geodata_zh_tw_spark.geo import grid
+from immich_geodata_zh_tw_spark.geo.distance import haversine_np
+
+lats = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False)
+lons = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+res_st = st.integers(min_value=1, max_value=20)
+
+
+class TestGridProperties:
+    @given(lats, lons, res_st)
+    @settings(max_examples=200, deadline=None)
+    def test_point_within_its_cell_bounds(self, lat, lon, res):
+        cell = grid.cell_of(lat, lon, res)
+        lat_min, lat_max, lon_min, lon_max = grid.cell_bounds(cell)
+        assert lat_min - 1e-9 <= lat <= lat_max + 1e-9
+        assert lon_min - 1e-9 <= lon <= lon_max + 1e-9
+
+    @given(lats, lons, res_st)
+    @settings(max_examples=200, deadline=None)
+    def test_center_round_trips_to_same_cell(self, lat, lon, res):
+        cell = grid.cell_of(lat, lon, res)
+        clat, clon = grid.cell_center(cell)
+        assert grid.cell_of(float(clat), float(clon), res) == cell
+
+    @given(lats, lons, res_st, st.integers(min_value=1, max_value=3))
+    @settings(max_examples=100, deadline=None)
+    def test_kring_contains_self_and_is_unique(self, lat, lon, res, k):
+        cell = grid.cell_of(lat, lon, res)
+        ring = grid.k_ring(np.array([cell]), k)[0]
+        valid = ring[ring >= 0]
+        assert cell in valid
+        assert len(set(valid.tolist())) == len(valid)
+
+    @given(lats, lons, st.integers(min_value=2, max_value=20))
+    @settings(max_examples=100, deadline=None)
+    def test_parent_contains_child(self, lat, lon, res):
+        child = grid.cell_of(lat, lon, res)
+        parent = grid.cell_to_parent(child, res - 1)
+        assert grid.cell_of(lat, lon, res - 1) == parent
+
+
+class TestHaversineProperties:
+    @given(lats, lons, lats, lons)
+    @settings(max_examples=200, deadline=None)
+    def test_symmetry_and_bounds(self, a, b, c, d):
+        ab = float(haversine_np(a, b, c, d))
+        ba = float(haversine_np(c, d, a, b))
+        assert math.isclose(ab, ba, rel_tol=1e-12, abs_tol=1e-9)
+        assert 0.0 <= ab <= math.pi * 6371.0088 + 1e-6  # ≤ half circumference
+
+    @given(lats, lons)
+    @settings(max_examples=100, deadline=None)
+    def test_identity(self, lat, lon):
+        assert float(haversine_np(lat, lon, lat, lon)) == 0.0
+
+
+_han_chars = st.sampled_from(list(zh.SIMPLIFIED + zh.TRADITIONAL + "皇后頭干面里x "))
+_texts = st.text(alphabet=_han_chars, max_size=24)
+
+
+class TestZhProperties:
+    def _s2t(self, text: str) -> str:
+        """Driver-side evaluation of the exact SQL semantics."""
+        out = text.translate(str.maketrans(zh.SIMPLIFIED, zh.TRADITIONAL))
+        for src, dst in zh.S2T_WORD_FIXUPS:
+            out = out.replace(src, dst)
+        return out
+
+    @given(_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_s2t_idempotent(self, text):
+        once = self._s2t(text)
+        assert self._s2t(once) == once
+
+    @given(_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_s2t_preserves_length_for_char_stage(self, text):
+        # every fixup pair is length-preserving, so s2t never changes length
+        assert len(self._s2t(text)) == len(text)
