@@ -32,7 +32,10 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g measured best AND tightest for the flagship on this box
+        # (8g: 6.0-10.4 s across identical reps — GC-bound; 24g: fast best
+        # case but a 27 s full-GC outlier; 16g: 4.6-5.4 s consistently)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
