@@ -48,6 +48,29 @@ def token_count_sql(text_col: str = "text") -> str:
             f"ELSE length({t}) - length(replace({t}, ' ', '')) + 1 END)")
 
 
+#: GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
+#: letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+#: residual whitespace.  Dialect split only for backslash escaping (Spark SQL
+#: string literals eat single backslashes; DuckDB keeps them).
+_BPE_PIECES = (r"''(?:s|t|re|ve|m|ll|d)"
+               r"| ?{L}+| ?{N}+| ?[^{S}{L}{N}]+|{S}+")
+_BPE_RE = {
+    "spark": _BPE_PIECES.format(L=r"\\p{L}", N=r"\\p{N}", S=r"\\s"),
+    "duckdb": _BPE_PIECES.format(L=r"\p{L}", N=r"\p{N}", S=r"\s"),
+}
+
+
+def bpe_token_count_sql(text_col: str = "text", *,
+                        dialect: str = "spark") -> str:
+    """BPE-ish token count (driver mandate): number of GPT-2-style
+    pre-tokenizer pieces, via regexp_extract_all — still zero UDF."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all({text_col}, '{_BPE_RE['spark']}', 0))"
+    if dialect == "duckdb":
+        return f"len(regexp_extract_all({text_col}, '{_BPE_RE['duckdb']}'))"
+    raise ValueError(dialect)
+
+
 def punct_ratio_sql(text_col: str = "text") -> str:
     # CAST AS DOUBLE: Spark parses bare decimal literals as DECIMAL, DuckDB
     # as DOUBLE — forcing double arithmetic keeps both engines bit-identical

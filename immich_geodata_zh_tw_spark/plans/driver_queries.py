@@ -628,6 +628,25 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer pieces) next to the
+    whitespace count — both pure regex/JVM, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(textstats.token_count_sql("text")).alias("ws_tokens"),
+        F.expr(textstats.bpe_token_count_sql("text", dialect="spark"))
+        .alias("bpe_tokens"))
+
+
+SQL_DOC_BPE_TOKENS = f"""
+SELECT doc_id,
+       {textstats.token_count_sql('text')} AS ws_tokens,
+       {textstats.bpe_token_count_sql('text', dialect='duckdb')} AS bpe_tokens
+FROM documents
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash near-dup buckets: fingerprint groups with counts + rep id
     (identical fingerprints ⇒ near-dup bucket)."""
@@ -1262,6 +1281,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_simhash": q_doc_simhash,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1308,6 +1328,7 @@ _ORACLES: dict[str, str] = {
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,
