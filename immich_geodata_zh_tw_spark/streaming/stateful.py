@@ -1,0 +1,118 @@
+"""Event-time streaming operators: watermarked windows + custom state.
+
+The reference is batch-only (SURVEY.md §2.10), but a continuously-crawled
+pages table is naturally a stream; these are the Structured-Streaming
+counterparts of the batch operators the driver queries already verify:
+
+* :func:`windowed_page_counts` — tumbling event-time window aggregation with
+  a watermark: late pages beyond the watermark are DROPPED (bounded state),
+  windows finalize exactly once in append mode — the streaming twin of the
+  batch ``tumbling_window`` query;
+* :func:`stateful_sessionize` — custom per-user session state via
+  ``applyInPandasWithState`` (Arrow-batched, same no-row-at-a-time rule as
+  everything else): sessions close after ``gap_sec`` of event-time silence
+  or on processing-time timeout, emitting one row per closed session — the
+  streaming twin of the batch ``sessionize`` query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (IntegerType, LongType, StructField, StructType,
+                               TimestampType, StringType)
+
+
+def windowed_page_counts(stream: DataFrame, *, ts_col: str = "warc_ts",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time counts with late-data cutoff.
+
+    Append output mode emits each window once, after the watermark passes its
+    end — at 10^12-row scale the watermark bounds the state store to
+    (watermark / window) live windows per key.
+    """
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"), "n_pages"))
+
+
+SESSION_OUTPUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("n_events", IntegerType()),
+    StructField("closed_by", StringType()),
+])
+
+SESSION_STATE = StructType([
+    StructField("start_epoch", LongType()),
+    StructField("last_epoch", LongType()),
+    StructField("n_events", IntegerType()),
+])
+
+
+def _session_fn(gap_sec: int, timeout_sec: int | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, _last, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id],
+                                "session_start": [pd.Timestamp(start, unit="s")],
+                                "n_events": [n], "closed_by": ["timeout"]})
+            return
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend((pdf["ts"].astype("int64") // 1_000_000_000).tolist())
+        epochs.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for e in epochs:
+            if start is None:
+                start, last, n = e, e, 1
+            elif e - last > gap_sec:
+                closed.append((start, n))
+                start, last, n = e, e, 1
+            else:
+                last, n = e, n + 1
+        state.update((int(start), int(last), int(n)))
+        if timeout_sec is not None:
+            state.setTimeoutDuration(timeout_sec * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _ in closed],
+                "n_events": [c for _, c in closed],
+                "closed_by": ["gap"] * len(closed),
+            })
+    return fn
+
+
+def stateful_sessionize(stream: DataFrame, *, gap_sec: int = 1800,
+                        timeout_sec: int | None = None) -> DataFrame:
+    """Custom stateful sessionization over a stream of (user_id, ts) events.
+
+    One state row per live user (bounded); a session closes when a newer
+    event arrives past ``gap_sec`` of EVENT time (emitted with
+    ``closed_by='gap'``) or — when ``timeout_sec`` is set — after that much
+    PROCESSING time with no events (``'timeout'``, flushing idle users'
+    trailing sessions).  Tests pin the deterministic gap path;
+    processing-time timeouts are inherently wall-clock-dependent.
+    """
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_sec is not None else GroupStateTimeout.NoTimeout)
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn(gap_sec, timeout_sec),
+                outputStructType=SESSION_OUTPUT,
+                stateStructType=SESSION_STATE,
+                outputMode="append",
+                timeoutConf=timeout_conf))

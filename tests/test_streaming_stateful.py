@@ -1,0 +1,113 @@
+"""Event-time streaming: watermark late-data semantics + custom state
+(streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StructField, StructType,
+                               TimestampType)
+
+EVENTS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def _write_batch(spark, path: str, rows: list[tuple[int, str]], name: str):
+    # flat part-files appended into the source dir — the file stream source
+    # does not recurse into subdirectories
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+class TestWatermarkWindow:
+    def test_late_rows_beyond_watermark_dropped(self, spark, tmp_path):
+        """Two micro-batches: batch 2 carries one on-time row (advances the
+        watermark) and one row 3 h late — the late row must NOT appear in any
+        finalized window, the on-time rows must."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            windowed_page_counts
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # batch 1: two rows in hour 10, one in hour 11
+        _write_batch(spark, inp, [
+            (1, "2026-01-01 10:05:00"), (2, "2026-01-01 10:20:00"),
+            (3, "2026-01-01 11:10:00")], "b1")
+
+        def run():
+            stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(inp)
+                      .withColumnRenamed("ts", "warc_ts"))
+            q = (windowed_page_counts(stream, window="1 hour",
+                                      watermark="2 hours")
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        # batch 2 advances the watermark to 13:00 (15:00 − 2 h)
+        _write_batch(spark, inp, [(4, "2026-01-01 15:00:00")], "b2")
+        run()
+        # batch 3 arrives with one row whose window (09-10h) now lies wholly
+        # below the 13:00 watermark — must be dropped — plus an on-time row
+        _write_batch(spark, inp, [
+            (5, "2026-01-01 09:00:00"), (6, "2026-01-01 18:00:00")], "b3")
+        run()
+        # batch 4 pushes the watermark past hour 15's window end
+        _write_batch(spark, inp, [(7, "2026-01-01 22:00:00")], "b4")
+        run()
+
+        got = (spark.read.parquet(out)
+               .withColumn("h", F.hour("window_start"))
+               .groupBy("h").agg(F.sum("n_pages").alias("n"))
+               .toPandas().set_index("h")["n"].to_dict())
+        assert got.get(10) == 2 and got.get(11) == 1  # on-time rows counted
+        assert got.get(15) == 1                       # finalized by batch 4
+        assert 9 not in got  # the 4-h-late row was dropped by the watermark
+
+
+class TestStatefulSessionize:
+    def test_sessions_close_on_gap_and_timeout(self, spark, tmp_path):
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            stateful_sessionize
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # user 7: three events, then a gap > 60 s, then two more (one closed
+        # session emitted on the later batch); user 8: one event, closed by
+        # processing-time timeout on a later empty-ish batch
+        _write_batch(spark, inp, [
+            (7, "2026-01-01 10:00:00"), (7, "2026-01-01 10:00:20"),
+            (7, "2026-01-01 10:00:40"), (8, "2026-01-01 10:00:00")], "b1")
+
+        def run():
+            stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(inp))
+            q = (stateful_sessionize(stream, gap_sec=60)
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run()
+        _write_batch(spark, inp, [
+            (7, "2026-01-01 10:05:00"), (7, "2026-01-01 10:05:30")], "b2")
+        run()
+        got = spark.read.parquet(out).toPandas()
+        u7 = got[got["user_id"] == 7]
+        assert len(u7) == 1  # first session closed by the gap
+        assert u7.iloc[0]["n_events"] == 3
+        assert u7.iloc[0]["closed_by"] == "gap"
+        assert u7.iloc[0]["session_start"] == pd.Timestamp("2026-01-01 10:00:00")
+        # user 8's lone session is still live state — correctly not emitted
+        # (no processing-time timeout configured: the deterministic gap path)
+        assert (got["user_id"] == 8).sum() == 0
