@@ -57,6 +57,80 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 1,
                     "cos_sim", "rank"))
 
 
+def kmeans_centroids(sample: np.ndarray, *, k: int, iters: int = 8,
+                     seed: int = 99) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (numpy only).
+
+    Init = evenly-strided rows of the (hash-shuffled) sample — deterministic,
+    no RNG state.  Used as the IVF coarse quantizer; the sample is a tiny
+    fraction of the corpus, the result broadcasts to executors.
+    """
+    n = len(sample)
+    order = np.argsort((np.arange(n, dtype=np.int64) * 2654435761 + seed)
+                       % 1_000_003, kind="stable")
+    cents = sample[order[np.linspace(0, n - 1, k).astype(np.int64)]].copy()
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cents[j] = sample[m].mean(axis=0)
+    return cents
+
+
+def _assign_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized pandas UDF: embedding → array of the nprobe nearest
+    centroid ids by cosine (numpy matmul per Arrow batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                               1e-12)
+
+    def assign(vecs):
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ c.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    # explicit annotations (module-local pandas alias is not resolvable by
+    # pyspark's hint inspection inside a closure)
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<int>")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, centroids: np.ndarray,
+             nprobe: int = 2, k: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id: str = "q_id", query_vec: str = "q_vec") -> DataFrame:
+    """IVF approximate nearest neighbors — the second ANN scale path.
+
+    Corpus rows land in their single nearest-centroid cell (one row each —
+    the corpus is never replicated); each query probes its ``nprobe``
+    nearest cells (explode on the QUERY side only), candidates equi-join on
+    the cell id, exact cosine re-ranks.  Shuffle key = the centroid cell —
+    at 10^12 rows choose k_centroids so cells stay partition-sized, and
+    probe more cells for recall instead of broadcasting anything.
+    """
+    assign_1 = _assign_udf(centroids, 1)
+    assign_p = _assign_udf(centroids, nprobe)
+    tagged = corpus.withColumn("__cid", F.element_at(assign_1(F.col(vec_col)), 1))
+    probes = (queries.withColumn("__cids", assign_p(F.col(query_vec)))
+              .withColumn("__cid", F.explode("__cids")).drop("__cids"))
+    pairs = (tagged.join(probes, "__cid")
+             .filter(F.col(id_col) != F.col(query_id))
+             .withColumn("cos_sim", F.round(cosine_expr(vec_col, query_vec), 9)))
+    from pyspark.sql import Window
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(),
+                                             F.col(id_col).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("neighbor_id"), "cos_sim"))
+
+
 def hyperplanes(n_planes: int, dim: int, *, seed: int = 1234) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from splitmix hashing."""
     idx = np.arange(n_planes * dim, dtype=np.int64) + seed * 1_000_003

@@ -1238,6 +1238,23 @@ FROM shaped s LEFT JOIN {country_dim_values_sql()}
 """
 
 
+def q_embed_ann_ivf(spark, sf_dir):
+    """IVF approximate NN (coarse k-means quantizer → nprobe cells → exact
+    re-rank) — the second ANN scale path; approximate by construction →
+    rows-only driver check, recall gate in tests/test_similarity.py."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    sample = np.asarray(
+        e.filter(F.col("vec_id") % 7 == 0).select("embedding")
+        .toPandas()["embedding"].tolist())
+    cents = similarity.kmeans_centroids(sample, k=16)
+    queries = (e.filter(F.col("vec_id") < 200)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.ivf_topk(e, queries, centroids=cents, nprobe=3, k=1)
+
+
 def q_embed_ann_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (scale path) —
     rows-only driver check; recall vs brute force asserted in pytest."""
@@ -1295,6 +1312,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "country_localize": q_country_localize,
     "release_pipeline": q_release_pipeline,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ann_ivf": q_embed_ann_ivf,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1341,7 +1359,7 @@ _ORACLES: dict[str, str] = {
     "korea_sejong": SQL_KOREA_SEJONG,
     "country_localize": _sql_country_localize(),
     "release_pipeline": _sql_release_pipeline(),
-    # embed_ann_lsh: approximate by construction → rows-only check
+    # embed_ann_lsh / embed_ann_ivf: approximate by construction → rows-only
 }
 
 

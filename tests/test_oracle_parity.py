@@ -81,4 +81,4 @@ def test_every_query_has_oracle_or_reason():
 
     missing = set(entry.queries()) - set(entry.oracle_sql())
     # non-SQL-expressible ops may be rows-only; keep the list tiny & explicit
-    assert missing <= {"embed_ann_lsh"}, f"queries without oracle: {missing}"
+    assert missing <= {"embed_ann_lsh", "embed_ann_ivf"}, f"queries without oracle: {missing}"

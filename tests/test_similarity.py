@@ -59,6 +59,39 @@ class TestLshAnn:
         for b in shuffle_blocks:
             assert not re.search(r"\b(embedding|va|vb)#", b), b
 
+    def test_ivf_recall_vs_bruteforce(self, spark, embeddings):
+        """IVF (coarse quantizer + probe + exact re-rank) must recover most
+        true nearest neighbors — the second ANN scale path."""
+        import numpy as np
+        from immich_geodata_zh_tw_spark.operators import similarity
+
+        sample = np.asarray(
+            embeddings.filter(F.col("vec_id") % 3 == 0)
+            .select("embedding").toPandas()["embedding"].tolist())
+        cents = similarity.kmeans_centroids(sample, k=8)
+        queries = embeddings.select(F.col("vec_id").alias("q_id"),
+                                    F.col("embedding").alias("q_vec"))
+        exact = similarity.brute_force_topk(
+            embeddings, queries, k=1).toPandas().set_index("q_id")
+        approx = similarity.ivf_topk(
+            embeddings, queries, centroids=cents, nprobe=3,
+            k=1).toPandas().set_index("q_id")
+        assert len(approx) == len(exact)  # every query answered
+        joined = exact.join(approx, how="inner", lsuffix="_x", rsuffix="_a")
+        quality = (joined["cos_sim_a"] >= joined["cos_sim_x"] - 0.05).mean()
+        assert quality > 0.8, f"ivf quality {quality:.2f}"
+
+    def test_ivf_deterministic_centroids(self, spark, embeddings):
+        import numpy as np
+        from immich_geodata_zh_tw_spark.operators import similarity
+
+        sample = np.asarray(
+            embeddings.limit(200).select("embedding")
+            .toPandas()["embedding"].tolist())
+        a = similarity.kmeans_centroids(sample, k=4)
+        b = similarity.kmeans_centroids(sample, k=4)
+        assert np.array_equal(a, b)
+
     def test_deterministic(self, spark, embeddings):
         from immich_geodata_zh_tw_spark.operators import similarity
 
