@@ -180,6 +180,89 @@ WHERE NOT (ci = 0 AND tj = 0 AND vi = 0 AND vj = 0
 """
 
 
+def q_raster_points(spark, sf_dir):
+    """Vector→raster: per-cell bands (count + summed value) at res 8 —
+    the gridded form of the events point layer (operators/raster.py)."""
+    from ..operators import raster
+
+    pts = (_t(spark, sf_dir, "events")
+           .select("event_id", F.expr(PT_LAT).alias("lat"),
+                   F.expr(PT_LON).alias("lon"), "value"))
+    return raster.rasterize_points(
+        pts, res=8, bands={"n_points": F.count(F.lit(1)),
+                           "sum_value": F.round(F.sum("value"), 4)})
+
+
+SQL_RASTER_POINTS = f"""
+SELECT {cell_sql(PT_LAT, PT_LON, 8)} AS cell, count(*) AS n_points,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_raster_vector_bounds(spark, sf_dir):
+    """Raster→vector: each occupied cell back to its boundary box (numeric —
+    the bit arithmetic mirrors geo/grid.cell_bounds exactly)."""
+    from ..operators import raster
+
+    pts = _points(spark, sf_dir)
+    r = raster.rasterize_points(pts, res=8)
+    return raster.raster_bounds(r, res=8).select(
+        "cell", "n_points", "lat_min", "lat_max", "lon_min", "lon_max")
+
+
+def _sql_raster_vector_bounds() -> str:
+    from ..operators.raster import bounds_sql
+
+    b = bounds_sql("cell", 8)
+    return f"""
+WITH r AS (
+  SELECT {cell_sql(PT_LAT, PT_LON, 8)} AS cell, count(*) AS n_points
+  FROM events GROUP BY 1)
+SELECT cell, n_points, {b['lat_min']} AS lat_min, {b['lat_max']} AS lat_max,
+       {b['lon_min']} AS lon_min, {b['lon_max']} AS lon_max
+FROM r
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: point bands aggregated per admin zone (exact PIP
+    assignment, then one hash agg per county)."""
+    from ..operators import raster
+
+    pts = (_t(spark, sf_dir, "events")
+           .select("event_id", F.expr(PT_LAT).alias("lat"),
+                   F.expr(PT_LON).alias("lon"), "value"))
+    polys = admin_polygons_pdf(village_grid=_G).reset_index(drop=True)
+    polys.insert(0, "poly_id", range(len(polys)))
+    return raster.zonal_stats(
+        spark, pts, polys[["poly_id", "geometry_wkb", "county"]],
+        zone_cols=["county"], res=11,
+        bands={"n_points": F.count(F.lit(1)),
+               "sum_value": F.round(F.sum("value"), 4)})
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS (SELECT event_id, {PT_LAT} AS lat, {PT_LON} AS lon, value FROM events),
+idx AS (
+  SELECT event_id, lat, lon, value,
+    CAST(least(greatest(floor((lat - {_LA0!r}) / {_LAT_STEP!r}), 0), {len(COUNTIES) - 1}) AS INT) AS ci,
+    CAST(least(greatest(floor((lon - {_LO0!r}) / {_LON_STEP!r}), 0), {N_TOWNSHIPS_PER_COUNTY - 1}) AS INT) AS tj
+  FROM pts),
+idx2 AS (
+  SELECT *,
+    CAST(least(greatest(floor((lat - ({_LA0!r} + ci * {_LAT_STEP!r})) / {_VLAT!r}), 0), {_G - 1}) AS INT) AS vi,
+    CAST(least(greatest(floor((lon - ({_LO0!r} + tj * {_LON_STEP!r})) / {_VLON!r}), 0), {_G - 1}) AS INT) AS vj
+  FROM idx)
+SELECT ({_COUNTY_LIST_SQL})[ci + 1] AS county,
+       count(*) AS n_points, round(sum(value), 4) AS sum_value
+FROM idx2
+WHERE NOT (ci = 0 AND tj = 0 AND vi = 0 AND vj = 0
+           AND lon > {_GAP_LO!r} AND lon < {_GAP_HI!r})
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # tabular operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1273,6 +1356,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn_brute": q_geo_knn_brute,
     "geo_knn_cells": q_geo_knn_cells,
     "geo_pip_villages": q_geo_pip_villages,
+    "raster_points": q_raster_points,
+    "raster_vector_bounds": q_raster_vector_bounds,
+    "zonal_stats": q_zonal_stats,
     "tpch_q1": q_tpch_q1,
     "dedup_keep_best": q_dedup_keep_best,
     "priority_pick": q_priority_pick,
@@ -1321,6 +1407,9 @@ _ORACLES: dict[str, str] = {
     "geo_knn_brute": _KNN_ORACLE,
     "geo_knn_cells": _KNN_ORACLE,
     "geo_pip_villages": SQL_GEO_PIP_VILLAGES,
+    "raster_points": SQL_RASTER_POINTS,
+    "raster_vector_bounds": _sql_raster_vector_bounds(),
+    "zonal_stats": SQL_ZONAL_STATS,
     "tpch_q1": SQL_TPCH_Q1,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "priority_pick": SQL_PRIORITY_PICK,

@@ -219,3 +219,41 @@ class TestPipJoin:
         assert got.get(0) == enc["poly_id"]
         assert got.get(2) == enc["poly_id"]
         assert 1 not in got  # gap belongs to no polygon
+
+
+class TestRasterVector:
+    def test_wkt_ring_is_closed_and_ordered(self, spark):
+        from immich_geodata_zh_tw_spark.operators import raster
+        from immich_geodata_zh_tw_spark.geo import grid
+
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"lat": [23.5], "lon": [121.0]}))
+        r = raster.rasterize_points(pts, res=8)
+        wkt = raster.raster_to_wkt(r, res=8).collect()[0]["wkt"]
+        assert wkt.startswith("POLYGON((") and wkt.endswith("))")
+        coords = [tuple(map(float, p.split())) for p in
+                  wkt[len("POLYGON(("):-2].split(", ")]
+        assert coords[0] == coords[-1]  # closed ring
+        cell = int(grid.cell_of(23.5, 121.0, 8))
+        lat_min, lat_max, lon_min, lon_max = (float(v) for v in
+                                              grid.cell_bounds(cell))
+        assert coords[0] == (lon_min, lat_min)
+        assert coords[2] == (lon_max, lat_max)
+
+    def test_bounds_contain_contributing_points(self, spark):
+        from immich_geodata_zh_tw_spark.operators import raster
+
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame({"lat": rng.uniform(21.5, 25.5, 500),
+                            "lon": rng.uniform(119.5, 122.5, 500)})
+        pts = spark.createDataFrame(pdf)
+        r = raster.raster_bounds(
+            raster.rasterize_points(pts, res=9), res=9).toPandas()
+        # re-assign each point to its cell and check the box contains it
+        from immich_geodata_zh_tw_spark.geo import grid
+        cells = grid.cell_of(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 9)
+        by_cell = r.set_index("cell")
+        for (la, lo), c in zip(pdf.to_numpy(), cells):
+            row = by_cell.loc[int(c)]
+            assert row["lat_min"] <= la <= row["lat_max"]
+            assert row["lon_min"] <= lo <= row["lon_max"]
