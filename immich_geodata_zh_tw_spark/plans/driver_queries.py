@@ -773,6 +773,41 @@ SELECT q_id, vec_id AS neighbor_id, cos_sim, rn AS rank FROM r WHERE rn <= 3
 """
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER labels by iterated min-label propagation over LSH
+    buckets — the linear-cost product a 100 TB corpus ships instead of the
+    inherently quadratic pairwise output (operators/dedup.minhash_clusters).
+    Oracle = connected components of the candidate-pair graph via a DuckDB
+    recursive CTE; the Spark side must converge to the identical components."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_clusters(d, id_col="doc_id", text_col="text")
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1), 2),
+                        i -> md5(substring(text, i, 5))) AS mh
+  FROM documents),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, {_minhash_band_sql_duck(b)} AS sig FROM hashed"
+      for b in range(4))}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig
+  WHERE l.doc_id < r.doc_id),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.a AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.b)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 def q_doc_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard over MinHash-LSH candidates (two-stage near-dup:
     bucketed candidates → exact shingle-set score; driver mandate family)."""
@@ -1382,6 +1417,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_simhash": q_doc_simhash,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1433,6 +1469,7 @@ _ORACLES: dict[str, str] = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,

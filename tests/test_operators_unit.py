@@ -143,6 +143,28 @@ class TestDedup:
         assert scores[(1, 3)] > 0.6
         assert all(4 not in k for k in scores)
 
+    def test_minhash_clusters_transitive(self, spark):
+        """Label propagation must close transitively: doc A near-dups B, B
+        near-dups C, but A and C share no band bucket — all three must land
+        in one cluster (with the min id as its label)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep dark forest tonight")
+        a = base
+        b = base.replace("quick", "quack").replace("lazy", "hazy")
+        c = b.replace("brown", "braun").replace("forest", "foresa")
+        d_text = "completely unrelated content about spark plans and shuffles"
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [10, 11, 12, 13], "text": [a, b, c, d_text]}))
+        out = dedup.minhash_clusters(df, id_col="doc_id", text_col="text"
+                                     ).toPandas().set_index("doc_id")
+        # a-b and b-c collide on some band; whether a-c does or not, all
+        # three must share one component label
+        labels = set(out.loc[[10, 11, 12]]["cluster_id"])
+        assert labels == {10}
+        assert out.loc[13]["cluster_id"] == 13  # unrelated doc stays alone
+
     def test_simhash_identical_texts_collide(self, spark):
         from immich_geodata_zh_tw_spark.operators import dedup
 
