@@ -59,7 +59,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         bench_queries = [
             "geo_knn_cells", "geo_pip_villages", "geo_cell_histogram",
             "tpch_q1", "dedup_keep_best", "sessionize",
-            "doc_exact_dedup", "doc_minhash_pairs", "doc_text_stats",
+            "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
+            "doc_text_stats",
             "embed_knn", "extract_chinese_names", "release_pipeline",
         ]
         qs = dq.queries()
