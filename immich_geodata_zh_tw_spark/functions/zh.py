@@ -93,14 +93,27 @@ def _t2s_text(col: str) -> str:
     return f"translate({out}, '{TRADITIONAL}', '{SIMPLIFIED}')"
 
 
-def s2t(col: Column) -> Column:
-    """Simplified → Traditional (character stage + word fixups)."""
-    return F.expr(_s2t_text(_cname(col)))
+def s2t(col: Column | str) -> Column:
+    """Simplified → Traditional (character stage + word fixups).
+
+    Built from public Column ops (``F.translate`` + chained ``F.replace``) —
+    no SQL-text round-trip through private APIs, so arbitrary Column
+    expressions and Spark Connect both work (ADVICE.md round-2 item 4).
+    """
+    out = F.translate(F.col(col) if isinstance(col, str) else col,
+                      SIMPLIFIED, TRADITIONAL)
+    for src, dst in S2T_WORD_FIXUPS:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
 
 
-def t2s(col: Column) -> Column:
+def t2s(col: Column | str) -> Column:
     """Traditional → Simplified (reverse word fixups + character stage)."""
-    return F.expr(_t2s_text(_cname(col)))
+    out = F.col(col) if isinstance(col, str) else col
+    for src, dst in S2T_WORD_FIXUPS:
+        if src != dst:
+            out = F.replace(out, F.lit(dst), F.lit(src))
+    return F.translate(out, TRADITIONAL, SIMPLIFIED)
 
 
 #: Han-script membership, reference translate.py:52-69 (regex dialects:
@@ -135,15 +148,6 @@ def is_simplified(col: Column) -> Column:
     """Reference is_simplified_chinese (translate.py:72-83):
     is_chinese ∧ t2s-fixpoint."""
     return is_chinese(col) & (t2s(col) == col)
-
-
-def _cname(col: Column) -> str:
-    """Render a Column back to SQL text (works for simple col refs)."""
-    # Column → its SQL string via the JVM expression; for our call sites the
-    # columns are plain references or already-SQL expressions, so str() of
-    # the column ("Column<'name'>") is not reliable — instead callers pass
-    # simple named columns and we extract via the private _jc.toString().
-    return col._jc.toString()
 
 
 def s2t_sql(col: str, *, dialect: str = "duckdb") -> str:

@@ -182,7 +182,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
 
 def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
                      n_bands: int = 4, shingle: int = 5,
-                     max_iter: int = 10) -> DataFrame:
+                     max_iter: int = 50) -> DataFrame:
     """Near-dup CLUSTER labels without materializing candidate pairs.
 
     Pairwise LSH output is inherently quadratic in cluster size (a family of
@@ -193,6 +193,20 @@ def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
     Every iteration is two linear hash aggregations + a bucket join — no
     pair blow-up anywhere; rounds needed = the cluster graph's diameter.
     Output: (id, cluster_id) where cluster_id = min doc id of the component.
+
+    Per-round cost discipline (VERDICT.md round-2 item 3): the iteration
+    runs ONE job — ``localCheckpoint(eager=True)`` both materializes the new
+    labels and truncates lineage (no per-round plan growth) — and the
+    convergence probe is a ``__changed`` flag computed inside the same
+    propagation projection, read back with a short-circuiting ``limit(1)``
+    scan of the already-checkpointed blocks (the round-2 version re-executed
+    a separate three-way join per round just to detect change).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds exhaust before fixpoint
+    (ADVICE.md round-2 item 2 — a silently non-converged component diverges
+    from the exact connected-components oracle).  Label propagation advances
+    one graph hop per round, so ``max_iter`` bounds the component diameter,
+    not the corpus size; 50 covers any real near-dup topology.
     """
     sigs = (df.select(F.col(id_col), *minhash_signature(
         text_col, n_bands=n_bands, shingle=shingle))
@@ -203,8 +217,7 @@ def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
             F.xxhash64(F.lit(b), F.col(f"band{b}")).alias(f"x{b}")
             for b in range(n_bands)])).alias("bucket"))
     buckets = buckets.persist()
-    labels = df.select(F.col(id_col),
-                       F.col(id_col).alias("cluster_id")).persist()
+    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iter):
         bucket_min = (buckets.join(labels, id_col)
                       .groupBy("bucket")
@@ -212,22 +225,25 @@ def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
         proposed = (buckets.join(bucket_min, "bucket")
                     .groupBy(id_col)
                     .agg(F.min("bmin").alias("pmin")))
-        new_labels = (labels.join(proposed, id_col, "left")
-                      .select(id_col,
-                              F.least(F.col("cluster_id"),
-                                      F.coalesce(F.col("pmin"),
-                                                 F.col("cluster_id")))
-                              .alias("cluster_id"))).persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), id_col)
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .take(1))
-        labels.unpersist()
-        labels = new_labels
-        if not changed:
-            break
+        stepped = (labels.join(proposed, id_col, "left")
+                   .select(F.col(id_col),
+                           F.least(F.col("cluster_id"),
+                                   F.coalesce(F.col("pmin"),
+                                              F.col("cluster_id")))
+                           .alias("cluster_id"),
+                           (F.col("pmin") < F.col("cluster_id"))
+                           .alias("__changed")))
+        # one job: materialize + cut lineage; the probe below reads blocks
+        labels = stepped.localCheckpoint(eager=True)
+        changed = labels.filter(F.col("__changed")).limit(1).count()
+        labels = labels.drop("__changed")
+        if changed == 0:
+            buckets.unpersist()
+            return labels
     buckets.unpersist()
-    return labels
+    raise RuntimeError(
+        f"minhash_clusters did not converge in {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds it)")
 
 
 def with_simhash(df: DataFrame, text_col: str, *, shingle: int = 4,

@@ -1212,11 +1212,21 @@ def q_release_pipeline(spark, sf_dir):
                                F.lit(None).cast("string"))
     merged = enhance.merge_extra_data(cities, extra, min_population=300)
 
+    # three metadata-name shapes exercising the reference's
+    # translate_from_metadata gate (translate.py:200-207): a simplified
+    # pure-Han name (→ s2t), a traditional one with 裏 (→ kept, then the
+    # final 裏→里 fixup), and a non-Chinese one (→ NULL, falls through to
+    # the alternate-name tiers)
+    han_digit = ("element_at(array('零','一','二','三','四','五','六','七','八'), "
+                 "CAST(s_suppkey % 9 AS INT) + 1)")
     meta = s.filter(F.col("s_suppkey") % 4 == 0).select(
         F.lit("JP").alias("country_code"),
         F.round(F.expr(PL_LAT), 8).alias("latitude"),
         F.round(F.expr(PL_LON), 8).alias("longitude"),
-        F.expr("concat('目裏', CAST(s_suppkey % 9 AS STRING), '裏')")
+        F.expr(f"CASE CAST(s_suppkey % 3 AS INT) "
+               f"WHEN 0 THEN concat('头发', {han_digit}) "
+               f"WHEN 1 THEN concat('目裏', {han_digit}, '裏') "
+               f"ELSE concat('meta', CAST(s_suppkey % 9 AS STRING)) END")
         .alias("admin_2"))
     cn = merged.select("geoname_id").filter(
         F.col("geoname_id").cast("long") % 3 == 0).select(
@@ -1230,10 +1240,14 @@ def q_release_pipeline(spark, sf_dir):
 
 
 def _sql_release_pipeline() -> str:
-    from ..functions.zh import IS_CHINESE_SQL, s2t_sql
+    from ..functions.zh import IS_CHINESE_SQL, s2t_sql, t2s_sql
     from ..operators.translate import extract_chinese_names_sql
 
     is_cn = IS_CHINESE_SQL["duckdb"]
+    # reference translate_from_metadata gate (translate.py:200-207)
+    meta_t = (f"CASE WHEN NOT regexp_matches(meta_name, '{is_cn}') THEN NULL "
+              f"WHEN {t2s_sql('meta_name')} = meta_name "
+              f"THEN {s2t_sql('meta_name')} ELSE meta_name END")
     alt_t = (f"CASE WHEN regexp_matches(alternate_name, '{is_cn}') "
              f"AND {s2t_sql('alternate_name')} = alternate_name "
              f"THEN alternate_name ELSE {s2t_sql('alternate_name')} END")
@@ -1292,7 +1306,10 @@ dedup AS (
 meta AS (
   SELECT 'JP' AS country_code, round({PL_LAT}, 8) AS latitude,
          round({PL_LON}, 8) AS longitude,
-         concat('目裏', CAST(s_suppkey % 9 AS VARCHAR), '裏') AS meta_name
+         CASE CAST(s_suppkey % 3 AS INT)
+           WHEN 0 THEN concat('头发', (['零','一','二','三','四','五','六','七','八'])[CAST(s_suppkey % 9 AS INT) + 1])
+           WHEN 1 THEN concat('目裏', (['零','一','二','三','四','五','六','七','八'])[CAST(s_suppkey % 9 AS INT) + 1], '裏')
+           ELSE concat('meta', CAST(s_suppkey % 9 AS VARCHAR)) END AS meta_name
   FROM supplier WHERE s_suppkey % 4 = 0),
 cn AS (
   SELECT geoname_id,
@@ -1308,7 +1325,7 @@ t AS (
 fin AS (
   SELECT *, regexp_replace(
     coalesce(
-      CASE WHEN meta_name = '' THEN NULL ELSE meta_name END,
+      CASE WHEN ({meta_t}) = '' THEN NULL ELSE ({meta_t}) END,
       CASE WHEN ({alt_t}) = '' THEN NULL ELSE ({alt_t}) END,
       CASE WHEN ({extracted}) = '' THEN NULL ELSE ({extracted}) END),
     '裏(.*)$', '里\\1') AS final_name

@@ -160,7 +160,12 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
                         passthrough_country: str = "TW") -> DataFrame:
     """translate.py:149-338 as one plan, all steps:
 
-    1. metadata coordinate join (J5, on 8-dp rounded coords + country);
+    1. metadata coordinate join (J5, on 8-dp rounded coords + country),
+       gated exactly like the reference's translate_from_metadata
+       (translate.py:200-207): a non-Chinese metadata name yields NULL
+       (falling through to the alternate-name tiers), a simplified one is
+       s2t-converted, a traditional one passes as-is (ADVICE.md round-2
+       item 1 — round 2 emitted raw metadata names verbatim);
     2. alternate-name left join (J3), s2t-converted unless already
        traditional (translate.py:219-229);
     3. ``extract_chinese_names`` comma-candidate scan over ``alternatenames``
@@ -182,6 +187,11 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
         attrs=["meta_name"])
     joined = joined.join(F.broadcast(chinese_names), "geoname_id", "left")
 
+    meta_name = F.col("meta_name")
+    meta_translated = (F.when(~zh.is_chinese(meta_name), F.lit(None))
+                       .when(zh.is_simplified(meta_name), zh.s2t(meta_name))
+                       .otherwise(meta_name))
+
     alt = F.col("alternate_name")
     alt_translated = F.when(zh.is_traditional(alt), alt).otherwise(zh.s2t(alt))
     if "alternatenames" in cities.columns:
@@ -192,7 +202,7 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
     def blank_to_null(c):
         return F.when(c == "", F.lit(None)).otherwise(c)
 
-    final = coalesce_chain(blank_to_null(F.col("meta_name")),
+    final = coalesce_chain(blank_to_null(meta_translated),
                            blank_to_null(alt_translated),
                            blank_to_null(extracted))
     final = F.when(F.col("country_code") == passthrough_country,

@@ -33,6 +33,7 @@ from ..synth import TW_BBOX
 def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
                           polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame, *,
                           bbox: tuple[float, float, float, float] = TW_BBOX,
+                          country_code: str = "TW",
                           res: int = 10, knn_k: int = 1) -> DataFrame:
     # res 10 ⇒ k=1 exactness guard ≈ 17.6 km > the 12.2 km worst-case
     # nearest-centroid distance of the village tiling, so virtually every row
@@ -92,9 +93,11 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
             spark, with_admin, cities_pdf, query_id="url",
             place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
     # localized country display name (reference i18n-iso-countries zh-tw.json
-    # via Immich's display path, README.md:103) — broadcast dim join
+    # via Immich's display path, README.md:103) — broadcast dim join.
+    # country_code travels with bbox: a non-Taiwan invocation passes its own
+    # code and gets that country's zh-TW name (ADVICE.md round-2 item 5)
     localized = localize_country(
-        named.withColumn("country_code", F.lit("TW")))
+        named.withColumn("country_code", F.lit(country_code)))
     return localized.select(
         "url", "lat", "lon",
         cell_expr(F.col("lat"), F.col("lon"), grid.DEFAULT_RES).alias("cell"),

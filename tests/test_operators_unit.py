@@ -55,6 +55,10 @@ class TestIds:
             out._jdf.queryExecution(), "formatted")
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+        # round-2 VERDICT item 4: no full-table materialization either —
+        # determinism comes from collected boundary literals, not persist
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
 
     def test_dense_rank_width_from_count(self, spark):
         from immich_geodata_zh_tw_spark.operators import ids
