@@ -137,16 +137,43 @@ def hyperplanes(n_planes: int, dim: int, *, seed: int = 1234) -> np.ndarray:
     return (u01(idx) - 0.5).reshape(n_planes, dim)
 
 
-def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Bucket id = sign bits of plane dot products, as one JVM expression."""
+def lsh_signature_sql(vec_col: str, planes: np.ndarray, *,
+                      dialect: str = "spark") -> str:
+    """Bucket id = sign bits of plane dot products, as SQL text.
+
+    Emitted identically (same term order, every literal CAST AS DOUBLE so
+    both engines multiply the same IEEE doubles) for Spark SQL and DuckDB —
+    this is what makes the LSH ANN query *exactly* oracle-checkable
+    (VERDICT.md round-2 item 1): the bucket ids, hence the candidate set,
+    hence the re-ranked output, are bit-identical across engines.
+    """
     n_planes, dim = planes.shape
+    if dialect == "spark":
+        def elem(d):
+            return f"element_at({vec_col}, {d + 1})"
+
+        def shl(cond, p):
+            return f"shiftleft(CAST(({cond}) AS BIGINT), {p})"
+    elif dialect == "duckdb":
+        def elem(d):
+            return f"{vec_col}[{d + 1}]"
+
+        def shl(cond, p):
+            return f"(CAST(({cond}) AS BIGINT) << {p})"
+    else:
+        raise ValueError(dialect)
     bits = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {planes[p, d]!r}"
+            f"CAST({elem(d)} AS DOUBLE) * CAST({planes[p, d]!r} AS DOUBLE)"
             for d in range(dim))
-        bits.append(f"shiftleft(CAST(({terms}) > 0.0 AS BIGINT), {p})")
-    return F.expr("(" + " + ".join(bits) + ")")
+        bits.append(shl(f"({terms}) > 0.0", p))
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Column form of :func:`lsh_signature_sql` (Spark dialect)."""
+    return F.expr(lsh_signature_sql(vec_col, planes, dialect="spark"))
 
 
 def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",

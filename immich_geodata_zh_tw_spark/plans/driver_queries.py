@@ -1373,29 +1373,117 @@ FROM shaped s LEFT JOIN {country_dim_values_sql()}
 """
 
 
+#: IVF driver-query centroid selection: corpus rows at a fixed id stride —
+#: deterministic AND SQL-expressible, so the ENTIRE IVF pipeline (assignment,
+#: probe ranking, cell join, exact re-rank) has an exact DuckDB twin.  The
+#: production quantizer stays kmeans_centroids (pytest recall gates); centroid
+#: *placement* is orthogonal to the machinery this query checks.
+_IVF_STRIDE, _IVF_OFF, _IVF_K, _IVF_NPROBE = 31, 5, 16, 3
+_COS_DUCK = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+             "* sqrt(list_dot_product({b}, {b})))")
+
+
 def q_embed_ann_ivf(spark, sf_dir):
-    """IVF approximate NN (coarse k-means quantizer → nprobe cells → exact
-    re-rank) — the second ANN scale path; approximate by construction →
-    rows-only driver check, recall gate in tests/test_similarity.py."""
+    """IVF approximate NN (coarse quantizer → nprobe cells → exact re-rank),
+    the second ANN scale path.  Centroids are strided corpus rows (see
+    ``_IVF_STRIDE``), making the query exactly oracle-checkable: corpus rows
+    land in ONE nearest-centroid cell each (pandas-UDF argmax over the
+    broadcast centroid matrix — never replicated), queries explode over
+    their nprobe nearest cells, candidates equi-join on the cell id."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
-    sample = np.asarray(
-        e.filter(F.col("vec_id") % 7 == 0).select("embedding")
-        .toPandas()["embedding"].tolist())
-    cents = similarity.kmeans_centroids(sample, k=16)
+    cent_rows = (e.filter((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
+                          & (F.col("vec_id") < _IVF_OFF + _IVF_STRIDE * _IVF_K))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = np.asarray([list(r["embedding"]) for r in cent_rows],
+                       dtype=np.float64)
     queries = (e.filter(F.col("vec_id") < 200)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
-    return similarity.ivf_topk(e, queries, centroids=cents, nprobe=3, k=1)
+    return similarity.ivf_topk(e, queries, centroids=cents,
+                               nprobe=_IVF_NPROBE, k=1)
+
+
+def _sql_embed_ann_ivf() -> str:
+    cos_cc = _COS_DUCK.format(a="corpus.v", b="cents.v")
+    cos_qc = _COS_DUCK.format(a="q.q_vec", b="cents.v")
+    cos_cq = _COS_DUCK.format(a="c.v", b="p.q_vec")
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_IVF_STRIDE} = {_IVF_OFF}
+    AND vec_id < {_IVF_OFF + _IVF_STRIDE * _IVF_K}),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM c0),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT corpus.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cos_cc} DESC, cents.cid ASC) AS rn
+    FROM corpus CROSS JOIN cents) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM corpus WHERE vec_id < 200),
+probes AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, cents.cid,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc} DESC, cents.cid ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.q_id, c.vec_id, round({cos_cq}, 9) AS cos_sim
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  JOIN corpus c ON c.vec_id = a.vec_id
+  WHERE c.vec_id != p.q_id)
+SELECT q_id, vec_id AS neighbor_id, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
+
+_LSH_N_PLANES, _LSH_N_TABLES = 4, 16
 
 
 def q_embed_ann_lsh(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH buckets (scale path) —
-    rows-only driver check; recall vs brute force asserted in pytest."""
+    """Approximate NN via random-hyperplane LSH buckets (scale path).  The
+    plane coefficients are literals, so signatures — hence the candidate set
+    and re-ranked output — are exactly DuckDB-replicable (full oracle)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(e, id_col="vec_id", vec_col="embedding",
-                                      dim=64, n_planes=4, n_tables=16, k=1)
+                                      dim=64, n_planes=_LSH_N_PLANES,
+                                      n_tables=_LSH_N_TABLES, k=1)
+
+
+def _sql_embed_ann_lsh() -> str:
+    sigs = []
+    for t in range(_LSH_N_TABLES):
+        planes = similarity.hyperplanes(_LSH_N_PLANES, 64, seed=1234 + 7 * t)
+        sig = similarity.lsh_signature_sql("v", planes, dialect="duckdb")
+        sigs.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM emb")
+    bands = " UNION ALL ".join(sigs)
+    cos = _COS_DUCK.format(a="va.v", b="vb.v")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bands AS ({bands}),
+id_pairs AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bands l JOIN bands r ON l.tbl = r.tbl AND l.sig = r.sig
+  WHERE l.vec_id < r.vec_id),
+scored AS (
+  SELECT p.id_a, p.id_b, round({cos}, 9) AS cos_sim
+  FROM id_pairs p JOIN emb va ON va.vec_id = p.id_a
+  JOIN emb vb ON vb.vec_id = p.id_b),
+sym AS (
+  SELECT id_a AS q_id, id_b AS neighbor_id, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS q_id, id_a AS neighbor_id, cos_sim FROM scored)
+SELECT q_id, neighbor_id, cos_sim FROM (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM sym) WHERE rn = 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1502,7 +1590,11 @@ _ORACLES: dict[str, str] = {
     "korea_sejong": SQL_KOREA_SEJONG,
     "country_localize": _sql_country_localize(),
     "release_pipeline": _sql_release_pipeline(),
-    # embed_ann_lsh / embed_ann_ivf: approximate by construction → rows-only
+    # the ANN queries are approximate by construction but DETERMINISTIC and
+    # fully SQL-replicable (literal hyperplanes / strided-row centroids), so
+    # they carry exact oracles too (round-2 VERDICT item 1)
+    "embed_ann_lsh": _sql_embed_ann_lsh(),
+    "embed_ann_ivf": _sql_embed_ann_ivf(),
 }
 
 
