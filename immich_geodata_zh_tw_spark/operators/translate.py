@@ -67,11 +67,11 @@ def extract_chinese_names_sql(col: str, *, dialect: str = "spark") -> str:
         raise ValueError(dialect)
 
     is_cn = f"{regex}(w, '{IS_CHINESE_SQL[dialect]}')"
-    trad = f"({is_cn} AND {_s2t_text('w')} = w)"
-    simp = f"({is_cn} AND {_t2s_text('w')} = w)"
+    trad = f"({is_cn} AND {_s2t_text('w', dialect=dialect)} = w)"
+    simp = f"({is_cn} AND {_t2s_text('w', dialect=dialect)} = w)"
     inc = f"{regex}(w, '{HAS_CHINESE_SQL[dialect]}')"
     return (f"coalesce({first(trad)}, "
-            f"{_s2t_text(first(simp))}, "
+            f"{_s2t_text(first(simp), dialect=dialect)}, "
             f"{first(inc)})")
 
 

@@ -1,6 +1,7 @@
-"""Multimodal binary-column kernels: headers real for all formats; BMP pixel
-and PCM-16 WAV sample decode REAL (content-statistics features); codec
-formats (PNG/GIF/JPEG pixels) remain the declared stub."""
+"""Multimodal binary-column kernels: headers real for all formats; BMP + PNG
+pixel and PCM-16 WAV sample decode REAL (content-statistics features); MP4
+container metadata real; codec formats (GIF/JPEG pixels, video frames)
+remain the declared stub."""
 
 from __future__ import annotations
 
@@ -53,6 +54,29 @@ class TestRealDecode:
         assert (px[..., 1] == want_g).all()
         assert (px[..., 2] == want_b).all()
 
+    def test_png_pixels_round_trip(self):
+        """decode(make_png) must reproduce the generator's exact pixels
+        through zlib inflate + all five row-filter branches (the generator
+        cycles None/Sub/Up/Average/Paeth per row)."""
+        w, h, seed = 21, 11, 3  # ≥5 rows → every filter type exercised
+        px = mm.decode_png_pixels(mm.make_png(w, h, seed=seed))
+        assert px is not None and px.shape == (h, w, 3)
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)[:, None]
+        assert (px[..., 0] == np.broadcast_to(((x + seed) * 7) % 256, (h, w))).all()
+        assert (px[..., 1] == np.broadcast_to(((y * 13 + seed) * 3) % 256, (h, w))).all()
+        assert (px[..., 2] == np.broadcast_to(((x + y + seed) * 5) % 256, (h, w))).all()
+
+    def test_png_header_only_falls_back(self):
+        buf = mm.make_png(8, 4, pixels=False)
+        assert mm.decode_png_pixels(buf) is None
+        assert mm.parse_image_header(buf) == ("png", 8, 4)
+
+    def test_mp4_box_tree_round_trip(self):
+        buf = mm.make_mp4(12.5, 640, 480)
+        assert mm.parse_mp4_header(buf) == (12.5, 640, 480)
+        assert mm.parse_mp4_header(b"\x00\x00\x00\x08junk") is None
+
     def test_wav_samples_round_trip(self):
         buf = mm.make_wav(16000, 96, amplitude=8000, period=32)
         rate, channels, samples = mm.decode_wav_samples(buf)
@@ -82,26 +106,32 @@ class TestRealDecode:
 
 class TestSparkPlumbing:
     def test_decode_media_plan(self, spark):
-        decoded = mm.decode_media(mm.media_df(spark, 99)).toPandas()
-        assert len(decoded) == 99
+        decoded = mm.decode_media(mm.media_df(spark, 100)).toPandas()
+        assert len(decoded) == 100
         bmps = decoded[decoded["format"] == "bmp"]
         pngs = decoded[decoded["format"] == "png"]
         auds = decoded[decoded["media_type"] == "audio"]
-        assert len(bmps) == len(pngs) == len(auds) == 33
-        # real decodes flagged as such; codec formats as stub
+        vids = decoded[decoded["media_type"] == "video"]
+        assert len(bmps) == len(pngs) == len(auds) == len(vids) == 25
+        # real decodes flagged as such (PNG pixels now real, round-3)
         assert bmps["real_decode"].all()
+        assert pngs["real_decode"].all()
         assert auds["real_decode"].all()
-        assert not pngs["real_decode"].any()
+        assert not vids["real_decode"].any()  # container metadata only
         assert bmps["width"].between(8, 23).all()
         assert auds["sample_rate"].isin([8000, 16000, 24000, 32000, 40000]).all()
+        assert (vids["format"] == "mp4").all()
+        assert vids["duration_s"].between(1.0, 30.0).all()
+        assert vids["width"].between(320, 800).all()
         feats = np.array(decoded["feature"].tolist())
-        assert feats.shape == (99, 16)
+        assert feats.shape == (100, 16)
         assert np.isfinite(feats).all()
         # real features carry content statistics, not hashes: the aspect
-        # slot of every bmp equals width/height exactly
-        bf = np.array(bmps["feature"].tolist())
-        assert np.allclose(bf[:, 14],
-                           bmps["width"].to_numpy() / bmps["height"].to_numpy())
+        # slot of every decoded image equals width/height exactly
+        for sub in (bmps, pngs):
+            f = np.array(sub["feature"].tolist())
+            assert np.allclose(f[:, 14],
+                               sub["width"].to_numpy() / sub["height"].to_numpy())
 
     def test_features_deterministic(self, spark):
         a = mm.decode_media(mm.media_df(spark, 20)).toPandas().sort_values("url")
