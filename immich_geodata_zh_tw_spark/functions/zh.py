@@ -7,12 +7,16 @@ equivalences, applied entirely with JVM built-ins (``translate`` +
 chained literal ``replace``) so every expression is emitted verbatim into
 the DuckDB oracles:
 
-1. **character stage** — a ~100-pair table of *unambiguous* simplified →
+1. **character stage** — a 661-pair table of *unambiguous* simplified →
    traditional characters via ``F.translate`` (台→臺, 县→縣, …);
-2. **word stage** — a longest-match-first list of word fixups applied AFTER
-   the character pass, correcting the cases where the character default is
-   wrong for a specific word (OpenCC resolves these with its word
-   dictionaries): 頭[發→髮], 皇[後→后], 乾/幹 splits of 干, 麵 splits of 面…
+2. **word stage** — a 209-entry word-fixup table applied AFTER the
+   character pass as ONE ``aggregate``/``list_reduce`` fold over flat
+   literal arrays (depth-O(1); a nested replace chain would exceed DuckDB's
+   128-deep binder limit and grow a Spark node per entry), correcting the
+   cases where the character default is wrong for a specific word (OpenCC
+   resolves these with its word dictionaries): 頭[發→髮], 皇[後→后], 乾/幹
+   splits of 干, 麵 splits of 面, 歷/曆 splits of 历, plus s2twp-style
+   Taiwan vocabulary (軟體/資訊/計程車…).
 
 Genuinely context-dependent single characters with no dominant default
 (复→復/複, 钟→鐘/鍾, 范→範/姓范…) are deliberately unmapped — the

@@ -13,9 +13,20 @@ mid-write failure replaces its partial output instead of duplicating rows
 item 5).  ``Trigger.AvailableNow`` turns the same pipeline into a resumable
 incremental batch job — the streaming counterpart of the manifest runner in
 sources/manifest.py.
+
+**Output is checkpoint-lineage-scoped** (round-2 VERDICT item 10): the
+``batch_id``-keyed subdirectories are meaningful only for the checkpoint
+that produced them, so starting with a FRESH checkpoint (no committed
+offsets yet) clears any pre-existing output directory — otherwise stale
+``batch_id=N`` dirs from a prior lineage would mix into reads.  Deleting
+the checkpoint therefore restates the whole output, exactly like deleting
+the manifest restarts a manifest run.
 """
 
 from __future__ import annotations
+
+import shutil
+from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -41,6 +52,12 @@ def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
     unprocessed files and stops (call ``awaitTermination()``).
     """
     from ..plans.reverse_geocode import reverse_geocode_pages
+
+    # fresh checkpoint (no committed offsets) ⇒ no prior output of THIS
+    # lineage can exist — clear orphans from any earlier lineage so reads
+    # never mix runs (module docstring; round-2 VERDICT item 10)
+    if not (Path(checkpoint_path) / "offsets").exists():
+        shutil.rmtree(output_path, ignore_errors=True)
 
     stream = (spark.readStream
               .schema(PAGES_SCHEMA)

@@ -40,8 +40,12 @@ def inputs(spark):
     chinese = spark.createDataFrame(pd.DataFrame({
         "geoname_id": ["200"], "alternate_name": ["巴黎"],
     }))
+    admin2 = spark.createDataFrame(pd.DataFrame({
+        "id": ["FR.11.75"], "name": ["Paris"], "asciiname": ["Paris"],
+        "geoname_id": ["5000"],  # the global max — must win the id scan
+    }))
     return dict(country_inputs={"TW": tw_raw}, cities=cities, admin1=admin1,
-                metadata=metadata, chinese_names=chinese)
+                metadata=metadata, chinese_names=chinese, admin2=admin2)
 
 
 class TestReleaseRunner:
@@ -61,10 +65,18 @@ class TestReleaseRunner:
         assert "TW.99" not in set(a1["id"])
         assert any(i.startswith("TW.") for i in a1["id"])
         assert "FR.11" in set(a1["id"])
-        # pack artifacts exist
+        # admin2Codes participates in the global max-id scan
+        # (geoname_ids.py:36-42): every allocated id clears its 5000
+        a1_ids = a1["geoname_id"].astype("int64")
+        assert (a1_ids[a1["id"].str.startswith("TW.")] > 5000).all()
+        # pack artifacts exist, admin2Codes with real content
+        # (pack_release.py:40 — was an empty placeholder in round 2)
+        assert "FR.11.75" in (tmp_path / "admin2Codes.txt").read_text()
         import zipfile
         with zipfile.ZipFile(res["zip"]) as zf:
             assert "geodata/cities500.txt" in zf.namelist()
+            a2 = [n for n in zf.namelist() if n.endswith("admin2Codes.txt")]
+            assert a2 and zf.read(a2[0])  # non-empty in the archive too
 
     def test_skip_stages_reuses_artifacts(self, spark, tmp_path, inputs):
         run_release(spark, workdir=tmp_path, **inputs,

@@ -171,3 +171,33 @@ class TestStreamingIngest:
         # urls unique: the first 300 pages were not reprocessed
         out = spark.read.parquet(outp)
         assert out.select("url").distinct().count() == out.count()
+
+    def test_fresh_checkpoint_rerun_leaves_no_orphans(self, spark, tmp_path):
+        """Round-2 VERDICT item 10: deleting the checkpoint and re-running
+        must not mix stale batch_id dirs from the prior lineage into reads."""
+        import shutil
+
+        from immich_geodata_zh_tw_spark.streaming.pipeline import (
+            incremental_reverse_geocode)
+
+        inp = str(tmp_path / "in")
+        outp = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        polys = polygons.admin_polygons_pdf(village_grid=3)
+        cts = cities.cities_pdf(village_grid=3)
+
+        pages.pages_df(spark, 200).write.mode("append").parquet(inp)
+        q = incremental_reverse_geocode(
+            spark, input_path=inp, output_path=outp, checkpoint_path=ckpt,
+            polys_pdf=polys, cities_pdf=cts)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(outp).count()
+
+        shutil.rmtree(ckpt)  # fresh lineage: same input reprocesses
+        q2 = incremental_reverse_geocode(
+            spark, input_path=inp, output_path=outp, checkpoint_path=ckpt,
+            polys_pdf=polys, cities_pdf=cts)
+        q2.awaitTermination(120)
+        out = spark.read.parquet(outp)
+        assert out.count() == n1  # no doubled rows from orphaned dirs
+        assert out.select("url").distinct().count() == out.count()
