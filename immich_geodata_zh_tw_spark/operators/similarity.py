@@ -176,26 +176,29 @@ def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
     return F.expr(lsh_signature_sql(vec_col, planes, dialect="spark"))
 
 
-def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
-                    vec_col: str = "embedding", dim: int, n_planes: int = 12,
-                    n_tables: int = 2, k: int = 1) -> DataFrame:
-    """Approximate all-pairs nearest neighbor: bucket-collision candidates
-    from ``n_tables`` independent plane sets, exact cosine re-rank.
+def lsh_scored_pairs(corpus: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", dim: int, n_planes: int = 12,
+                     n_tables: int = 2) -> DataFrame:
+    """Bucket-collision candidate pairs with exact cosine scores.
 
-    The shuffle key is the bucket hash (uniform); candidate fan-out is
-    bounded by bucket size — at 10^12 rows, raise n_planes to keep buckets
-    small rather than broadcasting anything.
+    The shared candidate stage under :func:`lsh_bucket_topk` (ANN) and
+    :func:`embedding_neardup_pairs` (near-dup detection): ids + signatures
+    ONLY ride the bucket self-join and the pair distinct; the embedding
+    arrays are re-attached exactly once afterwards.  Round 1 carried both
+    full vectors through the join AND the distinct — at 10^12 rows that
+    shuffles the entire embedding corpus twice (VERDICT.md round-1 item 7).
+    Shuffle key is the bucket hash (uniform); candidate fan-out is bounded
+    by bucket size — at 10^12 rows, raise n_planes to keep buckets small
+    rather than broadcasting anything.
+
+    Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``, one row per
+    distinct colliding pair.
     """
     sigs = []
     for t in range(n_tables):
         planes = hyperplanes(n_planes, dim, seed=1234 + 7 * t)
         sigs.append(F.struct(F.lit(t).alias("tbl"),
                              lsh_signature_expr(vec_col, planes).alias("sig")))
-    # ids + signatures ONLY ride the bucket self-join and the pair distinct;
-    # the embedding arrays are re-attached exactly once afterwards.  Round 1
-    # carried both full vectors through the join AND the distinct — at 10^12
-    # rows that shuffles the entire embedding corpus twice (VERDICT.md
-    # round-1 item 7).
     tagged = corpus.select(id_col,
                            F.explode(F.array(*sigs)).alias("b")
                            ).select(id_col, "b.tbl", "b.sig")
@@ -207,9 +210,41 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
                 .distinct())
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = (id_pairs.join(va, "id_a").join(vb, "id_b")
-             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 9))
-             .drop("va", "vb"))
+    return (id_pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 9))
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def embedding_neardup_pairs(corpus: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding", dim: int,
+                            n_planes: int = 8, n_tables: int = 4,
+                            threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (driver mandate: the
+    embedding-space member of the dedup family, alongside exact hash /
+    MinHash / SimHash / n-gram Jaccard).
+
+    LSH bucket collisions generate candidates (linear in corpus + bucket
+    fan-out, never all-pairs), exact cosine keeps only pairs at or above
+    ``threshold``.  Same 100-TB shape as :func:`lsh_bucket_topk`; the
+    threshold filter is applied post-re-rank so the output is exactly the
+    candidate-restricted near-dup set — deterministic, hence (with literal
+    hyperplanes) fully DuckDB-oracle-checkable.
+    """
+    pairs = lsh_scored_pairs(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+                             n_planes=n_planes, n_tables=n_tables)
+    return pairs.filter(F.col("cos_sim") >= F.lit(float(threshold)))
+
+
+def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int, n_planes: int = 12,
+                    n_tables: int = 2, k: int = 1) -> DataFrame:
+    """Approximate all-pairs nearest neighbor: bucket-collision candidates
+    from ``n_tables`` independent plane sets, exact cosine re-rank.
+
+    Candidate generation is :func:`lsh_scored_pairs` (see its scale notes).
+    """
+    pairs = lsh_scored_pairs(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+                             n_planes=n_planes, n_tables=n_tables)
     # symmetric top-k per id
     sym = (pairs.select(F.col("id_a").alias("q_id"), F.col("id_b").alias("neighbor_id"), "cos_sim")
            .unionByName(pairs.select(F.col("id_b").alias("q_id"),

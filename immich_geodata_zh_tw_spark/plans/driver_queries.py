@@ -1486,6 +1486,77 @@ SELECT q_id, neighbor_id, cos_sim FROM (
 """
 
 
+# embedding-cosine near-dup (driver mandate: the embedding-space dedup path).
+# The synthetic embeddings have no natural near-dups (max pairwise cosine
+# ≈ 0.51 at sf0.01), so the query augments the corpus deterministically with
+# per-element-perturbed copies — the SAME left-associated IEEE arithmetic in
+# both engines, so the augmented vectors, the LSH buckets, and the exact
+# cosine scores are bit-identical across Spark and DuckDB:
+#   dups   (vec_id % 10 = 0, +1_000_000): x + 0.08·x² → cos ≈ 0.9998 (kept)
+#   decoys (vec_id % 10 = 5, +2_000_000): x + 1.5·x²  → cos ≈ 0.92-0.97
+# (collide in LSH buckets but fall below the 0.99 threshold — exercising the
+# exact-cosine filter, not just candidate generation).
+_ND_N_PLANES, _ND_N_TABLES, _ND_THRESHOLD = 8, 4, 0.99
+_ND_DUP_EPS, _ND_DECOY_EPS = 0.08, 1.5
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH bucket-collision candidates
+    (linear, never all-pairs) + exact cosine ≥ threshold.  Literal
+    hyperplanes + deterministic corpus augmentation ⇒ exact DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+
+    def perturbed(mod_rem: int, id_off: int, eps: float):
+        return (e.filter(F.col("vec_id") % 10 == mod_rem)
+                .select((F.col("vec_id") + id_off).alias("vec_id"),
+                        F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) "
+                               f"+ CAST({eps!r} AS DOUBLE) * CAST(x AS DOUBLE)"
+                               f" * CAST(x AS DOUBLE))").alias("v")))
+
+    corpus = (base
+              .unionByName(perturbed(0, 1_000_000, _ND_DUP_EPS))
+              .unionByName(perturbed(5, 2_000_000, _ND_DECOY_EPS)))
+    return similarity.embedding_neardup_pairs(
+        corpus, id_col="vec_id", vec_col="v", dim=64,
+        n_planes=_ND_N_PLANES, n_tables=_ND_N_TABLES,
+        threshold=_ND_THRESHOLD)
+
+
+def _sql_embed_neardup() -> str:
+    sigs = []
+    for t in range(_ND_N_TABLES):
+        planes = similarity.hyperplanes(_ND_N_PLANES, 64, seed=1234 + 7 * t)
+        sig = similarity.lsh_signature_sql("v", planes, dialect="duckdb")
+        sigs.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM corpus")
+    bands = " UNION ALL ".join(sigs)
+    cos = _COS_DUCK.format(a="va.v", b="vb.v")
+
+    def pert(mod_rem, id_off, eps):
+        return (f"SELECT vec_id + {id_off} AS vec_id, "
+                f"list_transform(v, x -> x + CAST({eps!r} AS DOUBLE) * x * x)"
+                f" AS v FROM base WHERE vec_id % 10 = {mod_rem}")
+
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL {pert(0, 1_000_000, _ND_DUP_EPS)}
+  UNION ALL {pert(5, 2_000_000, _ND_DECOY_EPS)}),
+bands AS ({bands}),
+id_pairs AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bands l JOIN bands r ON l.tbl = r.tbl AND l.sig = r.sig
+  WHERE l.vec_id < r.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT p.id_a, p.id_b, round({cos}, 9) AS cos_sim
+  FROM id_pairs p JOIN corpus va ON va.vec_id = p.id_a
+  JOIN corpus vb ON vb.vec_id = p.id_b)
+WHERE cos_sim >= {_ND_THRESHOLD!r}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1540,6 +1611,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "release_pipeline": q_release_pipeline,
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ann_ivf": q_embed_ann_ivf,
+    "embed_neardup": q_embed_neardup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1595,6 +1667,7 @@ _ORACLES: dict[str, str] = {
     # they carry exact oracles too (round-2 VERDICT item 1)
     "embed_ann_lsh": _sql_embed_ann_lsh(),
     "embed_ann_ivf": _sql_embed_ann_ivf(),
+    "embed_neardup": _sql_embed_neardup(),
 }
 
 

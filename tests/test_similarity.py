@@ -104,3 +104,35 @@ class TestLshAnn:
         a = a.sort_values(["q_id"]).reset_index(drop=True)
         b = b.sort_values(["q_id"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestEmbeddingNearDup:
+    def test_planted_dups_found_decoys_rejected(self, spark, embeddings):
+        """Corpus ∪ mildly-perturbed copies (cos ≈ 0.9998) ∪ heavily-perturbed
+        decoys (cos ≈ 0.92-0.97): every dup pair must survive the 0.99
+        threshold, no decoy or cross pair may."""
+        from immich_geodata_zh_tw_spark.operators import similarity
+
+        base = embeddings.select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .alias("v"))
+
+        def pert(rem, off, eps):
+            return (embeddings.filter(F.col("vec_id") % 5 == rem)
+                    .select((F.col("vec_id") + off).alias("vec_id"),
+                            F.expr(f"transform(embedding, x -> "
+                                   f"CAST(x AS DOUBLE) + {eps}D * CAST(x AS "
+                                   f"DOUBLE) * CAST(x AS DOUBLE))").alias("v")))
+
+        corpus = (base.unionByName(pert(0, 10_000, 0.08))
+                  .unionByName(pert(1, 20_000, 1.5)))
+        n_dups = embeddings.filter(F.col("vec_id") % 5 == 0).count()
+        got = similarity.embedding_neardup_pairs(
+            corpus, id_col="vec_id", vec_col="v", dim=64,
+            n_planes=8, n_tables=4, threshold=0.99).toPandas()
+        assert (got["cos_sim"] >= 0.99).all()
+        # every surviving pair is a planted (base, +10k dup) pair...
+        assert ((got["id_b"] - got["id_a"]) == 10_000).all()
+        # ...and LSH recall over the planted pairs is high (16 tables would
+        # give 100%; 4 keeps the test aligned with the driver query params)
+        assert len(got) >= 0.9 * n_dups
