@@ -61,7 +61,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "tpch_q1", "dedup_keep_best", "sessionize",
             "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
             "doc_text_stats",
-            "embed_knn", "extract_chinese_names", "release_pipeline",
+            "embed_knn", "embed_neardup", "extract_chinese_names",
+            "release_pipeline",
         ]
         qs = dq.queries()
         for name in bench_queries:

@@ -176,6 +176,41 @@ def lsh_signature_expr(vec_col: str, planes: np.ndarray) -> Column:
     return F.expr(lsh_signature_sql(vec_col, planes, dialect="spark"))
 
 
+def lsh_signature_udf(planes_per_table: list[np.ndarray]):
+    """Vectorized pandas UDF: embedding → array of per-table bucket ids,
+    BIT-IDENTICAL to :func:`lsh_signature_sql`.
+
+    The SQL text sums plane-dot terms left-associatively; numpy's matmul
+    uses pairwise/blocked summation whose last-ulp differences could flip a
+    sign bit when a dot product sits within ~1e-16 of zero — so this UDF
+    accumulates sequentially over dimensions (one vectorized add per dim),
+    reproducing the SQL's exact IEEE order.  Scale rationale: a 14-plane ×
+    4-table signature is ~3.6k scalar expression nodes — past Janino's
+    method limit, so Spark falls back to interpreted (boxed) projection,
+    measured 16 s at sf0.1; one Arrow-batched matmul-shaped pass is the
+    same bits at numpy speed (and the batched-pandas-UDF shape the
+    north-star prescribes for cell encoding)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tables = [np.asarray(p, dtype=np.float64) for p in planes_per_table]
+
+    def sigs(vecs):
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        cols = []
+        for planes in tables:
+            n_planes, dim = planes.shape
+            acc = np.zeros((len(x), n_planes))
+            for d in range(dim):  # sequential: matches SQL's left-assoc sum
+                acc += x[:, d:d + 1] * planes[:, d][None, :]
+            bits = (acc > 0.0).astype(np.int64)
+            cols.append((bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1))
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    sigs.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<long>")
+
+
 def lsh_scored_pairs(corpus: DataFrame, *, id_col: str = "vec_id",
                      vec_col: str = "embedding", dim: int, n_planes: int = 12,
                      n_tables: int = 2) -> DataFrame:
@@ -194,14 +229,10 @@ def lsh_scored_pairs(corpus: DataFrame, *, id_col: str = "vec_id",
     Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``, one row per
     distinct colliding pair.
     """
-    sigs = []
-    for t in range(n_tables):
-        planes = hyperplanes(n_planes, dim, seed=1234 + 7 * t)
-        sigs.append(F.struct(F.lit(t).alias("tbl"),
-                             lsh_signature_expr(vec_col, planes).alias("sig")))
-    tagged = corpus.select(id_col,
-                           F.explode(F.array(*sigs)).alias("b")
-                           ).select(id_col, "b.tbl", "b.sig")
+    sig_udf = lsh_signature_udf(
+        [hyperplanes(n_planes, dim, seed=1234 + 7 * t) for t in range(n_tables)])
+    tagged = corpus.select(
+        id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"))
     l, r = tagged.alias("l"), tagged.alias("r")
     id_pairs = (l.join(r, ["tbl", "sig"])
                 .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

@@ -1496,7 +1496,12 @@ SELECT q_id, neighbor_id, cos_sim FROM (
 #   decoys (vec_id % 10 = 5, +2_000_000): x + 1.5·x²  → cos ≈ 0.92-0.97
 # (collide in LSH buckets but fall below the 0.99 threshold — exercising the
 # exact-cosine filter, not just candidate generation).
-_ND_N_PLANES, _ND_N_TABLES, _ND_THRESHOLD = 8, 4, 0.99
+# 14 planes: 16k buckets/table keeps bucket self-join fan-out tiny even at
+# sf0.1 (22k rows) — near-identical vectors still co-bucket (flip prob per
+# plane ≈ angle/π ≈ 0.006 at cos 0.9998, ≥1-of-4-tables collision ≈ 0.9999);
+# 8 planes measured 10.4 s at sf0.1 from ~4M candidate pairs, 14 planes cuts
+# candidates ~50×
+_ND_N_PLANES, _ND_N_TABLES, _ND_THRESHOLD = 14, 4, 0.99
 _ND_DUP_EPS, _ND_DECOY_EPS = 0.08, 1.5
 
 
