@@ -9,17 +9,20 @@ per-batch vectorization; the *decode* kernels are split in three tiers:
   formats and need no codec;
 * **real pixel/sample decode without codec libraries**: 24-bit BI_RGB BMP,
   non-interlaced 8-bit RGB/RGBA **PNG** (stdlib ``zlib`` inflate + the four
-  PNG row filters re-derived in numpy — round-2 VERDICT item 5), and PCM-16
-  WAV samples — their feature vectors are *actual content statistics*
-  (per-channel means/stds, RMS, zero-crossing rate…), ``real_decode=true``;
+  PNG row filters re-derived in numpy — round-2 VERDICT item 5), **GIF**
+  (pure-Python LZW + palette lookup, incl. interlacing — round 3),
+  baseline 4:4:4 **JPEG** (Huffman + dequant + IDCT re-derived in numpy,
+  ``extract/jpeg.py`` — round 3), and PCM-16 WAV samples — their feature
+  vectors are *actual content statistics* (per-channel means/stds, RMS,
+  zero-crossing rate…), ``real_decode=true``;
 * **video container metadata**: MP4/ISO-BMFF box-tree walk (``moov/mvhd``
   duration + timescale, ``trak/tkhd`` display dimensions) — stdlib struct,
   round-2 VERDICT item 8;
-* **codec formats** (GIF/JPEG pixels, video frame decode) need codec
-  libraries absent from this environment — those features are a
-  clearly-marked deterministic fake (splitmix-hash) behind ``STUB_DECODE``,
-  ``real_decode = false``; swap for PIL/ffmpeg kernels on a real cluster
-  without touching any plan.
+* **video FRAME decode** (and exotic image flavors: progressive/subsampled
+  JPEG, 16-bit/palette PNG) needs codec libraries absent from this
+  environment — those features are a clearly-marked deterministic fake
+  (splitmix-hash) behind ``STUB_DECODE``, ``real_decode = false``; swap for
+  ffmpeg/PIL kernels on a real cluster without touching any plan.
 """
 
 from __future__ import annotations
@@ -33,8 +36,9 @@ import pandas as pd
 
 from ..synth.hashing import splitmix64
 
-#: codec-backed formats (GIF/JPEG pixels, video frames) fall back to the
-#: fake feature; BMP + PNG + WAV decode for real regardless of this flag
+#: only video frames (and undecodable image flavors) fall back to the fake
+#: feature; BMP/PNG/GIF/JPEG pixels + WAV samples decode for real
+#: regardless of this flag
 STUB_DECODE = True
 
 MEDIA_SCHEMA = ("url string, media_type string, content binary")
@@ -224,6 +228,122 @@ def parse_mp4_header(buf: bytes) -> tuple[float, int, int] | None:
     return duration, width or 0, height or 0
 
 
+def _lzw_decode(data: bytes, min_code: int,
+                max_pixels: int) -> list[int] | None:
+    """GIF-variant LZW decode (little-endian bit packing, clear/end codes,
+    code width growing to 12 bits) — pure Python, spec §22."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte, shift = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte:byte + 3], "little")
+        code = (chunk >> shift) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code, code_size, prev = end + 1, min_code + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+            else:
+                return None
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+#: GIF interlace passes (row start, step) per spec appendix E
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(buf: bytes) -> np.ndarray | None:
+    """REAL pixel decode for GIF87a/89a — pure-Python LZW + numpy palette
+    lookup (no codec library; round-3, closes the GIF leg of the codec
+    stub).  Decodes the FIRST image frame, honoring local color tables and
+    interlacing.  Returns (h, w, 3) uint8 RGB or None on any malformation.
+    """
+    if buf[:6] not in (b"GIF87a", b"GIF89a") or len(buf) < 13:
+        return None
+    packed = buf[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(buf) < pos + 3 * n:
+            return None
+        gct = np.frombuffer(buf, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if len(buf) < pos + 10:
+                return None
+            _l, _t, iw, ih = struct.unpack("<HHHH", buf[pos + 1:pos + 9])
+            ipacked = buf[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if len(buf) < pos + 3 * n:
+                    return None
+                ct = np.frombuffer(buf, np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None or pos >= len(buf):
+                return None
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(buf) and buf[pos]:
+                ln = buf[pos]
+                data += buf[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.asarray(idx[:iw * ih], np.int32).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: stored in 4 passes
+                dst = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    rows = range(start, ih, step)
+                    dst[list(rows)] = arr[src:src + len(rows)]
+                    src += len(rows)
+                arr = dst
+            if (arr >= len(ct)).any():
+                return None
+            return ct[arr]
+        elif b0 == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
 def decode_wav_samples(buf: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL sample decode for PCM-16 WAV — numpy only.
 
@@ -301,10 +421,10 @@ def _fake_feature(buf: bytes) -> np.ndarray:
 def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` kernel: media rows → typed metadata + feature vector.
 
-    BMP + PNG pixels and PCM-16 WAV samples decode for REAL (numpy;
+    BMP/PNG/GIF/JPEG pixels and PCM-16 WAV samples decode for REAL (numpy;
     feature = content statistics, ``real_decode=true``); MP4 video gets
-    real container metadata (duration + dimensions); remaining codec
-    formats keep header metadata real and fall back to the declared stub
+    real container metadata (duration + dimensions); only video frames
+    (and undecodable image flavors) fall back to the declared stub
     feature."""
     for pdf in batches:
         out = {k: [] for k in ("url", "media_type", "format", "width", "height",
@@ -318,8 +438,15 @@ def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 px = decode_bmp_pixels(buf)
                 if px is None:
                     px = decode_png_pixels(buf)
+                if px is None:
+                    px = decode_gif_pixels(buf)
+                if px is None and buf[:2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg_pixels
+                    px = decode_jpeg_pixels(buf)
                 if px is not None:
-                    fmt = "png" if buf[:4] == b"\x89PNG"[:4] else "bmp"
+                    fmt = ("png" if buf[:4] == b"\x89PNG"[:4]
+                           else "gif" if buf[:3] == b"GIF"
+                           else "jpeg" if buf[:2] == b"\xff\xd8" else "bmp")
                     w, h = px.shape[1], px.shape[0]
                     real, feature = True, image_feature(px)
                 else:
@@ -416,6 +543,73 @@ def make_png(width: int, height: int, *, seed: int = 0,
             + chunk(b"IEND", b""))
 
 
+def make_gif(width: int, height: int, *, seed: int = 0, n_colors: int = 64,
+             interlaced: bool = False) -> bytes:
+    """Real GIF89a with LZW-coded pixels (the classic fixed-width coding:
+    literal codes with a clear emitted before the decoder's code width
+    would grow — valid LZW every decoder accepts) over a deterministic
+    gradient palette/index pattern; fully decodable by
+    :func:`decode_gif_pixels`, optionally interlaced."""
+    bits = max((n_colors - 1).bit_length(), 1)
+    ct_size = 1 << bits
+    shade = (np.arange(ct_size, dtype=np.int64) * 255) // max(ct_size - 1, 1)
+    palette = np.stack([shade, 255 - shade, (shade * 3) % 256],
+                       axis=-1).astype(np.uint8)
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    idx = np.broadcast_to((x * 7 + y * 13 + seed * 5) % n_colors,
+                          (height, width)).astype(np.int64)
+    if interlaced:
+        rows = [r for start, step in _GIF_PASSES
+                for r in range(start, height, step)]
+        idx = idx[rows]
+    min_code = max(bits, 2)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes: list[int] = [clear]
+    count = 0
+    for p in idx.ravel().tolist():
+        if count == clear - 2:  # keep the decoder's code width fixed
+            codes.append(clear)
+            count = 0
+        codes.append(int(p))
+        count += 1
+    codes.append(end)
+    cs = min_code + 1
+    bitbuf = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        bitbuf |= c << nbits
+        nbits += cs
+        while nbits >= 8:
+            packed.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(bitbuf & 0xFF)
+    sub = b"".join(bytes([len(packed[i:i + 255])]) + bytes(packed[i:i + 255])
+                   for i in range(0, len(packed), 255))
+    lsd_packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    img_packed = 0x40 if interlaced else 0x00
+    return (b"GIF89a" + struct.pack("<HHBBB", width, height, lsd_packed, 0, 0)
+            + palette.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, img_packed)
+            + bytes([min_code]) + sub + b"\x00" + b"\x3B")
+
+
+def make_jpeg_gradient(width: int, height: int, *, seed: int = 0) -> bytes:
+    """Real baseline-JPEG bytes (4:4:4, Annex-K quant tables) over the same
+    deterministic gradient the other image generators use — decodable by
+    :func:`.jpeg.decode_jpeg_pixels` (lossy: DCT quantization)."""
+    from .jpeg import make_jpeg
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    rgb = np.stack(np.broadcast_arrays(
+        ((x + y + seed) * 5) % 256, ((y * 13 + seed) * 3) % 256,
+        ((x + seed) * 7) % 256), axis=-1).astype(np.uint8)
+    return make_jpeg(rgb)
+
+
 def make_mp4(duration_s: float, width: int, height: int, *,
              timescale: int = 1000) -> bytes:
     """Minimal structurally-valid MP4: ftyp + moov(mvhd + trak(tkhd))."""
@@ -468,7 +662,7 @@ def make_bmp(width: int, height: int, *, seed: int = 0) -> bytes:
 
 def media_df(spark, n: int):
     """Deterministic media table: BMP images (real pixels), WAV audio (real
-    samples), PNG images (real zlib-compressed pixels), and MP4 video
+    samples), PNG/GIF images (real zlib- / LZW-coded pixels), and MP4 video
     (real container metadata) in rotation."""
     def gen(batches):
         for pdf in batches:
@@ -483,8 +677,18 @@ def media_df(spark, n: int):
                                  make_wav(8000 + (i % 5) * 8000, 100 + i % 50,
                                           amplitude=4000 + (i % 7) * 1000)))
                 elif i % 4 == 2:
-                    rows.append((f"img://{i}", "image",
-                                 make_png(16 + i % 64, 9 + i % 33, seed=i)))
+                    m = (i // 4) % 4
+                    if m == 1:  # real LZW pixels, sometimes interlaced
+                        rows.append((f"img://{i}", "image",
+                                     make_gif(16 + i % 48, 9 + i % 21, seed=i,
+                                              interlaced=bool((i // 4) % 8 == 5))))
+                    elif m == 3:  # real baseline-JPEG pixels (lossy)
+                        rows.append((f"img://{i}", "image",
+                                     make_jpeg_gradient(16 + i % 48,
+                                                        9 + i % 21, seed=i)))
+                    else:
+                        rows.append((f"img://{i}", "image",
+                                     make_png(16 + i % 64, 9 + i % 33, seed=i)))
                 else:
                     rows.append((f"vid://{i}", "video",
                                  make_mp4(1.0 + (i % 30), 320 + (i % 4) * 160,

@@ -7,7 +7,12 @@
 * ``lsh_bucket_topk`` — the scale path: random-hyperplane (SimHash) bucket
   signatures from deterministic splitmix-derived planes; candidates = bucket
   collisions under multiple rotations, then exact re-rank.  Approximate by
-  construction → rows-only check (no SQL oracle).
+  construction but DETERMINISTIC: the literal planes make signatures — and
+  hence the full output — exactly DuckDB-replicable (full oracle).
+* ``embedding_neardup_pairs`` — LSH candidates + exact cosine ≥ threshold:
+  the embedding-space member of the dedup family.
+* ``ivf_topk`` — the second ANN scale path (coarse quantizer, single-cell
+  corpus assignment, nprobe query fan-out).
 """
 
 from __future__ import annotations

@@ -730,6 +730,60 @@ FROM documents
 """
 
 
+# the C4-style prep thresholds (language, length, quality) — shared by the
+# Spark plan and the oracle
+_PREP_LANG, _PREP_MIN_TOKENS, _PREP_MIN_QUALITY = "en", 20, 0.5
+
+
+def q_doc_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep as ONE plan (the C4/RefinedWeb shape):
+    language filter → length/quality filter → exact dedup keeping the min-id
+    representative, emitting the surviving docs with their stats.  Filters
+    are pure shared-SQL-text expressions that reach the scan; the only
+    shuffle is the dedup hash-groupBy (content never shuffles — just its
+    md5, the stats, and the min id)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        F.expr(textstats.token_count_sql("text")).alias("n_tokens"),
+        F.expr(textstats.quality_score_sql("text")).alias("quality_score"),
+        F.expr(textstats.predict_lang_sql("text")).alias("pred_lang"))
+    kept = scored.filter(
+        (F.col("pred_lang") == _PREP_LANG)
+        & (F.col("n_tokens") >= _PREP_MIN_TOKENS)
+        & (F.col("quality_score") >= _PREP_MIN_QUALITY))
+    packed = F.struct(F.col("doc_id").alias("i"),
+                      F.col("n_tokens").alias("t"),
+                      F.col("quality_score").alias("q"))
+    return (kept.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.min(packed).alias("b"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select(F.col("b.i").alias("doc_id"),
+                    F.col("b.t").alias("n_tokens"),
+                    F.col("b.q").alias("quality_score"),
+                    "dup_count"))
+
+
+def _sql_doc_prep_pipeline() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {textstats.token_count_sql('text')} AS n_tokens,
+         {textstats.quality_score_sql('text')} AS quality_score,
+         {textstats.predict_lang_sql('text')} AS pred_lang
+  FROM documents),
+kept AS (
+  SELECT * FROM scored
+  WHERE pred_lang = '{_PREP_LANG}' AND n_tokens >= {_PREP_MIN_TOKENS}
+    AND quality_score >= {_PREP_MIN_QUALITY!r})
+SELECT min_by(doc_id, (doc_id)) AS doc_id,
+       min_by(n_tokens, (doc_id)) AS n_tokens,
+       min_by(quality_score, (doc_id)) AS quality_score,
+       count(*) AS dup_count
+FROM kept GROUP BY md5(text)
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash near-dup buckets: fingerprint groups with counts + rep id
     (identical fingerprints ⇒ near-dup bucket)."""
@@ -1602,6 +1656,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_simhash": q_doc_simhash,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_prep_pipeline": q_doc_prep_pipeline,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1655,6 +1710,7 @@ _ORACLES: dict[str, str] = {
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
+    "doc_prep_pipeline": _sql_doc_prep_pipeline(),
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,

@@ -1,7 +1,7 @@
-"""Multimodal binary-column kernels: headers real for all formats; BMP + PNG
-pixel and PCM-16 WAV sample decode REAL (content-statistics features); MP4
-container metadata real; codec formats (GIF/JPEG pixels, video frames)
-remain the declared stub."""
+"""Multimodal binary-column kernels: headers real for all formats;
+BMP/PNG/GIF/JPEG pixel and PCM-16 WAV sample decode REAL
+(content-statistics features); MP4 container metadata real; only video
+frames remain the declared stub."""
 
 from __future__ import annotations
 
@@ -67,6 +67,67 @@ class TestRealDecode:
         assert (px[..., 1] == np.broadcast_to(((y * 13 + seed) * 3) % 256, (h, w))).all()
         assert (px[..., 2] == np.broadcast_to(((x + y + seed) * 5) % 256, (h, w))).all()
 
+    def test_gif_pixels_round_trip(self):
+        """decode(make_gif) must reproduce the generator's exact palette
+        pixels through the pure-Python LZW decoder."""
+        for nc, il in [(64, False), (64, True), (256, False), (4, True)]:
+            w, h, seed = 21, 11, 3
+            px = mm.decode_gif_pixels(
+                mm.make_gif(w, h, seed=seed, n_colors=nc, interlaced=il))
+            assert px is not None and px.shape == (h, w, 3)
+            bits = max((nc - 1).bit_length(), 1)
+            ct = 1 << bits
+            shade = (np.arange(ct, dtype=np.int64) * 255) // max(ct - 1, 1)
+            pal = np.stack([shade, 255 - shade, (shade * 3) % 256],
+                           axis=-1).astype(np.uint8)
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)[:, None]
+            idx = np.broadcast_to((x * 7 + y * 13 + seed * 5) % nc, (h, w))
+            assert (px == pal[idx]).all(), (nc, il)
+
+    def test_gif_malformed_falls_back(self):
+        assert mm.decode_gif_pixels(b"GIF89a\x00") is None
+        assert mm.decode_gif_pixels(b"notgif") is None
+        # header-only GIF (no image descriptor): header parse still works
+        hdr = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        assert mm.parse_image_header(hdr) == ("gif", 320, 200)
+
+    def test_jpeg_pixels_round_trip(self):
+        """Baseline-JPEG decode(make_jpeg) is LOSSY but must land within
+        quantization error of the original, and be exact on flat images."""
+        from immich_geodata_zh_tw_spark.extract import jpeg
+
+        w, h, seed = 33, 24, 4
+        buf = mm.make_jpeg_gradient(w, h, seed=seed)
+        assert mm.parse_image_header(buf) == ("jpeg", w, h)
+        px = jpeg.decode_jpeg_pixels(buf)
+        assert px is not None and px.shape == (h, w, 3)
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)[:, None]
+        want = np.stack(np.broadcast_arrays(
+            ((x + y + seed) * 5) % 256, ((y * 13 + seed) * 3) % 256,
+            ((x + seed) * 7) % 256), axis=-1).astype(np.int64)
+        # the modulo gradient has 255→0 wrap edges → DCT ringing; loose gate
+        diff = np.abs(px.astype(np.int64) - want)
+        assert diff.mean() < 16 and diff.max() < 128, (diff.mean(), diff.max())
+        # tight gate on a smooth (wrap-free) image: within quantization error
+        xs = np.arange(40); ys = np.arange(32)[:, None]
+        smooth = np.stack(np.broadcast_arrays(
+            64 + 64 * np.sin(xs / 9.0) * np.cos(ys / 7.0) + 100,
+            128 + xs, 96 + ys * 2), axis=-1).astype(np.uint8)
+        out = jpeg.decode_jpeg_pixels(jpeg.make_jpeg(smooth))
+        sdiff = np.abs(out.astype(np.int64) - smooth.astype(np.int64))
+        assert sdiff.mean() < 4 and sdiff.max() < 24, (sdiff.mean(), sdiff.max())
+        flat = np.full((16, 16, 3), 100, np.uint8)
+        out = jpeg.decode_jpeg_pixels(jpeg.make_jpeg(flat))
+        assert (out == 100).all()
+
+    def test_jpeg_malformed_falls_back(self):
+        from immich_geodata_zh_tw_spark.extract import jpeg
+
+        assert jpeg.decode_jpeg_pixels(b"\xff\xd8junk") is None
+        assert jpeg.decode_jpeg_pixels(b"notjpeg") is None
+
     def test_png_header_only_falls_back(self):
         buf = mm.make_png(8, 4, pixels=False)
         assert mm.decode_png_pixels(buf) is None
@@ -110,12 +171,18 @@ class TestSparkPlumbing:
         assert len(decoded) == 100
         bmps = decoded[decoded["format"] == "bmp"]
         pngs = decoded[decoded["format"] == "png"]
+        gifs = decoded[decoded["format"] == "gif"]
+        jpgs = decoded[decoded["format"] == "jpeg"]
         auds = decoded[decoded["media_type"] == "audio"]
         vids = decoded[decoded["media_type"] == "video"]
-        assert len(bmps) == len(pngs) == len(auds) == len(vids) == 25
-        # real decodes flagged as such (PNG pixels now real, round-3)
+        assert len(bmps) == len(auds) == len(vids) == 25
+        # the i%4==2 image slot cycles png/gif/png/jpeg by (i//4)%4
+        assert (len(pngs), len(gifs), len(jpgs)) == (13, 6, 6)
+        # real decodes flagged as such (PNG round-2, GIF+JPEG round-3)
         assert bmps["real_decode"].all()
         assert pngs["real_decode"].all()
+        assert gifs["real_decode"].all()
+        assert jpgs["real_decode"].all()
         assert auds["real_decode"].all()
         assert not vids["real_decode"].any()  # container metadata only
         assert bmps["width"].between(8, 23).all()
@@ -128,7 +195,7 @@ class TestSparkPlumbing:
         assert np.isfinite(feats).all()
         # real features carry content statistics, not hashes: the aspect
         # slot of every decoded image equals width/height exactly
-        for sub in (bmps, pngs):
+        for sub in (bmps, pngs, gifs):
             f = np.array(sub["feature"].tolist())
             assert np.allclose(f[:, 14],
                                sub["width"].to_numpy() / sub["height"].to_numpy())
