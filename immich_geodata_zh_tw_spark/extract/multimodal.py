@@ -16,13 +16,19 @@ per-batch vectorization; the *decode* kernels are split in three tiers:
   vectors are *actual content statistics* (per-channel means/stds, RMS,
   zero-crossing rate…), ``real_decode=true``;
 * **video container metadata**: MP4/ISO-BMFF box-tree walk (``moov/mvhd``
-  duration + timescale, ``trak/tkhd`` display dimensions) — stdlib struct,
-  round-2 VERDICT item 8;
-* **video FRAME decode** (and exotic image flavors: progressive/subsampled
-  JPEG, 16-bit/palette PNG) needs codec libraries absent from this
-  environment — those features are a clearly-marked deterministic fake
-  (splitmix-hash) behind ``STUB_DECODE``, ``real_decode = false``; swap for
-  ffmpeg/PIL kernels on a real cluster without touching any plan.
+  duration + timescale, ``trak/tkhd`` display dimensions) and RIFF-AVI
+  ``avih`` main header — stdlib struct, round-2 VERDICT item 8;
+* **real video FRAME decode**: MJPEG-in-AVI — every ``##dc`` chunk of an
+  MJPEG stream is a standalone baseline JPEG, so evenly-sampled frames
+  (first/middle/last) decode through ``extract/jpeg.py`` and the feature
+  is the mean of real per-frame content statistics, ``real_decode=true``
+  (round 3);
+* **inter-frame-coded video** (MP4/H.264 etc.) and exotic image flavors
+  (progressive/subsampled JPEG, 16-bit/palette PNG) need codec libraries
+  absent from this environment — those features are a clearly-marked
+  deterministic fake (splitmix-hash) behind ``STUB_DECODE``,
+  ``real_decode = false``; swap for ffmpeg/PIL kernels on a real cluster
+  without touching any plan.
 """
 
 from __future__ import annotations
@@ -36,9 +42,9 @@ import pandas as pd
 
 from ..synth.hashing import splitmix64
 
-#: only video frames (and undecodable image flavors) fall back to the fake
-#: feature; BMP/PNG/GIF/JPEG pixels + WAV samples decode for real
-#: regardless of this flag
+#: only inter-frame-coded video (MP4/H.264) and undecodable image flavors
+#: fall back to the fake feature; BMP/PNG/GIF/JPEG pixels, MJPEG-AVI video
+#: frames + WAV samples decode for real regardless of this flag
 STUB_DECODE = True
 
 MEDIA_SCHEMA = ("url string, media_type string, content binary")
@@ -226,6 +232,68 @@ def parse_mp4_header(buf: bytes) -> tuple[float, int, int] | None:
     if duration is None:
         return None
     return duration, width or 0, height or 0
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk RIFF sub-chunks: [fourcc][u32le size][data, even-padded]."""
+    while pos + 8 <= end:
+        kind = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        yield kind, pos + 8, min(pos + 8 + size, end)
+        pos += 8 + size + (size & 1)
+
+
+def parse_avi_header(buf: bytes) -> tuple[float, int, int, int] | None:
+    """(duration_s, width, height, n_frames) from a RIFF-AVI ``avih`` main
+    header — pure stdlib (AVI is the OpenDML/VfW RIFF layout: the ``hdrl``
+    LIST carries a 56-byte MainAVIHeader)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI " or len(buf) < 12:
+        return None
+    for kind, body, end in _riff_chunks(buf, 12, len(buf)):
+        if kind != b"LIST" or buf[body:body + 4] != b"hdrl":
+            continue
+        for k2, b2, e2 in _riff_chunks(buf, body + 4, end):
+            if k2 == b"avih" and e2 - b2 >= 40:
+                (usec_pf, _maxbps, _pad, _flags, n_frames, _init, _streams,
+                 _sugg, w, h) = struct.unpack("<10I", buf[b2:b2 + 40])
+                dur = n_frames * usec_pf / 1e6 if usec_pf else 0.0
+                return dur, w, h, n_frames
+    return None
+
+
+def decode_avi_mjpeg_frames(buf: bytes,
+                            max_frames: int = 3) -> list[np.ndarray]:
+    """REAL video-frame decode for MJPEG-in-AVI — every frame of an MJPEG
+    stream is a standalone baseline JPEG, so the ``movi`` LIST's ``##dc``
+    chunks feed straight into :func:`.jpeg.decode_jpeg_pixels`.
+
+    Samples up to ``max_frames`` frames evenly across the stream (first /
+    middle / last at the default) — the frame-sampling shape a perceptual
+    video embedding uses, without decoding the whole stream."""
+    from .jpeg import decode_jpeg_pixels
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return []
+    spans: list[tuple[int, int]] = []
+    for kind, body, end in _riff_chunks(buf, 12, len(buf)):
+        if kind == b"LIST" and buf[body:body + 4] == b"movi":
+            for k2, b2, e2 in _riff_chunks(buf, body + 4, end):
+                if k2[2:4] in (b"dc", b"db"):
+                    spans.append((b2, e2))
+    if not spans:
+        return []
+    if len(spans) <= max_frames:
+        picks = range(len(spans))
+    else:
+        picks = sorted({round(i * (len(spans) - 1) / (max_frames - 1))
+                        for i in range(max_frames)})
+    frames = []
+    for i in picks:
+        s, e = spans[i]
+        px = decode_jpeg_pixels(buf[s:e])
+        if px is not None:
+            frames.append(px)
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int,
@@ -465,11 +533,24 @@ def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     if parsed:
                         fmt, rate = "wav", parsed[0]
             elif mtype == "video":
-                parsed = parse_mp4_header(buf)
-                if parsed:
-                    dur, w, h = parsed
-                    fmt = "mp4"
+                avi = parse_avi_header(buf)
+                if avi is not None:
+                    dur, w, h, _nf = avi
+                    fmt = "avi"
                     w, h = (w or None), (h or None)
+                    frames = decode_avi_mjpeg_frames(buf, max_frames=3)
+                    if frames:
+                        real = True
+                        feature = np.stack(
+                            [image_feature(px) for px in frames]).mean(axis=0)
+                        if w is None or h is None:
+                            h, w = frames[0].shape[:2]
+                else:
+                    parsed = parse_mp4_header(buf)
+                    if parsed:
+                        dur, w, h = parsed
+                        fmt = "mp4"
+                        w, h = (w or None), (h or None)
             out["url"].append(url)
             out["media_type"].append(mtype)
             out["format"].append(fmt)
@@ -624,6 +705,43 @@ def make_mp4(duration_s: float, width: int, height: int, *,
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
 
 
+def make_avi_mjpeg(width: int, height: int, n_frames: int, *,
+                   fps: int = 10, seed: int = 0) -> bytes:
+    """Real MJPEG-in-AVI: RIFF(hdrl(avih + strl(strh/strf)) + movi(##dc…))
+    where every frame is a genuine baseline JPEG from :func:`.jpeg.make_jpeg`
+    over a per-frame-shifted deterministic gradient — fully decodable by
+    :func:`decode_avi_mjpeg_frames`."""
+    from .jpeg import make_jpeg
+
+    def chunk(kind: bytes, body: bytes) -> bytes:
+        return kind + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = []
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    for f in range(n_frames):
+        s = seed + 11 * f
+        rgb = np.stack(np.broadcast_arrays(
+            ((x + y + s) * 5) % 256, ((y * 13 + s) * 3) % 256,
+            ((x + s) * 7) % 256), axis=-1).astype(np.uint8)
+        frames.append(make_jpeg(rgb))
+    avih = chunk(b"avih", struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0, n_frames, 0, 1, 0, width, height)
+        + b"\0" * 16)
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def make_wav(sample_rate: int, n_samples: int, *, amplitude: int = 0,
              period: int = 32) -> bytes:
     """Structurally-valid PCM-16 mono WAV; ``amplitude > 0`` fills the data
@@ -662,8 +780,9 @@ def make_bmp(width: int, height: int, *, seed: int = 0) -> bytes:
 
 def media_df(spark, n: int):
     """Deterministic media table: BMP images (real pixels), WAV audio (real
-    samples), PNG/GIF images (real zlib- / LZW-coded pixels), and MP4 video
-    (real container metadata) in rotation."""
+    samples), PNG/GIF/JPEG images (real zlib-/LZW-/Huffman-coded pixels),
+    and video — MJPEG-AVI (real sampled frames) alternating with MP4 (real
+    container metadata, stub frames) — in rotation."""
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -690,9 +809,16 @@ def media_df(spark, n: int):
                         rows.append((f"img://{i}", "image",
                                      make_png(16 + i % 64, 9 + i % 33, seed=i)))
                 else:
-                    rows.append((f"vid://{i}", "video",
-                                 make_mp4(1.0 + (i % 30), 320 + (i % 4) * 160,
-                                          240 + (i % 4) * 120)))
+                    if (i // 4) % 2 == 1:  # real MJPEG frames
+                        rows.append((f"vid://{i}", "video",
+                                     make_avi_mjpeg(16 + (i % 3) * 8,
+                                                    16 + (i % 2) * 8,
+                                                    2 + i % 4, seed=i)))
+                    else:
+                        rows.append((f"vid://{i}", "video",
+                                     make_mp4(1.0 + (i % 30),
+                                              320 + (i % 4) * 160,
+                                              240 + (i % 4) * 120)))
             yield pd.DataFrame(rows, columns=["url", "media_type", "content"])
 
     return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -114,6 +114,69 @@ def fingerprint_sql(text_col: str = "text") -> str:
     return f"md5(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''))"
 
 
+def word_ngrams_expr(words_col: str, n: int) -> Column:
+    """Word n-grams of an already-split array, as one JVM expression
+    (positions are 1-based in both Spark ``slice`` and DuckDB
+    ``list_slice`` — the oracle twin lives in the driver-queries SQL)."""
+    return F.expr(
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> array_join(slice({words_col}, i, {n}), ' '))")
+
+
+def repetition_metrics(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", top_n: int = 2,
+                       dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+
+    * ``top{top_n}gram_frac`` — occurrences of the single most frequent
+      word ``top_n``-gram over all ``top_n``-gram occurrences (repetitive
+      boilerplate pushes this up; Gopher drops docs > 0.20 at n=2);
+    * ``dup{dup_n}gram_frac`` — fraction of ``dup_n``-gram occurrences
+      whose gram occurs more than once (near-verbatim internal repetition;
+      Gopher drops docs > 0.15 at n=5..10).
+
+    Scale shape: explode n-grams → two-level aggregation.  The shuffle key
+    is ``(doc, gram)`` — high cardinality, no skew — and the second agg is
+    per-doc; nothing is quadratic and no row carries the whole doc.  Docs
+    shorter than ``n`` words yield NULL fractions (no grams to judge).
+    """
+    t = f"trim({text_col})"
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"split({t}, ' ')").alias("__w"),
+        F.expr(token_count_sql(text_col)).alias("n_words"),
+        F.expr(f"round(CAST(length(replace({t}, ' ', '')) AS DOUBLE) "
+               f"/ greatest({token_count_sql(text_col)}, 1), 6)")
+        .alias("mean_word_len"),
+    )
+
+    def gram_stats(n: int, prefix: str) -> DataFrame:
+        return (words.filter(F.expr(f"size(__w) >= {n}"))
+                .select(id_col, F.explode(word_ngrams_expr("__w", n))
+                        .alias("gram"))
+                .groupBy(id_col, "gram")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy(id_col)
+                .agg(F.sum("c").alias(f"{prefix}_total"),
+                     F.max("c").alias(f"{prefix}_top"),
+                     F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                     .alias(f"{prefix}_dup")))
+
+    top = gram_stats(top_n, "tg")
+    dup = gram_stats(dup_n, "dg")
+    return (words.drop("__w")
+            .join(top, id_col, "left")
+            .join(dup, id_col, "left")
+            .select(
+                id_col, "n_words", "mean_word_len",
+                F.round(F.col("tg_top").cast("double")
+                        / F.col("tg_total"), 6)
+                .alias(f"top{top_n}gram_frac"),
+                F.round(F.col("dg_dup").cast("double")
+                        / F.col("dg_total"), 6)
+                .alias(f"dup{dup_n}gram_frac")))
+
+
 # ---- Spark-side conveniences (wrap the shared SQL) ----
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -784,6 +784,99 @@ FROM kept GROUP BY md5(text)
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics per doc (Rae et al. 2021 §A1.1):
+    top-bigram occupancy + duplicate-5-gram fraction, via the explode →
+    (doc, gram) count → per-doc rollup shape (no quadratic step)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.repetition_metrics(d)
+
+
+#: CTE body shared by the two repetition oracles (DuckDB list dialect of
+#: operators/textstats.repetition_metrics — same positions, same rounding)
+_SQL_REPETITION_CTE = """
+w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws, trim(text) AS t, text
+  FROM documents),
+base AS (
+  SELECT doc_id, text,
+         (CASE WHEN length(t) = 0 THEN 0
+               ELSE length(t) - length(replace(t, ' ', '')) + 1 END) AS n_words,
+         round(CAST(length(replace(t, ' ', '')) AS DOUBLE)
+               / greatest((CASE WHEN length(t) = 0 THEN 0
+                                ELSE length(t) - length(replace(t, ' ', '')) + 1 END), 1),
+               6) AS mean_word_len
+  FROM w),
+tg AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+           i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS gram
+    FROM w WHERE len(ws) >= 2)
+  GROUP BY 1, 2),
+ta AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM tg GROUP BY 1),
+dg AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+           i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gram
+    FROM w WHERE len(ws) >= 5)
+  GROUP BY 1, 2),
+da AS (SELECT doc_id, sum(c) AS total,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM dg GROUP BY 1),
+rep AS (
+  SELECT base.doc_id, base.text, n_words, mean_word_len,
+         round(CAST(ta.top AS DOUBLE) / ta.total, 6) AS top2gram_frac,
+         round(CAST(da.dup AS DOUBLE) / da.total, 6) AS dup5gram_frac
+  FROM base LEFT JOIN ta USING (doc_id) LEFT JOIN da USING (doc_id))
+"""
+
+SQL_DOC_REPETITION = f"""
+WITH {_SQL_REPETITION_CTE}
+SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac FROM rep
+"""
+
+#: Gopher-inspired keep thresholds (document-quality gate; the word-count
+#: floor is scaled to the synthetic corpus — real Gopher uses 50)
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_MAX_TOP2, _GOPHER_MAX_DUP5 = 0.1, 0.15
+
+
+def q_doc_gopher_filter(spark, sf_dir):
+    """Gopher quality gate: word-count window + mean-word-length window +
+    stopword floor + repetition ceilings, emitted as a per-doc ``keep``
+    verdict with the signals that produced it (auditable filtering — the
+    shape a 100-TB curation pass needs: every signal is one narrow agg,
+    the verdict is a pure projection)."""
+    d = _t(spark, sf_dir, "documents")
+    rep = textstats.repetition_metrics(d)
+    sw = d.select("doc_id", F.expr(textstats.stopword_hits_sql("en", "text"))
+                  .alias("stopword_hits"))
+    keep = ((F.col("n_words") >= _GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= _GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= _GOPHER_MIN_MWL)
+            & (F.col("mean_word_len") <= _GOPHER_MAX_MWL)
+            & (F.col("stopword_hits") >= _GOPHER_MIN_STOPWORDS)
+            & (F.col("top2gram_frac") <= _GOPHER_MAX_TOP2)
+            & (F.coalesce(F.col("dup5gram_frac"), F.lit(0.0)) <= _GOPHER_MAX_DUP5))
+    return (rep.join(sw, "doc_id")
+            .select("doc_id", "n_words", "mean_word_len", "top2gram_frac",
+                    "dup5gram_frac", "stopword_hits", keep.alias("keep")))
+
+
+SQL_DOC_GOPHER_FILTER = f"""
+WITH {_SQL_REPETITION_CTE}
+SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac,
+       {textstats.stopword_hits_sql('en', 'text')} AS stopword_hits,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mean_word_len >= {_GOPHER_MIN_MWL} AND mean_word_len <= {_GOPHER_MAX_MWL}
+        AND {textstats.stopword_hits_sql('en', 'text')} >= {_GOPHER_MIN_STOPWORDS}
+        AND top2gram_frac <= {_GOPHER_MAX_TOP2}
+        AND coalesce(dup5gram_frac, 0.0) <= {_GOPHER_MAX_DUP5}) AS keep
+FROM rep
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash near-dup buckets: fingerprint groups with counts + rep id
     (identical fingerprints ⇒ near-dup bucket)."""
@@ -1657,6 +1750,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": q_doc_simhash,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_prep_pipeline": q_doc_prep_pipeline,
+    "doc_repetition": q_doc_repetition,
+    "doc_gopher_filter": q_doc_gopher_filter,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1711,6 +1806,8 @@ _ORACLES: dict[str, str] = {
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "doc_prep_pipeline": _sql_doc_prep_pipeline(),
+    "doc_repetition": SQL_DOC_REPETITION,
+    "doc_gopher_filter": SQL_DOC_GOPHER_FILTER,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,

@@ -1,7 +1,7 @@
 """Multimodal binary-column kernels: headers real for all formats;
-BMP/PNG/GIF/JPEG pixel and PCM-16 WAV sample decode REAL
-(content-statistics features); MP4 container metadata real; only video
-frames remain the declared stub."""
+BMP/PNG/GIF/JPEG pixel, MJPEG-AVI sampled-frame, and PCM-16 WAV sample
+decode REAL (content-statistics features); MP4 container metadata real;
+only inter-frame-coded video remains the declared stub."""
 
 from __future__ import annotations
 
@@ -138,6 +138,30 @@ class TestRealDecode:
         assert mm.parse_mp4_header(buf) == (12.5, 640, 480)
         assert mm.parse_mp4_header(b"\x00\x00\x00\x08junk") is None
 
+    def test_avi_mjpeg_frames_round_trip(self):
+        """Real video-frame decode: every sampled MJPEG frame reproduces its
+        generator gradient within baseline-JPEG quantization error."""
+        w, h, n, seed = 24, 16, 5, 3
+        buf = mm.make_avi_mjpeg(w, h, n, fps=10, seed=seed)
+        assert mm.parse_avi_header(buf) == (0.5, w, h, n)
+        frames = mm.decode_avi_mjpeg_frames(buf, max_frames=3)
+        assert len(frames) == 3  # first / middle / last of 5
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)[:, None]
+        for px, fidx in zip(frames, (0, 2, 4)):
+            s = seed + 11 * fidx
+            want = np.stack(np.broadcast_arrays(
+                ((x + y + s) * 5) % 256, ((y * 13 + s) * 3) % 256,
+                ((x + s) * 7) % 256), axis=-1).astype(np.int64)
+            assert px.shape == (h, w, 3)
+            # lossy codec, high-frequency gradient: content must correlate
+            err = np.abs(px.astype(np.int64) - want).mean()
+            assert err < 24.0
+        short = mm.make_avi_mjpeg(8, 8, 2, seed=1)
+        assert len(mm.decode_avi_mjpeg_frames(short, max_frames=3)) == 2
+        assert mm.parse_avi_header(b"RIFFxxxxWAVE") is None
+        assert mm.decode_avi_mjpeg_frames(b"notavi") == []
+
     def test_wav_samples_round_trip(self):
         buf = mm.make_wav(16000, 96, amplitude=8000, period=32)
         rate, channels, samples = mm.decode_wav_samples(buf)
@@ -184,12 +208,19 @@ class TestSparkPlumbing:
         assert gifs["real_decode"].all()
         assert jpgs["real_decode"].all()
         assert auds["real_decode"].all()
-        assert not vids["real_decode"].any()  # container metadata only
+        # video slot alternates MJPEG-AVI (real sampled frames, round 3)
+        # with MP4 (container metadata only)
+        avis = vids[vids["format"] == "avi"]
+        mp4s = vids[vids["format"] == "mp4"]
+        assert (len(avis), len(mp4s)) == (12, 13)
+        assert avis["real_decode"].all()
+        assert not mp4s["real_decode"].any()
         assert bmps["width"].between(8, 23).all()
         assert auds["sample_rate"].isin([8000, 16000, 24000, 32000, 40000]).all()
-        assert (vids["format"] == "mp4").all()
-        assert vids["duration_s"].between(1.0, 30.0).all()
-        assert vids["width"].between(320, 800).all()
+        assert mp4s["duration_s"].between(1.0, 30.0).all()
+        assert mp4s["width"].between(320, 800).all()
+        assert avis["width"].between(16, 32).all()
+        assert avis["duration_s"].between(0.1, 0.6).all()
         feats = np.array(decoded["feature"].tolist())
         assert feats.shape == (100, 16)
         assert np.isfinite(feats).all()

@@ -293,3 +293,39 @@ class TestSample:
         out = diverse_sample(df, ["a1", "a2"], n=4, order_col="id").toPandas()
         assert len(out) == 4
         assert out["id"].tolist() == [0, 2, 4, 6]  # first per group, group order
+
+
+class TestRepetition:
+    def test_gopher_repetition_hand_computed(self, spark):
+        """Crafted docs with known n-gram structure (independent of the
+        DuckDB oracle, which could share a misreading with the engine)."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # 6 words, bigrams: ab,ba,ab,ba,ab -> top 'a b' 3/5;
+                    # 5-grams: 'a b a b a','b a b a b' -> no dup
+                    "a b a b a b",
+                    # 4 words: too short for 5-grams -> NULL dup5
+                    "x y x y",
+                    # one word: no bigrams either
+                    "lonely",
+                ],
+            }))
+        got = (textstats.repetition_metrics(docs).toPandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[1, "n_words"] == 6
+        assert got.loc[1, "top2gram_frac"] == 0.6          # 3/5
+        assert got.loc[1, "dup5gram_frac"] == 0.0
+        assert got.loc[2, "top2gram_frac"] == round(2 / 3, 6)
+        assert pd.isna(got.loc[2, "dup5gram_frac"])
+        assert pd.isna(got.loc[3, "top2gram_frac"])
+        assert got.loc[3, "mean_word_len"] == 6.0
+        # a doc that IS its own repetition: 'c d' * 5 -> dup5 = 1.0
+        rep = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "text": ["c d c d c d c d c d"]}))
+        r = textstats.repetition_metrics(rep).toPandas().iloc[0]
+        assert r["dup5gram_frac"] == 1.0
+        assert r["top2gram_frac"] == round(5 / 9, 6)
