@@ -60,6 +60,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "geo_knn_cells", "geo_pip_villages", "geo_cell_histogram",
             "tpch_q1", "dedup_keep_best", "sessionize",
             "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
+            "doc_jaccard_pairs", "doc_gopher_filter", "doc_span_dedup",
             "doc_text_stats",
             "embed_knn", "embed_neardup", "extract_chinese_names",
             "release_pipeline",

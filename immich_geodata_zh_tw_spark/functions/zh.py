@@ -275,6 +275,42 @@ S2T_WORD_FIXUPS: list[tuple[str, str]] = [
     ("硬盤", "硬碟"), ("光盤", "光碟"), ("軟盤", "軟碟"), ("列印機", "印表機"),
     ("菠蘿", "鳳梨"), ("奶酪", "乳酪"), ("幼兒園", "幼稚園"),
     ("立交橋", "交流道"), ("智能", "智慧"),
+    # ---- round-3 continued expansion ----
+    # more 裡 (location nouns; bare 里 the unit/village stays)
+    ("心里", "心裡"), ("夜里", "夜裡"), ("家里", "家裡"), ("城里", "城裡"),
+    ("屋里", "屋裡"), ("手里", "手裡"), ("嘴里", "嘴裡"), ("眼里", "眼裡"),
+    # more 乾 / 幹
+    ("晾干", "晾乾"), ("擦干", "擦乾"), ("吹干", "吹乾"), ("苦干", "苦幹"),
+    ("實干", "實幹"), ("干勁", "幹勁"), ("干練", "幹練"),
+    # more 復 / 複 / 覆
+    ("复興", "復興"), ("复健", "復健"), ("复查", "復查"), ("复審", "復審"),
+    ("复議", "復議"), ("复合", "複合"), ("复式", "複式"), ("复選", "複選"),
+    ("复利", "複利"), ("复診", "復診"), ("繁复", "繁複"), ("顛复", "顛覆"),
+    # more 準 (批准-class approval 准 stays)
+    ("瞄准", "瞄準"), ("對准", "對準"),
+    # more 鬆 / 緻
+    ("肉松", "肉鬆"), ("蓬松", "蓬鬆"), ("景致", "景緻"), ("雅致", "雅緻"),
+    # more 錶 (timepieces/meters; 表格-class forms stay 表)
+    ("表帶", "錶帶"), ("電表", "電錶"), ("水表", "水錶"), ("碼表", "碼錶"),
+    # 週 weekdays and surroundings (四周 the spatial noun stays)
+    ("周一", "週一"), ("周二", "週二"), ("周三", "週三"), ("周四", "週四"),
+    ("周五", "週五"), ("周六", "週六"), ("周日", "週日"), ("周遭", "週遭"),
+    # 御 → 禦 (defend; the imperial 御 stays)
+    ("抵御", "抵禦"), ("防御", "防禦"),
+    # 愈 → 癒 (heal; the adverb 愈 stays)
+    ("愈合", "癒合"), ("痊愈", "痊癒"), ("治愈", "治癒"),
+    # 仆 → 僕 (servant; 仆倒 the verb stays), 佣 → 傭 (佣金 stays)
+    ("仆人", "僕人"), ("奴仆", "奴僕"), ("公仆", "公僕"),
+    ("女佣", "女傭"), ("佣人", "傭人"), ("幫佣", "幫傭"),
+    # 台→臺 is the char default; typhoon takes 颱
+    ("臺風", "颱風"),
+    # more s2twp-class Taiwan vocabulary (OpenCC TWPhrases/TWPhrases_IT,
+    # length-preserving or chain-reachable subset)
+    ("程序員", "程式員"), ("程序", "程式"), ("芯片", "晶片"),
+    ("集成電路", "積體電路"), ("數據庫", "資料庫"), ("文件夾", "資料夾"),
+    ("郵箱", "信箱"), ("登錄", "登入"), ("在線", "線上"),
+    ("寬帶", "寬頻"), ("帶寬", "頻寬"), ("鏈接", "連結"),
+    ("自行車", "腳踏車"), ("圓珠筆", "原子筆"),
 ]
 # fixups run AFTER the character pass, so their sources must be written in
 # post-character-stage form (a source containing a still-simplified mapped

@@ -8,13 +8,17 @@ Reference semantics:
 * order-stable ``dropDuplicates`` (base.py:288, W3).
 
 Web-scale additions (training-data pipeline, driver mandate): exact dedup by
-content hash, MinHash-LSH near-dup candidate pairs, SimHash. All use built-in
-JVM functions (md5/xxhash64, higher-order array ops) — no Python on the hot
-path.
+content hash, MinHash-LSH near-dup candidate pairs, SimHash.  Most use
+built-in JVM functions (md5/xxhash64, higher-order array ops); the MinHash
+signature itself is an Arrow-batched pandas UDF (:func:`minhash_bands_udf`)
+because the SQL ``aggregate`` higher-order fold is CodegenFallback — the
+SQL form (:func:`minhash_agg_expr`) remains as the executable spec the
+DuckDB oracle and the parity tests run.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,15 +85,82 @@ def minhash_signature(text_col: str, *, n_bands: int = 4,
     """MinHash band signatures over character shingles, pure SQL expressions.
 
     Band ``b`` = concat of its ``ROWS_PER_BAND`` slice-minima (more rows per
-    band ⇒ exponentially fewer false-positive candidate pairs).  The heavy
-    digest work happens once in :func:`minhash_agg_expr`; callers should
-    select the returned columns in a SEPARATE projection from the one
-    computing ``__mh`` so Catalyst keeps the aggregate single-evaluation
-    (CollapseProject declines to inline non-cheap aliases used repeatedly).
+    band ⇒ exponentially fewer false-positive candidate pairs).  This SQL
+    form is the executable *spec*: the DuckDB oracle runs its dialect twin
+    and the parity tests assert :func:`minhash_bands_udf` (the hot path —
+    the ``aggregate`` fold here is CodegenFallback, so it ran interpreted
+    and re-ran per self-join side) produces bit-identical values.
     """
     cols = [F.expr(minhash_agg_expr(text_col, n_bands=n_bands, shingle=shingle,
                                     stride=stride)).alias("__mh")]
     return cols
+
+
+def minhash_bands_udf(*, n_bands: int = 4, shingle: int = 5,
+                      stride: int = 2):
+    """Arrow-batched pandas UDF: text → array of band signatures,
+    BIT-IDENTICAL to :func:`minhash_agg_expr` + :func:`_band_cols`.
+
+    Scale rationale (same class as similarity.lsh_signature_udf): the SQL
+    ``aggregate``/``transform`` higher-order pass is CodegenFallback — the
+    whole join stage around it drops to interpreted, boxed evaluation, and
+    the signature work re-runs per self-join side (measured ~5.5 s of the
+    7 s doc_minhash_pairs at sf0.1; a materialized-signature join is
+    0.35 s).  This kernel hashes each *distinct* shingle in the Arrow batch
+    once (near-dup corpora repeat most shingles), then takes the per-slice
+    minima as one numpy byte-wise reduction.  Hex-slice ordering under
+    numpy ``S4`` compare = ASCII = the JVM UTF8String / DuckDB collation on
+    hex, so parity with the DuckDB oracle (which runs the SQL text) holds
+    exactly.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_rows = n_bands * ROWS_PER_BAND
+    assert n_rows * 4 <= 32
+
+    def bands(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        per_doc: list[np.ndarray | None] = []
+        for t in texts:
+            if t is None:
+                per_doc.append(None)
+                continue
+            # SQL: sequence(1, greatest(length-shingle+1, 1), stride),
+            # substring(text, i, shingle) — 1-based, char (not byte) slices
+            last = max(len(t) - (shingle - 1), 1)
+            ids = []
+            for i in range(0, last, stride):
+                s = t[i:i + shingle]
+                j = memo.get(s)
+                if j is None:
+                    j = len(memo)
+                    memo[s] = j
+                ids.append(j)
+            per_doc.append(np.asarray(ids, dtype=np.int64))
+        hexes = "".join(hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in memo)
+        # big-endian uint32 view of each 4-hex-char slice: numeric order ==
+        # byte-lexicographic == the SQL side's string `least`
+        digests = (np.frombuffer(hexes.encode("ascii"), dtype=">u4")
+                   .reshape(len(memo), 8)[:, :n_rows]
+                   if memo else np.empty((0, 8), dtype=">u4"))
+        out = []
+        for ids in per_doc:
+            if ids is None:
+                out.append(None)
+                continue
+            # ufuncs return native-endian output — force back to big-endian
+            # so tobytes() re-emits the original ASCII hex byte order
+            m = digests[ids].min(axis=0).astype(">u4")
+            out.append([m[2 * b:2 * b + 2].tobytes().decode("ascii")
+                        for b in range(n_bands)])
+        return pd.Series(out)
+
+    bands.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(bands, "array<string>")
 
 
 def _band_cols(n_bands: int) -> list[Column]:
@@ -97,6 +168,31 @@ def _band_cols(n_bands: int) -> list[Column]:
         F.expr(f"concat(__mh.m{2 * b}, __mh.m{2 * b + 1})").alias(f"band{b}")
         for b in range(n_bands)
     ]
+
+
+def _bands_frame(df: DataFrame, *, id_col: str, text_col: str,
+                 n_bands: int, shingle: int,
+                 repartition: bool = True) -> DataFrame:
+    """(id, band_idx, sig) rows via the Arrow signature kernel.
+
+    ``posexplode_outer`` on purpose: plain explode makes Catalyst infer a
+    ``size(arr) > 0`` pre-Generate filter that re-evaluates the Python UDF
+    a second time per row (two ArrowEvalPython nodes — measured); the outer
+    variant needs no such filter, and the null rows it emits for null text
+    are dropped by the join-side ``sig IS NOT NULL``.  The trailing
+    key-repartition parallelizes the downstream self-join across shuffle
+    partitions (the scan of a small file is 1 partition → a broadcast
+    self-join otherwise runs in ONE task) and gives the two identical join
+    sides one reusable exchange.
+    """
+    out = (df.select(
+                F.col(id_col),
+                minhash_bands_udf(n_bands=n_bands, shingle=shingle)(
+                    F.col(text_col)).alias("__bands"))
+           .select(id_col, F.posexplode_outer("__bands")
+                   .alias("band_idx", "sig"))
+           .filter(F.col("sig").isNotNull()))
+    return out.repartition("band_idx", "sig") if repartition else out
 
 
 def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
@@ -121,18 +217,8 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
       Default ``None`` preserves the exact candidate-pair semantics the
       DuckDB oracle checks.
     """
-    # two projections on purpose: __mh (the single md5-pass aggregate) is a
-    # non-cheap alias referenced by every band, so Catalyst keeps it
-    # evaluated once instead of inlining it per band
-    sigs = (df.select(F.col(id_col), *minhash_signature(
-        text_col, n_bands=n_bands, shingle=shingle))
-            .select(id_col, *_band_cols(n_bands)))
-    bands = sigs.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
-            for b in range(n_bands)])).alias("bs"),
-    ).select(id_col, F.col("bs.band_idx"), F.col("bs.sig"))
+    bands = _bands_frame(df, id_col=id_col, text_col=text_col,
+                         n_bands=n_bands, shingle=shingle)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_idx", "sig").orderBy(F.col(id_col).asc())
         bands = (bands.withColumn("__rn", F.row_number().over(w))
@@ -154,6 +240,72 @@ def shingle_set_expr(text_col: str, *, shingle: int = 5, stride: int = 2) -> str
             f"i -> substring({text_col}, i, {shingle})))")
 
 
+def hashed_shingle_set_expr(text_col: str, *, shingle: int = 5,
+                            stride: int = 2, dialect: str = "spark") -> str:
+    """Distinct shingle set as 60-bit md5-prefix BIGINTs.
+
+    Set ops over *string* arrays box every element (UTF8String hash +
+    equality per probe) — measured ~124 µs per candidate pair at 150
+    shingles, and 32-way-parallel evaluation GC-thrashed.  Over BIGINT the
+    intersect/union hit the primitive specialization.  The 60-bit hash is
+    computed identically in both engines (Spark ``conv(hex,16,10)``,
+    DuckDB ``'0x…'::BIGINT``), so a collision — P ≈ 10⁻¹³ per doc pair —
+    merges the same two shingles on both sides and parity still holds
+    exactly; the Jaccard value differs from the true string-set value only
+    in that event.
+    """
+    if dialect == "spark":
+        elem = (f"cast(conv(substring(md5(substring({text_col}, i, {shingle})"
+                f"), 1, 15), 16, 10) AS BIGINT)")
+        return (f"array_distinct(transform(sequence(1, "
+                f"greatest(length({text_col}) - {shingle - 1}, 1), {stride}), "
+                f"i -> {elem}))")
+    if dialect == "duckdb":
+        elem = (f"('0x' || substring(md5(substring({text_col}, i, {shingle})"
+                f"), 1, 15))::BIGINT")
+        return (f"list_distinct(list_transform(generate_series(1, "
+                f"greatest(length({text_col}) - {shingle - 1}, 1), {stride}), "
+                f"i -> {elem}))")
+    raise ValueError(dialect)
+
+
+def hashed_shingles_udf(*, shingle: int = 5, stride: int = 2):
+    """Arrow-batched twin of :func:`hashed_shingle_set_expr`: text →
+    distinct 60-bit md5-prefix shingle hashes as ``array<long>`` (the SQL
+    expression's ``transform``/``conv`` chain is CodegenFallback and runs
+    interpreted — same story as :func:`minhash_bands_udf`, same per-batch
+    distinct-shingle memo)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def hs(texts):
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            last = max(len(t) - (shingle - 1), 1)
+            vals, seen = [], set()
+            for i in range(0, last, stride):
+                s = t[i:i + shingle]
+                v = memo.get(s)
+                if v is None:
+                    v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                            16)
+                    memo[s] = v
+                if v not in seen:
+                    seen.add(v)
+                    vals.append(v)
+            out.append(vals)
+        return pd.Series(out)
+
+    hs.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(hs, "array<long>")
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                         n_bands: int = 4, shingle: int = 5,
                         threshold: float = 0.0) -> DataFrame:
@@ -161,23 +313,109 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
 
     Two-stage near-dup pipeline: MinHash banding proposes candidates (cheap,
     bucketed — never all-pairs), then the exact shingle-set Jaccard scores
-    each candidate; ``threshold`` keeps pairs at/above it.  The shingle
-    arrays ride only the candidate-pair joins (pair count ≪ corpus²), never
-    the banding shuffle.  All JVM higher-order functions
-    (array_intersect/array_union) — no Python.
+    each candidate; ``threshold`` keeps pairs at/above it.
+
+    Scoring shape — NO per-pair array payload.  Three designs were
+    measured at sf0.1 (485 k candidate pairs × ~150-hash sets, 32 cores):
+
+    * ``array_intersect``/``array_union`` per pair: 10-30 s — the set
+      expressions evaluate interpreted with per-element boxing, GC-bound;
+    * pandas-UDF set ops per pair: 10-23 s — the numpy intersect itself is
+      0.6 s, but serializing two ~150-element arrays per pair into Arrow
+      (~1.2 GB) dominates;
+    * this one, ~2 s: explode each doc's distinct shingle hashes ONCE
+      (narrow (doc, hash) rows), attach A-side hashes to the pairs, keep
+      rows whose hash also exists on the B side (semi join), count per
+      pair.  Everything after the one Arrow kernel
+      (:func:`hashed_shingles_udf`, linear in corpus size) is
+      whole-stage-codegen joins over 8-byte keys; |A ∪ B| is derived as
+      |A| + |B| − |A ∩ B|, and division/rounding stay JVM-side so
+      DuckDB-oracle parity is exact.  At 100 TB the same plan holds with
+      the broadcasts becoming shuffle joins on (doc) / (doc, hash) — all
+      narrow rows, nothing quadratic, no wide payloads.
+
+    The explicit round-robin ``repartition`` on the pair stream is
+    load-balancing, not correctness: AQE coalesces shuffle partitions by
+    BYTE size, and a pair row is ~16 bytes — so the pair stage collapses
+    to 2-3 partitions while each pair row is about to fan out ×150 in the
+    A-side join.  It must be round-robin with an explicit width: a
+    repartition on the pair KEY is removed by the optimizer as redundant
+    with the distinct's own exchange, whose coalescing is the problem
+    being fixed.
     """
     pairs = minhash_candidate_pairs(df, id_col=id_col, text_col=text_col,
                                     n_bands=n_bands, shingle=shingle)
-    sh = df.select(F.col(id_col), F.expr(
-        shingle_set_expr(text_col, shingle=shingle)).alias("__sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    jac = F.expr("CAST(size(array_intersect(__sha, __shb)) AS DOUBLE) "
-                 "/ size(array_union(__sha, __shb))")
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
+    sh = (df.select(F.col(id_col), hashed_shingles_udf(shingle=shingle)(
+            F.col(text_col)).alias("__hs"))
+          .select(id_col, F.size("__hs").alias("__n"),
+                  F.explode_outer("__hs").alias("h"))
+          .filter(F.col("h").isNotNull()))
+    inter = (pairs.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+             .join(sh.select(F.col(id_col).alias("id_b"), "h"),
+                   ["id_b", "h"], "left_semi")
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("__i")))
+    if threshold <= 0.0:
+        # an LSH band collision without any shared shingle is possible in
+        # principle; only a zero threshold keeps those jaccard-0 pairs, and
+        # only this branch pays the join back onto the pair stream (which
+        # re-computes the candidate subtree — measured 2× the plan)
+        inter = (pairs.join(inter, ["id_a", "id_b"], "left")
+                 .select("id_a", "id_b",
+                         F.coalesce("__i", F.lit(0)).alias("__i")))
+    sizes = sh.groupBy(id_col).agg(F.first("__n").alias("n"))
+    scored = (inter
+              .join(sizes.select(F.col(id_col).alias("id_a"),
+                                 F.col("n").alias("__na")), "id_a")
+              .join(sizes.select(F.col(id_col).alias("id_b"),
+                                 F.col("n").alias("__nb")), "id_b"))
+    jac = F.round(F.col("__i").cast("double")
+                  / (F.col("__na") + F.col("__nb") - F.col("__i")), 6)
+    return (scored.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
-            .drop("__sha", "__shb"))
+            .select("id_a", "id_b", "jaccard"))
+
+
+def span_dedup(df: DataFrame, *, id_col: str, text_col: str,
+               span_words: int = 10) -> DataFrame:
+    """Global span-level dedup, C4 §2.2 shape (Raffel et al. 2020 drop
+    repeated three-sentence spans corpus-wide; granularity here is
+    fixed ``span_words``-word windows — the synthetic corpus has no
+    sentence punctuation).
+
+    Every non-overlapping span keeps only its FIRST corpus-wide occurrence
+    (lexicographically minimal (doc, position)); docs are reassembled from
+    their surviving spans.  A doc whose every span appeared earlier
+    disappears entirely (exact-duplicate docs degenerate to whole-doc
+    dedup).
+
+    Scale shape: explode spans → one hash aggregation per span text (the
+    span string itself is the key — high cardinality, no skew) → join the
+    winners back → per-doc reassembly.  Two shuffles total, both keyed
+    well; nothing quadratic, no driver state.
+    """
+    words = df.select(F.col(id_col),
+                      F.expr(f"split(trim({text_col}), ' ')").alias("__w"))
+    spans = words.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(__w), {span_words}), "
+            f"i -> array_join(slice(__w, i, {span_words}), ' '))"))
+        .alias("pos", "span"))
+    first = (spans.groupBy("span")
+             .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("pos").alias("p"))).alias("f")))
+    kept = (spans.join(first, "span")
+            .filter((F.col(id_col) == F.col("f.d"))
+                    & (F.col("pos") == F.col("f.p"))))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "span"))),
+        lambda x: x["span"])
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(ordered, " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_kept")))
 
 
 def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
@@ -208,14 +446,12 @@ def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
     one graph hop per round, so ``max_iter`` bounds the component diameter,
     not the corpus size; 50 covers any real near-dup topology.
     """
-    sigs = (df.select(F.col(id_col), *minhash_signature(
-        text_col, n_bands=n_bands, shingle=shingle))
-            .select(id_col, *_band_cols(n_bands)))
-    buckets = sigs.select(
-        id_col,
-        F.explode(F.array(*[
-            F.xxhash64(F.lit(b), F.col(f"band{b}")).alias(f"x{b}")
-            for b in range(n_bands)])).alias("bucket"))
+    # no key-repartition here: the persist below materializes the bands
+    # once, and every use shuffles on its own keys (bucket / id) anyway
+    bands = _bands_frame(df, id_col=id_col, text_col=text_col,
+                         n_bands=n_bands, shingle=shingle, repartition=False)
+    buckets = bands.select(
+        id_col, F.xxhash64(F.col("band_idx"), F.col("sig")).alias("bucket"))
     buckets = buckets.persist()
     labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iter):

@@ -877,6 +877,35 @@ FROM rep
 """
 
 
+def q_doc_span_dedup(spark, sf_dir):
+    """C4-style global span dedup: every 10-word span keeps only its first
+    corpus-wide occurrence; docs reassembled from surviving spans."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_dedup(d, id_col="doc_id", text_col="text",
+                            span_words=10)
+
+
+SQL_DOC_SPAN_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, (i - 1) // 10 AS pos,
+         array_to_string(list_slice(ws, i, i + 9), ' ') AS span
+  FROM w, unnest(generate_series(1, len(ws), 10)) AS t(i)),
+first_doc AS (SELECT span, min(doc_id) AS d FROM spans GROUP BY 1),
+firsts AS (
+  SELECT s.span, f.d, min(s.pos) AS p
+  FROM spans s JOIN first_doc f ON s.span = f.span AND s.doc_id = f.d
+  GROUP BY 1, 2),
+kept AS (
+  SELECT s.doc_id, s.pos, s.span
+  FROM spans s JOIN firsts f
+    ON s.span = f.span AND s.doc_id = f.d AND s.pos = f.p)
+SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+       count(*) AS n_kept
+FROM kept GROUP BY 1
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash near-dup buckets: fingerprint groups with counts + rep id
     (identical fingerprints ⇒ near-dup bucket)."""
@@ -968,9 +997,7 @@ WITH hashed AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(length(text) - 4, 1), 2),
                         i -> md5(substring(text, i, 5))) AS mh,
-         list_distinct(list_transform(
-             generate_series(1, greatest(length(text) - 4, 1), 2),
-             i -> substring(text, i, 5))) AS sh
+         {dedup.hashed_shingle_set_expr('text', dialect='duckdb')} AS sh
   FROM documents),
 bands AS (
   {' UNION ALL '.join(
@@ -1752,6 +1779,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_prep_pipeline": q_doc_prep_pipeline,
     "doc_repetition": q_doc_repetition,
     "doc_gopher_filter": q_doc_gopher_filter,
+    "doc_span_dedup": q_doc_span_dedup,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1808,6 +1836,7 @@ _ORACLES: dict[str, str] = {
     "doc_prep_pipeline": _sql_doc_prep_pipeline(),
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_gopher_filter": SQL_DOC_GOPHER_FILTER,
+    "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,

@@ -329,3 +329,60 @@ class TestRepetition:
         r = textstats.repetition_metrics(rep).toPandas().iloc[0]
         assert r["dup5gram_frac"] == 1.0
         assert r["top2gram_frac"] == round(5 / 9, 6)
+
+
+class TestMinhashKernel:
+    def test_arrow_bands_bit_identical_to_sql(self, spark):
+        """The Arrow signature kernel must equal the SQL spec PER BAND VALUE
+        — pair-set parity alone cannot catch signature drift (a byte-order
+        slip yields wrong-but-consistent sigs with the SAME pair set)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        udf_bands = (d.select("doc_id", dedup.minhash_bands_udf(
+            n_bands=4, shingle=5)(F.col("text")).alias("b"))
+            .select("doc_id", F.posexplode("b").alias("band_idx", "sig")))
+        sql_bands = (d.select(F.col("doc_id"), *dedup.minhash_signature(
+            "text", n_bands=4, shingle=5))
+            .select("doc_id", *dedup._band_cols(4))
+            .select("doc_id", F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band_idx"),
+                         F.col(f"band{b}").alias("sig"))
+                for b in range(4)])).alias("bs"))
+            .select("doc_id", "bs.band_idx", "bs.sig"))
+        assert udf_bands.exceptAll(sql_bands).count() == 0
+        assert sql_bands.exceptAll(udf_bands).count() == 0
+        # edge rows: null text, empty text, shorter than one shingle
+        edge = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, "", "ab"]}))
+        got = (edge.select("doc_id", dedup.minhash_bands_udf()(
+            F.col("text")).alias("b")).toPandas().set_index("doc_id"))
+        assert got.loc[1, "b"] is None
+        import hashlib
+        h = hashlib.md5(b"").hexdigest()
+        assert got.loc[2, "b"][0] == h[0:4] + h[4:8]  # one empty shingle
+        h2 = hashlib.md5(b"ab").hexdigest()
+        assert got.loc[3, "b"][3] == h2[24:28] + h2[28:32]
+
+    def test_span_dedup_hand_computed(self, spark):
+        """First corpus-wide occurrence wins; later copies vanish; a doc
+        made entirely of seen spans disappears."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d",            # spans (sw=2): 'a b', 'c d'
+                    "c d e f a b",        # 'c d' dup, 'e f' new, 'a b' dup
+                    "a b c d",            # all spans seen -> doc vanishes
+                ],
+            }))
+        got = (dedup.span_dedup(docs, id_col="doc_id", text_col="text",
+                                span_words=2).toPandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[1, "clean_text"] == "a b c d"
+        assert got.loc[1, "n_kept"] == 2
+        assert got.loc[2, "clean_text"] == "e f"
+        assert got.loc[2, "n_kept"] == 1
+        assert 3 not in got.index

@@ -72,16 +72,22 @@ class TestPlanQuality:
             if re.search(r"\bExchange hashpartitioning", ln)]
         assert non_broadcast_exchanges == []
 
-    def test_minhash_single_digest_pass(self, spark):
-        """The MinHash signature must evaluate md5 ONCE per shingle position
-        (digest-slice rows) — round 1 paid 8 evaluations.  The candidate-pair
-        plan contains exactly one md5 per self-join side."""
+    def test_minhash_single_arrow_pass(self, spark):
+        """The MinHash signature must be ONE Arrow-batched kernel per
+        self-join side — no JVM md5 (round 1: 8 interpreted digest passes;
+        round 2: 1 interpreted CodegenFallback aggregate that re-ran inside
+        the join stage) and no doubled ArrowEvalPython from an inferred
+        pre-Generate filter (the plain-explode trap)."""
         from immich_geodata_zh_tw_spark.operators.dedup import minhash_candidate_pairs
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         out = minhash_candidate_pairs(d, id_col="doc_id", text_col="text")
         plan = _plan(out)
-        assert plan.count("md5") <= 2, f"md5 evaluated {plan.count('md5')}×"
+        assert plan.count("md5") == 0, f"JVM md5 in plan {plan.count('md5')}×"
+        # formatted explain prints each node twice (tree + detail section):
+        # 2 sides × 1 kernel × 2 mentions = 4; a doubled eval would be 8
+        n_arrow = plan.count("ArrowEvalPython")
+        assert n_arrow <= 4, f"ArrowEvalPython appears {n_arrow}× (dup eval)"
 
     def test_flagship_single_wide_op(self, spark):
         """The full reverse-geocode plan: no sort-merge join, and the ONLY
