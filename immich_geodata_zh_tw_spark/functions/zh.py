@@ -323,12 +323,28 @@ assert len({s for s, _ in S2T_WORD_FIXUPS}) == len(S2T_WORD_FIXUPS)
 assert all(len(s) == len(d) for s, d in S2T_WORD_FIXUPS)
 
 
+_S2T_TRANS = str.maketrans(SIMPLIFIED, TRADITIONAL)
+_T2S_TRANS = str.maketrans(TRADITIONAL, SIMPLIFIED)
+_T2S_WORD_FIXUPS = [(d, s) for s, d in S2T_WORD_FIXUPS if s != d]
+
+
 def _py_s2t(text: str) -> str:
-    """Driver-side mirror of the full s2t pipeline (validation only)."""
-    out = text.translate(str.maketrans(SIMPLIFIED, TRADITIONAL))
+    """Python mirror of the full s2t pipeline — the same chars/words/order
+    as the Column fold (validated by the module asserts below and the
+    Spark-vs-python check in tests), and the kernel behind
+    :func:`s2t_udf`."""
+    out = text.translate(_S2T_TRANS)
     for s, d in S2T_WORD_FIXUPS:
         out = out.replace(s, d)
     return out
+
+
+def _py_t2s(text: str) -> str:
+    """Python mirror of :func:`t2s` (reverse word fold, then chars)."""
+    out = text
+    for d, s in _T2S_WORD_FIXUPS:
+        out = out.replace(d, s)
+    return out.translate(_T2S_TRANS)
 
 
 # every target must be a fixpoint of the FULL pipeline (char stage may map
@@ -389,9 +405,32 @@ def s2t(col: Column | str) -> Column:
     both work (ADVICE.md round-2 item 4), and the expression stays a single
     fold node however large the word dictionary grows.
     """
+#: separator for packing the fixup tables into ONE string literal each —
+#: building the arrays as `F.array(*806 × F.lit)` cost ~1 s of py4j
+#: round-trips PER s2t()/t2s() call (measured; the release-pipeline plan
+#: build was ~6 s of driver time).  `split(lit, sep)` is 2 calls and
+#: Catalyst constant-folds it back into the same array literal.
+_SEP = "\x1f"
+assert all(_SEP not in s and _SEP not in d for s, d in S2T_WORD_FIXUPS)
+
+
+def _packed_arrays(pairs: list[tuple[str, str]]) -> tuple[Column, Column]:
+    srcs = F.split(F.lit(_SEP.join(s for s, _ in pairs)), _SEP)
+    dsts = F.split(F.lit(_SEP.join(d for _, d in pairs)), _SEP)
+    return srcs, dsts
+
+
+def s2t(col: Column | str) -> Column:
+    """Simplified → Traditional (character stage + word-fold stage).
+
+    Built from public Column ops (``F.translate`` + an ``F.aggregate`` fold
+    of ``F.replace`` over the packed fixup arrays) — no SQL-text round-trip
+    through private APIs, so arbitrary Column expressions and Spark Connect
+    both work (ADVICE.md round-2 item 4), and the expression stays a single
+    fold node however large the word dictionary grows.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    srcs = F.array(*[F.lit(s) for s, _ in S2T_WORD_FIXUPS])
-    dsts = F.array(*[F.lit(d) for _, d in S2T_WORD_FIXUPS])
+    srcs, dsts = _packed_arrays(S2T_WORD_FIXUPS)
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(len(S2T_WORD_FIXUPS))),
         F.translate(c, SIMPLIFIED, TRADITIONAL),
@@ -403,8 +442,7 @@ def t2s(col: Column | str) -> Column:
     """Traditional → Simplified (reverse word fold + reverse characters)."""
     c = F.col(col) if isinstance(col, str) else col
     rev = [(d, s) for s, d in S2T_WORD_FIXUPS if s != d]
-    srcs = F.array(*[F.lit(s) for s, _ in rev])
-    dsts = F.array(*[F.lit(d) for _, d in rev])
+    srcs, dsts = _packed_arrays(rev)
     folded = F.aggregate(
         F.sequence(F.lit(1), F.lit(len(rev))), c,
         lambda acc, i: F.replace(acc, F.element_at(srcs, i),
@@ -453,3 +491,44 @@ def s2t_sql(col: str, *, dialect: str = "duckdb") -> str:
 
 def t2s_sql(col: str, *, dialect: str = "duckdb") -> str:
     return _t2s_text(col, dialect=dialect)
+
+
+def s2t_t2s_udf():
+    """Arrow-batched kernel: text → struct(s2t, t2s), both conversions in
+    one pass per row.
+
+    Scale rationale (the minhash_bands_udf precedent): the Column fold is
+    a single expression node but evaluates INTERPRETED (higher-order
+    ``aggregate`` is CodegenFallback) at ~400 JVM ``replace`` calls per
+    row, and the 800-literal packed arrays repeat in every projection that
+    mentions a conversion — plan-size and per-row cost both grow with the
+    dictionary.  Python ``str.translate`` + the same replace chain is the
+    IDENTICAL computation (``_py_s2t``/``_py_t2s``, which the module
+    asserts and tests pin to the Column fold) at C speed, and one
+    ArrowEvalPython node carries the whole dictionary.  Use the Column
+    forms (:func:`s2t`/:func:`t2s`) as the executable spec and in
+    oracle-shared SQL; use this kernel on corpus-scale columns.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def conv(texts):
+        return pd.DataFrame({
+            "s2t": [None if t is None else _py_s2t(t) for t in texts],
+            "t2s": [None if t is None else _py_t2s(t) for t in texts],
+        })
+
+    conv.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(conv, "struct<s2t:string, t2s:string>")
+
+
+def s2t_udf():
+    """Arrow-batched s2t only (see :func:`s2t_t2s_udf`)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def conv(texts):
+        return pd.Series([None if t is None else _py_s2t(t) for t in texts])
+
+    conv.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(conv, "string")

@@ -187,28 +187,28 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
         attrs=["meta_name"])
     joined = joined.join(F.broadcast(chinese_names), "geoname_id", "left")
 
-    # Value-identical restatement of the reference gate (translate.py:200-207)
-    # costing ONE conversion fold on the common traditional/neutral path
-    # instead of two (the fold is the per-row cost center at 332 word
-    # fixups — measured on the release bench):
+    # Value-identical restatement of the reference gate (translate.py:200-207):
     #   non-Chinese            → NULL            (reference: fall through)
     #   s2t-fixpoint           → meta            (= s2t(meta) there anyway)
     #   t2s-fixpoint           → s2t(meta)       (proper simplified)
     #   mixed (neither)        → meta            (reference passes verbatim)
-    # Branches evaluate lazily, so the t2s fold only runs on rows that are
-    # Chinese and not already s2t-fixpoints.
+    # Both conversions come from ONE Arrow kernel call per row
+    # (zh.s2t_t2s_udf — bit-identical to the Column folds, which remain the
+    # oracle spec): the interpreted 403-replace fold and its 800-literal
+    # packed arrays would otherwise repeat in every branch of this CASE and
+    # dominate per-row cost at corpus scale.
     meta_name = F.col("meta_name")
-    s2t_meta = zh.s2t(meta_name)
+    pair = zh.s2t_t2s_udf()(meta_name)
     meta_translated = (F.when(~zh.is_chinese(meta_name), F.lit(None))
-                       .when(s2t_meta == meta_name, meta_name)
-                       .when(zh.t2s(meta_name) == meta_name, s2t_meta)
+                       .when(pair["s2t"] == meta_name, meta_name)
+                       .when(pair["t2s"] == meta_name, pair["s2t"])
                        .otherwise(meta_name))
 
     # when alt is fully-Han traditional, s2t(alt) == alt — so the reference's
     # "keep if traditional else convert" (translate.py:219-229) is exactly
-    # s2t(alt): one fold instead of a fixpoint probe plus a fold
+    # s2t(alt): one kernel instead of a fixpoint probe plus a fold
     alt = F.col("alternate_name")
-    alt_translated = zh.s2t(alt)
+    alt_translated = zh.s2t_udf()(alt)
     if "alternatenames" in cities.columns:
         extracted = extract_chinese_names("alternatenames")
     else:  # engine-generated cities rows carry no alternatenames
