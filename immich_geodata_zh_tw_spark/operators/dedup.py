@@ -418,6 +418,46 @@ def span_dedup(df: DataFrame, *, id_col: str, text_col: str,
                  F.count(F.lit(1)).alias("n_kept")))
 
 
+def ngram_decontaminate(train: DataFrame, eval_df: DataFrame, *,
+                        id_col: str, text_col: str,
+                        ngram_words: int = 8) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 /
+    Pile-style check: a training doc is contaminated if it shares any
+    ``ngram_words``-gram with any eval/benchmark doc).
+
+    Output: one row per train doc — ``contaminated`` flag plus the number
+    of distinct offending grams (auditable, like the Gopher gate).  Docs
+    shorter than ``ngram_words`` words have no grams and are clean.
+
+    Scale shape: the eval side reduces to DISTINCT grams (benchmark sets
+    are tiny next to the corpus — broadcastable; beyond that the join keys
+    on the gram string, linear either way); the train side explodes
+    sliding grams once and semi-joins.  Nothing quadratic, the corpus
+    never rides a shuffle wider than (id, gram).
+    """
+    from .textstats import word_ngrams_expr
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = df.select(F.col(id_col),
+                          F.expr(f"split(trim({text_col}), ' ')").alias("__w"))
+        return (words.filter(F.expr(f"size(__w) >= {ngram_words}"))
+                .select(id_col,
+                        F.explode(word_ngrams_expr("__w", ngram_words))
+                        .alias("gram")))
+
+    eval_grams = grams(eval_df).select("gram").distinct()
+    hits = (grams(train).join(eval_grams, "gram", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_shared_grams")))
+    return (train.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shared_grams", F.lit(0))
+                    .alias("n_shared_grams"),
+                    (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
 def minhash_clusters(df: DataFrame, *, id_col: str, text_col: str,
                      n_bands: int = 4, shingle: int = 5,
                      max_iter: int = 50) -> DataFrame:

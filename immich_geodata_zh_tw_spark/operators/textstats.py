@@ -177,6 +177,31 @@ def repetition_metrics(df: DataFrame, *, id_col: str = "doc_id",
                 .alias(f"dup{dup_n}gram_frac")))
 
 
+def mixture_weights(df: DataFrame, *, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-domain token counts and sampling weights ∝ sqrt(tokens) — the
+    temperature-reweighting shape multi-domain pretraining recipes use
+    (mT5/XLM-R α-sampling; α = 0.5 here because IEEE ``sqrt`` is correctly
+    rounded in both engines, so the DuckDB oracle comparison stays exact —
+    an arbitrary α via ``pow`` can differ in the last ulp between runtimes).
+
+    One hash aggregation over the corpus (map-side partial sums; only one
+    row per domain shuffles), then a window over the handful of domain rows
+    for the normalizer — the single-partition window is over |domains|
+    rows, not data.
+    """
+    per = (df.groupBy(group_col)
+           .agg(F.sum(F.expr(token_count_sql(text_col))).alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs")))
+    from pyspark.sql import Window
+    total = F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(
+        Window.partitionBy())
+    return per.select(
+        group_col, "n_tokens", "n_docs",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) / total, 6)
+        .alias("weight"))
+
+
 # ---- Spark-side conveniences (wrap the shared SQL) ----
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

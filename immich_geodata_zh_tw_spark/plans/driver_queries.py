@@ -906,6 +906,60 @@ FROM kept GROUP BY 1
 """
 
 
+#: deterministic pseudo-benchmark split for the decontamination query
+_DECON_MOD = 97
+_DECON_NGRAM = 8
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """GPT-3/Pile-style benchmark decontamination: train docs sharing any
+    8-gram with the (deterministic doc_id % 97 == 0) eval split are
+    flagged, with the count of distinct offending grams."""
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return dedup.ngram_decontaminate(train, eval_df, id_col="doc_id",
+                                     text_col="text",
+                                     ngram_words=_DECON_NGRAM)
+
+
+SQL_DOC_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(ws) - {_DECON_NGRAM - 1}),
+           i -> array_to_string(list_slice(ws, i, i + {_DECON_NGRAM - 1}), ' ')))
+         AS gram
+  FROM w WHERE len(ws) >= {_DECON_NGRAM}),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n
+  FROM g JOIN eg USING (gram) WHERE g.doc_id % {_DECON_MOD} <> 0 GROUP BY 1)
+SELECT d.doc_id, coalesce(n, 0) AS n_shared_grams,
+       coalesce(n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_doc_mixture_weights(spark, sf_dir):
+    """Per-domain token counts + sqrt-temperature sampling weights."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.mixture_weights(d, group_col="source", text_col="text")
+
+
+SQL_DOC_MIXTURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, sum({textstats.token_count_sql('text')}) AS n_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1)
+SELECT source, n_tokens, n_docs,
+       round(sqrt(CAST(n_tokens AS DOUBLE))
+             / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
+FROM per
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash near-dup buckets: fingerprint groups with counts + rep id
     (identical fingerprints ⇒ near-dup bucket)."""
@@ -1780,6 +1834,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "doc_gopher_filter": q_doc_gopher_filter,
     "doc_span_dedup": q_doc_span_dedup,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_mixture_weights": q_doc_mixture_weights,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1837,6 +1893,8 @@ _ORACLES: dict[str, str] = {
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_gopher_filter": SQL_DOC_GOPHER_FILTER,
     "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+    "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,

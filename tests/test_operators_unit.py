@@ -386,3 +386,24 @@ class TestMinhashKernel:
         assert got.loc[2, "clean_text"] == "e f"
         assert got.loc[2, "n_kept"] == 1
         assert 3 not in got.index
+
+    def test_decontaminate_hand_computed(self, spark):
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        train = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "p q r s t",        # shares gram 'p q r' with eval
+                "x y z w v",        # clean
+                "a b",              # too short for 3-grams -> clean
+            ]}))
+        eval_df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100], "text": ["o p q r s"]}))  # grams opq pqr qrs
+        got = (dedup.ngram_decontaminate(train, eval_df, id_col="doc_id",
+                                         text_col="text", ngram_words=3)
+               .toPandas().set_index("doc_id").sort_index())
+        assert bool(got.loc[1, "contaminated"]) is True
+        assert got.loc[1, "n_shared_grams"] == 2  # 'p q r', 'q r s'
+        assert bool(got.loc[2, "contaminated"]) is False
+        assert bool(got.loc[3, "contaminated"]) is False
+        assert len(got) == 3  # every train doc appears exactly once
