@@ -97,3 +97,19 @@ class TestZhProperties:
     def test_s2t_preserves_length_for_char_stage(self, text):
         # every fixup pair is length-preserving, so s2t never changes length
         assert len(self._s2t(text)) == len(text)
+
+    @given(_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_t2s_idempotent(self, text):
+        # after one t2s pass no reverse-fixup source (a traditional word)
+        # and no mapped traditional char remains — second pass is identity
+        once = zh._py_t2s(text)
+        assert zh._py_t2s(once) == once
+
+    @given(_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_s2t_t2s_s2t_stability(self, text):
+        # converting a traditionalized string back and forth must land on
+        # the same traditional form (no oscillating char/word pairs)
+        once = zh._py_s2t(text)
+        assert zh._py_s2t(zh._py_t2s(once)) == once
