@@ -36,6 +36,39 @@ def metadata_coordinate_join(cities: DataFrame, metadata: DataFrame, *,
     return cities.join(F.broadcast(meta), keys, "left")
 
 
+def translate_admin1(admin1: DataFrame, alternate: DataFrame, *,
+                     id_col: str = "geoname_id", name_col: str = "name",
+                     alt_col: str = "alt_name") -> DataFrame:
+    """Admin1 file translation — reference translate.py:380-409
+    (``convert_admin_name``): left-join the picked zh alternate name by
+    geoname_id, then per row
+
+    * missing/empty alternate  → keep the existing name;
+    * simplified alternate     → s2t(alternate);
+    * anything else            → the alternate verbatim (the reference
+      passes traditional AND non-Chinese alternates straight through);
+
+    ``asciiname`` mirrors the final name (reference :409).  The reference's
+    row-wise ``map_elements`` becomes one Arrow kernel call for both
+    conversions (s2t for the value, t2s for the is_simplified fixpoint
+    probe) + a broadcastable left join.
+    """
+    from ..functions import zh
+
+    j = admin1.join(
+        F.broadcast(alternate.select(F.col(id_col),
+                                     F.col(alt_col).alias("__nr"))),
+        id_col, "left")
+    nr = F.col("__nr")
+    pair = zh.s2t_t2s_udf()(nr)
+    new_name = (F.when(nr.isNull() | (nr == ""), F.col(name_col))
+                .when(zh.is_chinese(nr) & (pair["t2s"] == nr), pair["s2t"])
+                .otherwise(nr))
+    return (j.withColumn(name_col, new_name)
+            .withColumn("asciiname", F.col(name_col))
+            .drop("__nr"))
+
+
 def extract_chinese_names_sql(col: str, *, dialect: str = "spark") -> str:
     """F11 — the reference's comma-candidate scan (translate.py:230-263) as a
     single JVM/DuckDB expression, no Python.

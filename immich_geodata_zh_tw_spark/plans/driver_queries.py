@@ -1292,6 +1292,61 @@ FROM salted
 """
 
 
+#: admin1-translation gate cases: empty alt (keep base), simplified alt
+#: (convert), traditional alt (verbatim), non-Chinese alt (verbatim),
+#: plus ids with NO alt row at all (doc_id % 7 == 3)
+_A1_BASE = ["Taichung", "台中市", "Changhua County", "新營區", "Pingtung"]
+_A1_ALT = ["台北", "臺北", "Taipei City", "", "头发街", "皇后区", "新营"]
+_A1_BASE_SPARK = "array(" + ", ".join(f"'{w}'" for w in _A1_BASE) + ")"
+_A1_BASE_DUCK = "[" + ", ".join(f"'{w}'" for w in _A1_BASE) + "]"
+_A1_ALT_SPARK = "array(" + ", ".join(f"'{w}'" for w in _A1_ALT) + ")"
+_A1_ALT_DUCK = "[" + ", ".join(f"'{w}'" for w in _A1_ALT) + "]"
+
+
+def q_admin1_translate(spark, sf_dir):
+    """Admin1 file translation (reference translate.py:380-409): join the
+    picked zh alternate by geoname_id; keep base on empty, s2t simplified,
+    pass traditional/non-Chinese verbatim; asciiname mirrors name."""
+    from ..operators.translate import translate_admin1
+
+    d = _t(spark, sf_dir, "documents")
+    admin1 = d.select(
+        F.col("doc_id").alias("geoname_id"),
+        F.expr(f"element_at({_A1_BASE_SPARK}, "
+               f"CAST(doc_id % {len(_A1_BASE)} AS INT) + 1)").alias("name"))
+    alt = (d.filter(F.col("doc_id") % 7 != 3)
+           .select(F.col("doc_id").alias("geoname_id"),
+                   F.expr(f"element_at({_A1_ALT_SPARK}, "
+                          f"CAST(doc_id % {len(_A1_ALT)} AS INT) + 1)")
+                   .alias("alt_name")))
+    return translate_admin1(admin1, alt)
+
+
+SQL_ADMIN1_TRANSLATE = f"""
+WITH admin1 AS (
+  SELECT doc_id AS geoname_id,
+         ({_A1_BASE_DUCK})[CAST(doc_id % {len(_A1_BASE)} AS INT) + 1] AS name
+  FROM documents),
+alt AS (
+  SELECT doc_id AS geoname_id,
+         ({_A1_ALT_DUCK})[CAST(doc_id % {len(_A1_ALT)} AS INT) + 1] AS alt_name
+  FROM documents WHERE doc_id % 7 <> 3),
+j AS (
+  SELECT a.geoname_id, a.name, b.alt_name AS nr
+  FROM admin1 a LEFT JOIN alt b USING (geoname_id)),
+named AS (
+  SELECT geoname_id,
+         CASE WHEN nr IS NULL OR nr = '' THEN name
+              WHEN regexp_matches(nr, '{{IS_CN}}') AND {{T2S}} = nr
+              THEN {{S2T}}
+              ELSE nr END AS name
+  FROM j)
+SELECT geoname_id, name, name AS asciiname FROM named
+""".replace("{IS_CN}", IS_CHINESE_SQL["duckdb"]) \
+   .replace("{T2S}", _t2s_sql("nr")) \
+   .replace("{S2T}", _s2t_sql("nr"))
+
+
 _ALT_CASES = ["Taipei,台北,臺北", "Taipei,台北,Tai-pei", "foo,bar",
               "hello世界town,xyz", "", "头发屋,發街", "皇后區,queens",
               "新营,Xinying,新營"]
@@ -1844,6 +1899,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_name_collapse": q_multi_name_collapse,
     "metadata_coord_join": q_metadata_coord_join,
     "zh_s2t": q_zh_s2t,
+    "admin1_translate": q_admin1_translate,
     "extract_chinese_names": q_extract_chinese_names,
     "korea_sejong": q_korea_sejong,
     "country_localize": q_country_localize,
@@ -1903,6 +1959,7 @@ _ORACLES: dict[str, str] = {
     "multi_name_collapse": SQL_MULTI_NAME_COLLAPSE,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
     "zh_s2t": SQL_ZH_S2T,
+    "admin1_translate": SQL_ADMIN1_TRANSLATE,
     "extract_chinese_names": _sql_extract_chinese_names(),
     "korea_sejong": SQL_KOREA_SEJONG,
     "country_localize": _sql_country_localize(),

@@ -407,3 +407,31 @@ class TestMinhashKernel:
         assert bool(got.loc[2, "contaminated"]) is False
         assert bool(got.loc[3, "contaminated"]) is False
         assert len(got) == 3  # every train doc appears exactly once
+
+
+class TestAdmin1Translate:
+    def test_gate_branches(self, spark):
+        """Reference translate.py:392-407 branch-by-branch (ref cited in
+        operator docstring): empty alt keeps base, simplified converts,
+        traditional + non-Chinese pass verbatim, missing keeps base."""
+        from immich_geodata_zh_tw_spark.operators.translate import translate_admin1
+
+        admin1 = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": [1, 2, 3, 4, 5, 6],
+            "name": ["Base1", "Base2", "Base3", "Base4", "Base5", "Base6"]}))
+        alt = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": [1, 2, 3, 4, 5],
+            "alt_name": ["头发街",        # simplified -> s2t
+                         "臺北",          # traditional -> verbatim
+                         "Taipei City",  # non-Chinese -> verbatim
+                         "",             # empty -> keep base
+                         "皇后区"]}))     # simplified w/ word fixup
+        got = (translate_admin1(admin1, alt).toPandas()
+               .set_index("geoname_id").sort_index())
+        assert got.loc[1, "name"] == "頭髮街"
+        assert got.loc[2, "name"] == "臺北"
+        assert got.loc[3, "name"] == "Taipei City"
+        assert got.loc[4, "name"] == "Base4"
+        assert got.loc[5, "name"] == "皇后區"   # 后->後->后 via word fixup, 区->區
+        assert got.loc[6, "name"] == "Base6"   # no alt row at all
+        assert (got["asciiname"] == got["name"]).all()
