@@ -100,14 +100,48 @@ def extract_pages_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         })
 
 
+def extract_geo_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` kernel: geo tags ONLY — no text extraction.
+
+    Column pruning cannot reach inside a mapInPandas kernel (the schema is
+    fixed and the Python function does the work regardless of which output
+    columns the plan consumes), so a consumer that drops ``text`` — the
+    reverse-geocode flagship outputs no text column — must choose a
+    text-free kernel explicitly.  At a global corpus with a Taiwan bbox the
+    text pass is ~everything: tag-strip + entity + whitespace regexes over
+    every page, for rows that are then bbox-filtered away.
+    """
+    for pdf in batches:
+        n = len(pdf)
+        lat = np.full(n, np.nan)
+        lon = np.full(n, np.nan)
+        for i, html in enumerate(pdf["html"].to_numpy()):
+            geo = extract_geo(html)
+            if geo is not None:
+                lat[i], lon[i] = geo
+        yield pd.DataFrame({
+            "url": pdf["url"].to_numpy(),
+            "lat": lat,
+            "lon": lon,
+        })
+
+
 EXTRACTED_SCHEMA = "url string, lat double, lon double, text string"
+EXTRACTED_GEO_SCHEMA = "url string, lat double, lon double"
 
 
-def extract_pages(pages_df):
-    """Spark plan: pages DataFrame → extracted DataFrame (url, lat, lon, text).
+def extract_pages(pages_df, *, with_text: bool = True):
+    """Spark plan: pages DataFrame → extracted DataFrame.
 
     Column-pruned before the UDF so only (url, html) crosses the Arrow
     boundary — at 100 TB the ``text``/``lang`` columns never leave the JVM.
+    ``with_text=False`` selects the geo-only kernel (same rows, no ``text``
+    column) for consumers that never output text — the byte-identical-text
+    invariant stays pinned by the extractor's own tests either way.
     """
-    return pages_df.select("url", "html").mapInPandas(
-        extract_pages_batches, schema=EXTRACTED_SCHEMA)
+    pruned = pages_df.select("url", "html")
+    if with_text:
+        return pruned.mapInPandas(extract_pages_batches,
+                                  schema=EXTRACTED_SCHEMA)
+    return pruned.mapInPandas(extract_geo_batches,
+                              schema=EXTRACTED_GEO_SCHEMA)

@@ -39,14 +39,17 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
     # nearest-centroid distance of the village tiling, so virtually every row
     # settles in the zero-shuffle static path — one broadcast join + codegen.
     """Full reverse-geocode of a pages table against polygon + point tables."""
-    ext = extract_pages(pages).observe(
+    # geo-only kernel: this plan never outputs text, and pruning cannot
+    # reach inside mapInPandas — the text pass (tag-strip + entities + ws
+    # regexes per page) would otherwise run for every page only to be
+    # dropped, and at a global corpus vs a Taiwan bbox that is ~all of it
+    ext = extract_pages(pages, with_text=False).observe(
         "extract_metrics",
         F.count(F.lit(1)).alias("pages_extracted"),
         F.count(F.col("lat")).alias("pages_with_geo"))
     pts = (ext
            .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
            .filter(in_bbox(F.col("lat"), F.col("lon"), bbox))
-           .drop("text")
            # explicit exchange: (a) separates the extract mapInPandas and the
            # PIP pandas UDF into different stages — chaining two Python
            # workers inside one task pipeline doubles Python-process

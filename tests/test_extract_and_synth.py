@@ -131,3 +131,19 @@ class TestPolygonsCities:
         c = cities.cities_pdf(village_grid=3)
         codes = c.groupby("admin_1")["admin1_code"].first().sort_index()
         assert codes.tolist() == [f"TW.{i+1}" for i in range(5)]
+
+
+class TestGeoOnlyKernel:
+    def test_geo_only_matches_full_kernel(self, spark):
+        """extract_pages(with_text=False) must agree with the full kernel on
+        every (url, lat, lon) — it is the same geo scan minus the text pass."""
+        from immich_geodata_zh_tw_spark.extract.html_meta import extract_pages
+        from immich_geodata_zh_tw_spark.synth.pages import pages_df
+
+        pages = pages_df(spark, 500, partitions=4)
+        full = (extract_pages(pages).drop("text").toPandas()
+                .sort_values("url").reset_index(drop=True))
+        geo = (extract_pages(pages, with_text=False).toPandas()
+               .sort_values("url").reset_index(drop=True))
+        assert list(geo.columns) == ["url", "lat", "lon"]
+        assert geo.equals(full)
