@@ -55,6 +55,17 @@ def run_scaling(sf_dir: str, cpus_4n: int, *, n_pages: int | None = None,
         finally:
             spark.stop()
 
+    # materialize the pages parquet ONCE at full width before either timed
+    # leg — otherwise the N-leg session pays the whole 72M-page synthesis
+    # on N cores (measured ~35 min at local[4]) before its first rep
+    spark = get_spark(app_name="scaling-materialize", parallelism=cpus_4n)
+    try:
+        from .common import materialize_pages
+
+        materialize_pages(spark, n_pages)
+    finally:
+        spark.stop()
+
     cpus_n = max(cpus_4n // 4, 1)
     results = {}
     for label, cpus in (("N", cpus_n), ("4N", cpus_4n)):

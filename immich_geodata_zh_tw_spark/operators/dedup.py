@@ -66,8 +66,11 @@ def minhash_agg_expr(text_col: str, *, n_bands: int = 4, shingle: int = 5,
     already carries 8 independent 16-bit values, so instead each sampled
     shingle is hashed ONCE and row ``k`` takes hex slice ``[4k, 4k+4)``;
     a single ``aggregate`` folds the shingle array into the struct of 8
-    per-slice minima (one pass, no re-hash, stays in codegen).  ``stride``
-    samples every n-th position (negligible quality loss at 5-char shingles).
+    per-slice minima (one pass, no re-hash).  Round 3 correction: the fold
+    is CodegenFallback, i.e. it evaluates interpreted — this expression is
+    now the executable spec for the DuckDB oracle while the engine hot
+    path runs :func:`minhash_bands_udf`.  ``stride`` samples every n-th
+    position (negligible quality loss at 5-char shingles).
     """
     n_rows = n_bands * ROWS_PER_BAND
     assert n_rows * 4 <= 32, "md5 hex has 32 chars = max 8 rows of 4"
@@ -108,10 +111,10 @@ def minhash_bands_udf(*, n_bands: int = 4, shingle: int = 5,
     7 s doc_minhash_pairs at sf0.1; a materialized-signature join is
     0.35 s).  This kernel hashes each *distinct* shingle in the Arrow batch
     once (near-dup corpora repeat most shingles), then takes the per-slice
-    minima as one numpy byte-wise reduction.  Hex-slice ordering under
-    numpy ``S4`` compare = ASCII = the JVM UTF8String / DuckDB collation on
-    hex, so parity with the DuckDB oracle (which runs the SQL text) holds
-    exactly.
+    minima as one numpy reduction over a big-endian-uint32 view of the hex
+    slices — numeric order on ``>u4`` == byte-lexicographic == the JVM
+    UTF8String / DuckDB collation on hex, so parity with the DuckDB oracle
+    (which runs the SQL text) holds exactly.
     """
     import hashlib
 
@@ -323,7 +326,8 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
     * pandas-UDF set ops per pair: 10-23 s — the numpy intersect itself is
       0.6 s, but serializing two ~150-element arrays per pair into Arrow
       (~1.2 GB) dominates;
-    * this one, ~2 s: explode each doc's distinct shingle hashes ONCE
+    * this one, ~7 s (the 62 M-row fan-out at this box's ~1 M
+      rows/s/core): explode each doc's distinct shingle hashes ONCE
       (narrow (doc, hash) rows), attach A-side hashes to the pairs, keep
       rows whose hash also exists on the B side (semi join), count per
       pair.  Everything after the one Arrow kernel
