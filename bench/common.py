@@ -12,7 +12,11 @@ def materialize_pages(spark, n_pages: int) -> str:
     the timed pipeline reads parquet, matching the real Iceberg-scan workload
     rather than paying Python page *synthesis* inside the measurement."""
     path = f"{PAGES_CACHE}/pages_{n_pages}.parquet"
-    if not os.path.exists(path):
+    # gate on the _SUCCESS marker, not the directory: a crashed write (seen
+    # once — a Python worker killed mid-synthesis by host noise) leaves a
+    # partial directory that a bare exists() would silently serve as the
+    # whole corpus, poisoning every later measurement
+    if not os.path.exists(f"{path}/_SUCCESS"):
         from immich_geodata_zh_tw_spark.synth import pages
 
         # fixed file count, independent of the writing session's parallelism:
