@@ -842,13 +842,9 @@ _GOPHER_MIN_STOPWORDS = 2
 _GOPHER_MAX_TOP2, _GOPHER_MAX_DUP5 = 0.1, 0.15
 
 
-def q_doc_gopher_filter(spark, sf_dir):
-    """Gopher quality gate: word-count window + mean-word-length window +
-    stopword floor + repetition ceilings, emitted as a per-doc ``keep``
-    verdict with the signals that produced it (auditable filtering — the
-    shape a 100-TB curation pass needs: every signal is one narrow agg,
-    the verdict is a pure projection)."""
-    d = _t(spark, sf_dir, "documents")
+def _gopher_gate(d):
+    """Per-doc Gopher verdict frame (shared by the gate query and the full
+    curation pipeline)."""
     rep = textstats.repetition_metrics(d)
     sw = d.select("doc_id", F.expr(textstats.stopword_hits_sql("en", "text"))
                   .alias("stopword_hits"))
@@ -862,6 +858,15 @@ def q_doc_gopher_filter(spark, sf_dir):
     return (rep.join(sw, "doc_id")
             .select("doc_id", "n_words", "mean_word_len", "top2gram_frac",
                     "dup5gram_frac", "stopword_hits", keep.alias("keep")))
+
+
+def q_doc_gopher_filter(spark, sf_dir):
+    """Gopher quality gate: word-count window + mean-word-length window +
+    stopword floor + repetition ceilings, emitted as a per-doc ``keep``
+    verdict with the signals that produced it (auditable filtering — the
+    shape a 100-TB curation pass needs: every signal is one narrow agg,
+    the verdict is a pure projection)."""
+    return _gopher_gate(_t(spark, sf_dir, "documents"))
 
 
 SQL_DOC_GOPHER_FILTER = f"""
@@ -957,6 +962,73 @@ SELECT source, n_tokens, n_docs,
        round(sqrt(CAST(n_tokens AS DOUBLE))
              / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
 FROM per
+"""
+
+
+def q_doc_curation_pipeline(spark, sf_dir):
+    """Full C4+Gopher curation as ONE plan: Gopher quality gate (word-count
+    / mean-word-length windows, stopword floor, repetition ceilings) →
+    global span-level dedup over survivors → exact dedup of the cleaned
+    text keeping the min-id representative with stats.  Every stage is the
+    already-verified operator; the composition is what a production
+    100-TB curation pass runs end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    gate = _gopher_gate(d)
+    kept = d.join(gate.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    spanned = dedup.span_dedup(kept, id_col="doc_id", text_col="text",
+                               span_words=10)
+    scored = spanned.withColumn(
+        "n_tokens", F.expr(textstats.token_count_sql("clean_text")))
+    packed = F.struct(F.col("doc_id").alias("i"),
+                      F.col("n_kept").alias("k"),
+                      F.col("n_tokens").alias("t"))
+    return (scored.groupBy(F.md5(F.col("clean_text")).alias("content_hash"))
+            .agg(F.min(packed).alias("b"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select(F.col("b.i").alias("doc_id"),
+                    F.col("b.k").alias("n_spans"),
+                    F.col("b.t").alias("n_tokens"), "dup_count"))
+
+
+SQL_DOC_CURATION_PIPELINE = f"""
+WITH {_SQL_REPETITION_CTE},
+gate AS (
+  SELECT doc_id,
+         (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+          AND mean_word_len >= {_GOPHER_MIN_MWL}
+          AND mean_word_len <= {_GOPHER_MAX_MWL}
+          AND {textstats.stopword_hits_sql('en', 'text')} >= {_GOPHER_MIN_STOPWORDS}
+          AND top2gram_frac <= {_GOPHER_MAX_TOP2}
+          AND coalesce(dup5gram_frac, 0.0) <= {_GOPHER_MAX_DUP5}) AS keep
+  FROM rep),
+src AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN gate USING (doc_id)
+  WHERE gate.keep),
+w2 AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM src),
+spans AS (
+  SELECT doc_id, (i - 1) // 10 AS pos,
+         array_to_string(list_slice(ws, i, i + 9), ' ') AS span
+  FROM w2, unnest(generate_series(1, len(ws), 10)) AS t(i)),
+first_doc AS (SELECT span, min(doc_id) AS d FROM spans GROUP BY 1),
+firsts AS (
+  SELECT s.span, f.d, min(s.pos) AS p
+  FROM spans s JOIN first_doc f ON s.span = f.span AND s.doc_id = f.d
+  GROUP BY 1, 2),
+kept_spans AS (
+  SELECT s.doc_id, s.pos, s.span
+  FROM spans s JOIN firsts f
+    ON s.span = f.span AND s.doc_id = f.d AND s.pos = f.p),
+docs2 AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_spans
+  FROM kept_spans GROUP BY 1),
+scored AS (
+  SELECT doc_id, clean_text, n_spans,
+         {textstats.token_count_sql('clean_text')} AS n_tokens
+  FROM docs2)
+SELECT min_by(doc_id, doc_id) AS doc_id, min_by(n_spans, doc_id) AS n_spans,
+       min_by(n_tokens, doc_id) AS n_tokens, count(*) AS dup_count
+FROM scored GROUP BY md5(clean_text)
 """
 
 
@@ -1891,6 +1963,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_span_dedup": q_doc_span_dedup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_mixture_weights": q_doc_mixture_weights,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "split_last": q_split_last,
@@ -1951,6 +2024,7 @@ _ORACLES: dict[str, str] = {
     "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
+    "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "split_last": SQL_SPLIT_LAST,
