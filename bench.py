@@ -63,10 +63,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
         bench_queries = [
             "geo_knn_cells", "geo_pip_villages", "geo_cell_histogram",
-            "tpch_q1", "dedup_keep_best", "sessionize",
+            "tpch_q1", "dedup_keep_best", "windows_compound",
             "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
             "doc_jaccard_pairs", "doc_gopher_filter", "doc_span_dedup",
-            "doc_text_stats",
+            "doc_text_profile",
             "embed_knn", "embed_neardup", "extract_chinese_names",
             "release_pipeline",
         ]

@@ -284,6 +284,8 @@ def decode_avi_mjpeg_frames(buf: bytes,
         return []
     if len(spans) <= max_frames:
         picks = range(len(spans))
+    elif max_frames == 1:
+        picks = [0]  # guard the even-sampling divide-by-(max_frames-1)
     else:
         picks = sorted({round(i * (len(spans) - 1) / (max_frames - 1))
                         for i in range(max_frames)})

@@ -5,7 +5,9 @@ country names) in its release pack, used by Immich's display path
 (reference README.md:103).  The engine carries the mapping as a broadcast
 dimension table and localizes with a plain equi-join — the idiomatic Spark
 replacement for a runtime dict lookup.  The table below covers all 249
-officially-assigned ISO 3166-1 alpha-2 codes with their public-knowledge
+officially-assigned ISO 3166-1 alpha-2 codes plus XK (Kosovo, the one
+user-assigned code the reference ships — 250 entries total, matching
+zh-tw.json) with their public-knowledge
 zh-TW localizations (round-2 VERDICT item 6 — the round-2 build shipped a
 64-entry subset).
 """
@@ -95,11 +97,13 @@ COUNTRY_ZH_TW: dict[str, str] = {
     "VG": "英屬維京群島", "VI": "美屬維京群島", "VN": "越南",
     "VU": "萬那杜",
     "WF": "瓦利斯和富圖那", "WS": "薩摩亞",
+    # XK: user-assigned code the reference's zh-tw.json ships (entry 250)
+    "XK": "科索沃",
     "YE": "葉門", "YT": "馬約特",
     "ZA": "南非", "ZM": "尚比亞", "ZW": "辛巴威",
 }
 
-assert len(COUNTRY_ZH_TW) == 249, len(COUNTRY_ZH_TW)
+assert len(COUNTRY_ZH_TW) == 250, len(COUNTRY_ZH_TW)
 
 
 def country_dim(spark: SparkSession) -> DataFrame:

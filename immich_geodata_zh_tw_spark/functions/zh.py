@@ -347,6 +347,47 @@ def _py_t2s(text: str) -> str:
     return out.translate(_T2S_TRANS)
 
 
+#: known-ambiguous simplified chars the character stage deliberately leaves
+#: UNMAPPED (multiple traditional targets, no safe default): their correct
+#: conversion exists only at word level.  An occurrence of one of these in
+#: an engine-PRODUCED traditional name means either (a) a word fixup legit-
+#: imately resolved it to the bare char (e.g. 皇后), (b) the reference's own
+#: 裏→里 Taiwan-village rule emitted it, or (c) it is UNFIXED — a word
+#: context the dictionary lacks.  tests/test_properties.py mines every
+#: zh-producing driver query at sf0.01 and asserts case (c) never happens
+#: (round-3 VERDICT "Next round" #7).
+AMBIGUOUS_UNMAPPED = ("干面里只复钟范几斗卜占布舍杰姜淀卤伙松谷冲历划"
+                      "曲朴蒙余系采制表征获尽症辟游")
+assert not set(AMBIGUOUS_UNMAPPED) & set(SIMPLIFIED)
+
+
+def ambiguous_unfixed_occurrences(name: str) -> list[tuple[int, str]]:
+    """Positions of :data:`AMBIGUOUS_UNMAPPED` chars in ``name`` that are
+    NOT covered by any word-fixup target spanning them (pure-Python audit
+    helper for the property tests; not a query-path function)."""
+    out = []
+    for pos, ch in enumerate(name):
+        if ch not in AMBIGUOUS_UNMAPPED:
+            continue
+        covered = False
+        for _, dst in S2T_WORD_FIXUPS:
+            if ch not in dst:
+                continue
+            start = 0
+            while not covered:
+                hit = name.find(dst, start)
+                if hit < 0:
+                    break
+                if hit <= pos < hit + len(dst):
+                    covered = True
+                start = hit + 1
+            if covered:
+                break
+        if not covered:
+            out.append((pos, ch))
+    return out
+
+
 # every target must be a fixpoint of the FULL pipeline (char stage may map
 # a target char like 后→後 as long as a later fixup restores it), and every
 # source must actually rewrite to its target when fed alone — generalized
@@ -396,15 +437,6 @@ def _t2s_text(col: str, *, dialect: str = "spark") -> str:
     return f"translate({folded}, '{TRADITIONAL}', '{SIMPLIFIED}')"
 
 
-def s2t(col: Column | str) -> Column:
-    """Simplified → Traditional (character stage + word-fold stage).
-
-    Built from public Column ops (``F.translate`` + an ``F.aggregate`` fold
-    of ``F.replace`` over the literal fixup arrays) — no SQL-text round-trip
-    through private APIs, so arbitrary Column expressions and Spark Connect
-    both work (ADVICE.md round-2 item 4), and the expression stays a single
-    fold node however large the word dictionary grows.
-    """
 #: separator for packing the fixup tables into ONE string literal each —
 #: building the arrays as `F.array(*806 × F.lit)` cost ~1 s of py4j
 #: round-trips PER s2t()/t2s() call (measured; the release-pipeline plan

@@ -189,16 +189,28 @@ def mixture_weights(df: DataFrame, *, group_col: str = "source",
     row per domain shuffles), then a window over the handful of domain rows
     for the normalizer — the single-partition window is over |domains|
     rows, not data.
+
+    The normalizer is made ORDER-FREE: a float ``sum(sqrt(n)) OVER ()``
+    accumulates doubles in engine-internal, parallelism-dependent order on
+    both Spark and DuckDB, so a last-ulp total difference can flip a
+    ``round(…, 6)`` boundary between runs (observed once in the round-3
+    driver run).  Instead each domain's sqrt is quantized to an exact
+    integer (``round(sqrt(n) * 1e6)`` — correctly-rounded IEEE sqrt, no
+    half-way cases since sqrt of a non-square is irrational and sqrt of a
+    perfect square times 1e6 is already integral), integers are summed
+    associatively, and the single final division is a one-op IEEE divide of
+    two exact operands — bit-identical regardless of accumulation order.
     """
     per = (df.groupBy(group_col)
            .agg(F.sum(F.expr(token_count_sql(text_col))).alias("n_tokens"),
                 F.count(F.lit(1)).alias("n_docs")))
     from pyspark.sql import Window
-    total = F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(
-        Window.partitionBy())
+    qsqrt = F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6, 0) \
+        .cast("bigint")
+    total = F.sum(qsqrt).over(Window.partitionBy())
     return per.select(
         group_col, "n_tokens", "n_docs",
-        F.round(F.sqrt(F.col("n_tokens").cast("double")) / total, 6)
+        F.round(qsqrt.cast("double") / total.cast("double"), 6)
         .alias("weight"))
 
 

@@ -953,15 +953,23 @@ def q_doc_mixture_weights(spark, sf_dir):
     return textstats.mixture_weights(d, group_col="source", text_col="text")
 
 
+# normalizer is order-free: per-domain sqrt quantized to an exact BIGINT
+# (round(sqrt(n)*1e6)), summed associatively, ONE final IEEE divide — a
+# float sum OVER () accumulates in run-dependent order and can flip the
+# round(…,6) boundary (operators/textstats.py:mixture_weights docstring)
 SQL_DOC_MIXTURE_WEIGHTS = f"""
 WITH per AS (
   SELECT source, sum({textstats.token_count_sql('text')}) AS n_tokens,
          count(*) AS n_docs
-  FROM documents GROUP BY 1)
+  FROM documents GROUP BY 1),
+q AS (
+  SELECT source, n_tokens, n_docs,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS qs
+  FROM per)
 SELECT source, n_tokens, n_docs,
-       round(sqrt(CAST(n_tokens AS DOUBLE))
-             / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
-FROM per
+       round(CAST(qs AS DOUBLE) / CAST(sum(qs) OVER () AS DOUBLE), 6)
+         AS weight
+FROM q
 """
 
 
@@ -1918,6 +1926,180 @@ WHERE cos_sim >= {_ND_THRESHOLD!r}
 
 
 # ---------------------------------------------------------------------------
+# compound driver queries — registry ≤ 50 entries
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS check records exactly the FIRST 50 registry
+# entries; round 3 shipped 58, leaving the last 8 without a recorded driver
+# row (round-3 VERDICT "Next round" #1).  The trivial single-operator
+# queries below are FOLDED into compound union-typed queries — each branch
+# is the SAME plan the standalone query ran (the standalone q_* functions
+# stay importable and are composed here), so per-operator evidence is
+# preserved while the registry drops to 49 entries.  Branches use typed
+# columns with NULL padding (never float→string casts: the two engines
+# disagree on double rendering, numbers hash-match).
+
+
+def q_scalar_misc_compound(spark, sf_dir):
+    """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
+    U1+W3 union-dedup ∪ F12 multi-name collapse, one union-typed result
+    (schema: op, key_num, key_str, val_num, val_str)."""
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+
+    b1 = q_split_last(spark, sf_dir).select(
+        F.lit("split_last").alias("op"),
+        F.col("p_partkey").cast("long").alias("key_num"),
+        null_s.alias("key_str"), null_l.alias("val_num"),
+        F.col("last_word").alias("val_str"))
+    b2 = q_distinct_sorted(spark, sf_dir).select(
+        F.lit("distinct_sorted").alias("op"),
+        null_l.alias("key_num"), F.col("c_mktsegment").alias("key_str"),
+        null_l.alias("val_num"), null_s.alias("val_str"))
+    b3 = (q_global_max(spark, sf_dir)
+          .select(F.explode(F.array(
+              F.struct(F.lit("max_key").alias("k"),
+                       F.col("max_key").alias("v")),
+              F.struct(F.lit("n_rows").alias("k"),
+                       F.col("n_rows").alias("v")))).alias("e"))
+          .select(F.lit("global_max").alias("op"), null_l.alias("key_num"),
+                  F.col("e.k").alias("key_str"), F.col("e.v").alias("val_num"),
+                  null_s.alias("val_str")))
+    b4 = q_union_dedup(spark, sf_dir).select(
+        F.lit("union_dedup").alias("op"), null_l.alias("key_num"),
+        F.col("o_orderstatus").alias("key_str"),
+        F.col("n").alias("val_num"), null_s.alias("val_str"))
+    b5 = q_multi_name_collapse(spark, sf_dir).select(
+        F.lit("multi_name_collapse").alias("op"),
+        F.col("n_nationkey").cast("long").alias("key_num"),
+        null_s.alias("key_str"), null_l.alias("val_num"),
+        F.col("collapsed_name").alias("val_str"))
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b5)
+
+
+SQL_SCALAR_MISC_COMPOUND = f"""
+SELECT 'split_last' AS op, CAST(p_partkey AS BIGINT) AS key_num,
+       CAST(NULL AS VARCHAR) AS key_str, CAST(NULL AS BIGINT) AS val_num,
+       list_extract(string_split(p_name, ' '), -1) AS val_str
+FROM part
+UNION ALL
+SELECT 'distinct_sorted', NULL, c_mktsegment, NULL, NULL
+FROM (SELECT DISTINCT c_mktsegment FROM customer)
+UNION ALL
+SELECT 'global_max', NULL, 'max_key',
+       (SELECT max(CAST(o_orderkey AS BIGINT)) FROM orders), NULL
+UNION ALL
+SELECT 'global_max', NULL, 'n_rows', (SELECT count(*) FROM orders), NULL
+UNION ALL
+SELECT 'union_dedup', NULL, o_orderstatus, n, NULL
+FROM (
+  SELECT o_orderstatus, count(*) AS n FROM (
+    SELECT DISTINCT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'F' OR o_totalprice > 100000)
+  GROUP BY 1)
+UNION ALL
+SELECT 'multi_name_collapse', CAST(n_nationkey AS BIGINT), NULL, NULL,
+       collapsed_name
+FROM ({SQL_MULTI_NAME_COLLAPSE})
+"""
+
+
+def q_doc_text_profile(spark, sf_dir):
+    """Per-doc text profile: token/punct/digit/stopword/quality stats +
+    stopword-vote language ID + BPE-ish token count, ONE projection over
+    documents (all JVM SQL; folds doc_text_stats/doc_langid/doc_bpe_tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_text_stats(d, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_hits", "quality_score",
+        textstats.predict_lang("text").alias("pred_lang"),
+        F.expr(textstats.bpe_token_count_sql("text", dialect="spark"))
+        .alias("bpe_tokens"))
+
+
+SQL_DOC_TEXT_PROFILE = f"""
+SELECT doc_id,
+       {textstats.token_count_sql('text')} AS n_tokens,
+       {textstats.punct_ratio_sql('text')} AS punct_ratio,
+       {textstats.digit_ratio_sql('text')} AS digit_ratio,
+       {textstats.stopword_hits_sql('en', 'text')} AS stopword_hits,
+       {textstats.quality_score_sql('text')} AS quality_score,
+       {textstats.predict_lang_sql('text')} AS pred_lang,
+       {textstats.bpe_token_count_sql('text', dialect='duckdb')} AS bpe_tokens
+FROM documents
+"""
+
+
+def q_windows_compound(spark, sf_dir):
+    """Sessionization (lag + gap cumsum) ∪ tumbling 1-hour window agg as one
+    union-typed result (folds sessionize/tumbling_window)."""
+    null_l = F.lit(None).cast("long")
+    b1 = q_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        null_l.alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_sessions").alias("n"), F.col("n_events").alias("n2"),
+        F.lit(None).cast("double").alias("sum_value"))
+    b2 = q_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling_window").alias("op"), null_l.alias("user_id"),
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type", F.col("n"), null_l.alias("n2"), F.col("sum_value"))
+    return b1.unionByName(b2)
+
+
+SQL_WINDOWS_COMPOUND = f"""
+SELECT 'sessionize' AS op, user_id, CAST(NULL AS BIGINT) AS window_start,
+       CAST(NULL AS VARCHAR) AS event_type, n_sessions AS n, n_events AS n2,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM ({SQL_SESSIONIZE})
+UNION ALL
+SELECT 'tumbling_window', NULL, window_start, event_type, n, NULL, sum_value
+FROM ({SQL_TUMBLING_WINDOW})
+"""
+
+
+def q_raster_suite(spark, sf_dir):
+    """Vector→raster bands ∪ raster→vector bounds ∪ zonal stats as one
+    union-typed result (folds raster_points/raster_vector_bounds/
+    zonal_stats; each branch is the standalone query's plan)."""
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    b1 = q_raster_points(spark, sf_dir).select(
+        F.lit("points").alias("op"), F.col("cell"), null_s.alias("county"),
+        F.col("n_points"), F.col("sum_value"),
+        null_d.alias("lat_min"), null_d.alias("lat_max"),
+        null_d.alias("lon_min"), null_d.alias("lon_max"))
+    b2 = q_raster_vector_bounds(spark, sf_dir).select(
+        F.lit("bounds").alias("op"), F.col("cell"), null_s.alias("county"),
+        F.col("n_points"), null_d.alias("sum_value"),
+        "lat_min", "lat_max", "lon_min", "lon_max")
+    b3 = q_zonal_stats(spark, sf_dir).select(
+        F.lit("zonal").alias("op"), null_l.alias("cell"), F.col("county"),
+        F.col("n_points"), F.col("sum_value"),
+        null_d.alias("lat_min"), null_d.alias("lat_max"),
+        null_d.alias("lon_min"), null_d.alias("lon_max"))
+    return b1.unionByName(b2).unionByName(b3)
+
+
+def _sql_raster_suite() -> str:
+    return f"""
+SELECT 'points' AS op, cell, CAST(NULL AS VARCHAR) AS county, n_points,
+       sum_value, CAST(NULL AS DOUBLE) AS lat_min,
+       CAST(NULL AS DOUBLE) AS lat_max, CAST(NULL AS DOUBLE) AS lon_min,
+       CAST(NULL AS DOUBLE) AS lon_max
+FROM ({SQL_RASTER_POINTS})
+UNION ALL
+SELECT 'bounds', cell, NULL, n_points, NULL, lat_min, lat_max, lon_min,
+       lon_max
+FROM ({_sql_raster_vector_bounds()})
+UNION ALL
+SELECT 'zonal', NULL, county, n_points, sum_value, NULL, NULL, NULL, NULL
+FROM ({SQL_ZONAL_STATS})
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1927,9 +2109,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn_brute": q_geo_knn_brute,
     "geo_knn_cells": q_geo_knn_cells,
     "geo_pip_villages": q_geo_pip_villages,
-    "raster_points": q_raster_points,
-    "raster_vector_bounds": q_raster_vector_bounds,
-    "zonal_stats": q_zonal_stats,
+    "raster_suite": q_raster_suite,
     "tpch_q1": q_tpch_q1,
     "dedup_keep_best": q_dedup_keep_best,
     "priority_pick": q_priority_pick,
@@ -1942,21 +2122,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "japan_admin2": q_japan_admin2,
     "regex_extract_json": q_regex_extract_json,
     "topk_per_group": q_topk_per_group,
-    "distinct_sorted": q_distinct_sorted,
-    "global_max": q_global_max,
-    "union_dedup": q_union_dedup,
+    "scalar_misc_compound": q_scalar_misc_compound,
+    "windows_compound": q_windows_compound,
     "diverse_sample": q_diverse_sample,
-    "sessionize": q_sessionize,
-    "tumbling_window": q_tumbling_window,
     "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_text_stats": q_doc_text_stats,
-    "doc_langid": q_doc_langid,
+    "doc_text_profile": q_doc_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_simhash": q_doc_simhash,
-    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_prep_pipeline": q_doc_prep_pipeline,
     "doc_repetition": q_doc_repetition,
     "doc_gopher_filter": q_doc_gopher_filter,
@@ -1966,10 +2141,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
-    "split_last": q_split_last,
     "korea_split_strip": q_korea_split_strip,
     "han_detect": q_han_detect,
-    "multi_name_collapse": q_multi_name_collapse,
     "metadata_coord_join": q_metadata_coord_join,
     "zh_s2t": q_zh_s2t,
     "admin1_translate": q_admin1_translate,
@@ -1988,9 +2161,7 @@ _ORACLES: dict[str, str] = {
     "geo_knn_brute": _KNN_ORACLE,
     "geo_knn_cells": _KNN_ORACLE,
     "geo_pip_villages": SQL_GEO_PIP_VILLAGES,
-    "raster_points": SQL_RASTER_POINTS,
-    "raster_vector_bounds": _sql_raster_vector_bounds(),
-    "zonal_stats": SQL_ZONAL_STATS,
+    "raster_suite": _sql_raster_suite(),
     "tpch_q1": SQL_TPCH_Q1,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "priority_pick": SQL_PRIORITY_PICK,
@@ -2003,21 +2174,16 @@ _ORACLES: dict[str, str] = {
     "japan_admin2": SQL_JAPAN_ADMIN2,
     "regex_extract_json": SQL_REGEX_EXTRACT_JSON,
     "topk_per_group": SQL_TOPK_PER_GROUP,
-    "distinct_sorted": SQL_DISTINCT_SORTED,
-    "global_max": SQL_GLOBAL_MAX,
-    "union_dedup": SQL_UNION_DEDUP,
+    "scalar_misc_compound": SQL_SCALAR_MISC_COMPOUND,
+    "windows_compound": SQL_WINDOWS_COMPOUND,
     "diverse_sample": SQL_DIVERSE_SAMPLE,
-    "sessionize": SQL_SESSIONIZE,
-    "tumbling_window": SQL_TUMBLING_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
-    "doc_text_stats": SQL_DOC_TEXT_STATS,
-    "doc_langid": SQL_DOC_LANGID,
+    "doc_text_profile": SQL_DOC_TEXT_PROFILE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "doc_simhash": SQL_DOC_SIMHASH,
-    "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "doc_prep_pipeline": _sql_doc_prep_pipeline(),
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_gopher_filter": SQL_DOC_GOPHER_FILTER,
@@ -2027,10 +2193,8 @@ _ORACLES: dict[str, str] = {
     "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
-    "split_last": SQL_SPLIT_LAST,
     "korea_split_strip": SQL_KOREA_SPLIT_STRIP,
     "han_detect": SQL_HAN_DETECT,
-    "multi_name_collapse": SQL_MULTI_NAME_COLLAPSE,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
     "zh_s2t": SQL_ZH_S2T,
     "admin1_translate": SQL_ADMIN1_TRANSLATE,

@@ -161,6 +161,9 @@ class TestRealDecode:
         assert len(mm.decode_avi_mjpeg_frames(short, max_frames=3)) == 2
         assert mm.parse_avi_header(b"RIFFxxxxWAVE") is None
         assert mm.decode_avi_mjpeg_frames(b"notavi") == []
+        # ADVICE.md round-3: max_frames=1 on a multi-frame stream must not
+        # divide by zero — it picks exactly one frame
+        assert len(mm.decode_avi_mjpeg_frames(buf, max_frames=1)) == 1
 
     def test_wav_samples_round_trip(self):
         buf = mm.make_wav(16000, 96, amplitude=8000, period=32)

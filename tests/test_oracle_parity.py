@@ -80,5 +80,6 @@ def test_every_query_has_oracle_or_reason():
     import __spark_entry__ as entry
 
     missing = set(entry.queries()) - set(entry.oracle_sql())
-    # non-SQL-expressible ops may be rows-only; keep the list tiny & explicit
-    assert missing <= {"embed_ann_lsh", "embed_ann_ivf"}, f"queries without oracle: {missing}"
+    # every query carries an exact oracle since round 3 (the ANN paths are
+    # deterministic + SQL-replicable); keep this exact, not a whitelist
+    assert not missing, f"queries without oracle: {missing}"

@@ -147,3 +147,25 @@ class TestPlanQuality:
         plan = _plan(df)
         assert "codegen id" in plan  # '*'-starred operators in formatted mode
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestSpanDedupPlan:
+    def test_span_dedup_no_join_two_exchanges(self, spark):
+        """Round-3 VERDICT item 4 rework: the span-dedup plan must have NO
+        join-back (reassembly reads the winners aggregation directly) and
+        only the two keyed exchanges (128-bit span-hash groupBy + per-doc
+        groupBy) — the raw span string never rides a shuffle as a key."""
+        from immich_geodata_zh_tw_spark.operators.dedup import span_dedup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a b c d e f g h i j " * 3, "k l m " * 10]}))
+        out = span_dedup(df, id_col="doc_id", text_col="text", span_words=10)
+        plan = _plan(out)
+        assert "Join" not in plan, plan
+        import re
+        # formatted plans list each node twice (tree + detail section)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 2, plan
+        # shuffle key of the first-occurrence agg is the 16-byte hash pair
+        assert "xxhash64" in plan

@@ -113,3 +113,67 @@ class TestZhProperties:
         # the same traditional form (no oscillating char/word pairs)
         once = zh._py_s2t(text)
         assert zh._py_s2t(zh._py_t2s(once)) == once
+
+
+class TestAmbiguousCharAudit:
+    """Round-3 VERDICT "Next round" #7: data-driven zh-fidelity tripwire.
+
+    Mines every zh-producing driver query at sf0.01 and asserts no
+    known-ambiguous simplified char (the 干/面/里/复… classes the character
+    stage deliberately leaves unmapped) appears in an engine-produced name
+    outside a word-fixup target — i.e. zero UNFIXED ambiguous chars.  The
+    audited exceptions below are each a correct bare-char context, not a
+    missed conversion.
+    """
+
+    #: (query → chars allowed bare) — audited contexts:
+    #: * country_localize: proper-name/transliteration chars inside the
+    #:   250-entry zh-TW country dim (吉布地, 斯里蘭卡, 蒙古 — dimension
+    #:   literals, not conversion outputs);
+    #: * release_pipeline: the reference's FIRST-occurrence-only 裏→里
+    #:   Taiwan rule (reference translate.py:311-320; fix_li_names
+    #:   reproduces the Polars str.replace semantics) emits bare 里;
+    #: * korea_split_strip: 里 is the Korean admin-unit suffix (리), part
+    #:   of the fabricated input shape, never a conversion output.
+    ALLOWED = {
+        "country_localize": set("布里蒙"),
+        "release_pipeline": {"里"},
+        "korea_split_strip": {"里"},
+    }
+
+    ZH_QUERIES = ["zh_s2t", "admin1_translate", "korea_sejong",
+                  "country_localize", "release_pipeline",
+                  "extract_chinese_names", "metadata_coord_join",
+                  "japan_admin2", "korea_split_strip"]
+
+    def test_no_unfixed_ambiguous_chars_in_engine_names(self, spark):
+        from immich_geodata_zh_tw_spark.plans import driver_queries as dq
+
+        qs = dq.queries()
+        bad = []
+        for qname in self.ZH_QUERIES:
+            allowed = self.ALLOWED.get(qname, set())
+            pdf = qs[qname](spark, "/root/testdata/sf0.01").toPandas()
+            for col in pdf.columns:
+                if pdf[col].dtype != object:
+                    continue
+                for v in pdf[col].dropna().unique():
+                    if not isinstance(v, str):
+                        continue
+                    for _, ch in zh.ambiguous_unfixed_occurrences(v):
+                        if ch not in allowed:
+                            bad.append((qname, col, v, ch))
+        assert not bad, f"unfixed ambiguous chars in engine output: {bad[:20]}"
+
+    def test_audit_helper_flags_known_bad_forms(self):
+        """The helper itself must catch the documented mistranslation
+        classes — a word the dictionary covers is clean, the same char
+        outside any covered word is flagged."""
+        assert zh.ambiguous_unfixed_occurrences("麵條") == []
+        assert zh.ambiguous_unfixed_occurrences("乾燥") == []
+        # unfixed: ambiguous char left bare outside any fixup target
+        assert zh.ambiguous_unfixed_occurrences("面條") == [(0, "面")]
+        assert zh.ambiguous_unfixed_occurrences("這里") == [(1, "里")]
+        assert zh.ambiguous_unfixed_occurrences("干燥") == [(0, "干")]
+        # covered context: bare char inside a fixup TARGET is legitimate
+        assert zh.ambiguous_unfixed_occurrences("打里摺") == [(1, "里")]
