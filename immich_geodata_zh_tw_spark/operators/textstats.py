@@ -214,6 +214,69 @@ def mixture_weights(df: DataFrame, *, group_col: str = "source",
         .alias("weight"))
 
 
+def sequence_pack(df: DataFrame, *, id_col: str = "doc_id",
+                  group_col: str = "source", text_col: str = "text",
+                  budget: int = 512, coarse_buckets: int = 4096) -> DataFrame:
+    """Concat-and-chop sequence packing (the GPT/T5 pretraining shape):
+    within each domain, documents in ``id_col`` order are concatenated into
+    one token stream and chopped into fixed ``budget``-token sequences.
+    Output per doc: its token offset in the domain stream and the first/last
+    pack (sequence) index it lands in — what a packed-pretraining writer
+    needs to emit examples.
+
+    Scale shape: a naive ``Window.partitionBy(domain).orderBy(id)`` cumsum
+    puts an entire domain in ONE task — a 50-billion-row serial scan when a
+    20-domain corpus hits 10^12 docs.  Instead the same two-pass
+    explicit-offset design as ``operators/ids.sequential_ids_scalable``:
+
+    1. rows get a coarse order-preserving bucket (``id >> k``, k sized from
+       a cheap global min/max agg so ~``coarse_buckets`` buckets exist);
+    2. per-(domain, bucket) token sums — one linear hash agg, only
+       #buckets × #domains tiny rows shuffle — are turned into running
+       offsets by a window over those TINY rows (per domain that window
+       orders #buckets rows, never data);
+    3. offsets broadcast-join back; the intra-bucket cumsum window runs per
+       (domain, bucket) — parallelism = #buckets per domain, each task a
+       bounded slice.
+
+    All arithmetic is exact integer (sums of token counts), so any bucket
+    granularity yields bit-identical cumsums — the DuckDB oracle states the
+    same result as one plain window cumsum.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col), F.col(id_col),
+        F.expr(token_count_sql(text_col)).alias("n_tokens"))
+    lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
+    span = max(int(hi) - int(lo) + 1, 1) if lo is not None else 1
+    shift = max(span // coarse_buckets, 1)
+    toks = toks.withColumn(  # integer DIV: no double rounding on huge ids
+        "__b", F.expr(f"CAST(({id_col} - {int(lo or 0)}) DIV {shift} AS BIGINT)"))
+
+    bucket_sums = (toks.groupBy(group_col, "__b")
+                   .agg(F.sum("n_tokens").alias("__bsum")))
+    woff = (Window.partitionBy(group_col).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_sums.select(
+        group_col, "__b",
+        F.coalesce(F.sum("__bsum").over(woff), F.lit(0)).alias("__off"))
+
+    win = (Window.partitionBy(group_col, "__b").orderBy(id_col)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local_start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    tok_start = (local_start + F.col("__off")).alias("tok_start")
+    packed = (toks.join(F.broadcast(offsets), [group_col, "__b"])
+              .select(group_col, id_col, "n_tokens", tok_start))
+    # integer DIV (not float floor-div): exact at any stream length
+    return packed.select(
+        group_col, id_col, "n_tokens", "tok_start",
+        F.expr(f"tok_start DIV {budget}").alias("pack_first"),
+        F.expr(f"CASE WHEN n_tokens > 0 "
+               f"THEN (tok_start + n_tokens - 1) DIV {budget} "
+               f"ELSE tok_start DIV {budget} END").alias("pack_last"))
+
+
 # ---- Spark-side conveniences (wrap the shared SQL) ----
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

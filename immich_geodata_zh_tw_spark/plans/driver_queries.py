@@ -973,6 +973,37 @@ FROM q
 """
 
 
+def q_doc_seq_pack(spark, sf_dir):
+    """Concat-and-chop sequence packing (GPT/T5 pretraining prep): per-domain
+    token streams chopped into 512-token packs; two-pass explicit-offset
+    cumsum, never a whole-domain window partition (operators/textstats.py
+    ``sequence_pack`` scale notes)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.sequence_pack(d, id_col="doc_id", group_col="source",
+                                   text_col="text", budget=512)
+
+
+# oracle states the SAME result as one plain window cumsum (exact integer
+# arithmetic — bucketization on the Spark side cannot change the sums);
+# `//` / DIV = integer division on both engines, exact at any stream length
+SQL_DOC_SEQ_PACK = f"""
+WITH toks AS (
+  SELECT source, doc_id, {textstats.token_count_sql('text')} AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_start
+  FROM toks)
+SELECT source, doc_id, n_tokens, tok_start,
+       tok_start // 512 AS pack_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END AS pack_last
+FROM c
+"""
+
+
 def q_doc_curation_pipeline(spark, sf_dir):
     """Full C4+Gopher curation as ONE plan: Gopher quality gate (word-count
     / mean-word-length windows, stopword floor, repetition ceilings) →
@@ -2138,6 +2169,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_span_dedup": q_doc_span_dedup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_mixture_weights": q_doc_mixture_weights,
+    "doc_seq_pack": q_doc_seq_pack,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
@@ -2190,6 +2222,7 @@ _ORACLES: dict[str, str] = {
     "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_mixture_weights": SQL_DOC_MIXTURE_WEIGHTS,
+    "doc_seq_pack": SQL_DOC_SEQ_PACK,
     "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,

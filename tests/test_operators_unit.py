@@ -532,3 +532,75 @@ class TestReliableCheckpoint:
         finally:
             pass  # checkpoint dir is harmless to leave set in tests
         pd.testing.assert_frame_equal(plain, durable)
+
+
+class TestSequencePack:
+    def test_hand_computed_packing(self, spark):
+        """Concat-and-chop: domain stream offsets and pack spans match a
+        hand computation, including a doc spanning a pack boundary and an
+        empty doc."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 10],
+            "source": ["a", "a", "a", "a", "b"],
+            "text": ["w1 w2 w3", "w1 w2 w3 w4 w5 w6", "", "w1 w2",
+                     "x1 x2 x3 x4"],
+        })
+        df = spark.createDataFrame(pdf)
+        got = (textstats.sequence_pack(df, budget=4)
+               .toPandas().sort_values(["source", "doc_id"])
+               .reset_index(drop=True))
+        # domain a: tokens 3,6,0,2 → starts 0,3,9,9
+        assert got["tok_start"].tolist() == [0, 3, 9, 9, 0]
+        assert got["pack_first"].tolist() == [0, 0, 2, 2, 0]
+        # doc 2 spans tokens [3,9) → packs 0..2; empty doc stays at its slot
+        assert got["pack_last"].tolist() == [0, 2, 2, 2, 0]
+
+    def test_bucketization_invariant(self, spark):
+        """Any coarse-bucket granularity must give identical output (exact
+        integer cumsums) — the property that lets the scalable two-pass
+        replace a whole-domain window."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        pdf = pd.DataFrame({
+            "doc_id": range(200),
+            "source": [f"s{i % 3}" for i in range(200)],
+            "text": [" ".join("w" * 1 for _ in range(1 + i % 17))
+                     for i in range(200)],
+        })
+        df = spark.createDataFrame(pdf)
+        outs = []
+        for nb in (1, 7, 4096):
+            outs.append(textstats.sequence_pack(df, budget=32,
+                                                coarse_buckets=nb)
+                        .toPandas().sort_values(["source", "doc_id"])
+                        .reset_index(drop=True))
+        for other in outs[1:]:
+            pd.testing.assert_frame_equal(outs[0], other)
+
+    def test_no_whole_domain_window_partition(self, spark):
+        """The plan must window by (domain, bucket), never by domain alone
+        over the data — the whole-domain sort is the 100-TB serialization
+        hazard the two-pass design removes."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(50), "source": ["a"] * 50,
+            "text": ["w x y"] * 50}))
+        out = textstats.sequence_pack(df, budget=8)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        import re
+        # every Window over the data includes the bucket column __b in its
+        # partition spec (the offsets window runs over tiny bucket rows)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        data_specs = [sp for sp in specs if "doc_id" in sp]
+        assert data_specs, plan
+        assert all("__b" in sp for sp in data_specs), data_specs
