@@ -68,9 +68,11 @@ def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
        struct comparison is lexicographic with null fields ordered first,
        matching the asc-nulls-first window sort below, so bucket assignment
        and within-bucket ordering agree on one global total order;
-    3. one light pass counts rows per bucket (map-side partial agg; only P
-       counter rows shuffle), cumulative offsets return as another tiny
-       broadcast join on ``__pid``;
+    3. rows per bucket (map-side partial agg; only P counter rows shuffle)
+       become cumulative offsets via a window over those P counter rows —
+       a SUBPLAN broadcast-joined back on ``__pid``, not a driver collect
+       (the counts are exact integers derived from the boundary literals,
+       so every recomputation is identical);
     4. final pass: ``row_number`` windowed by ``__pid`` + offset + base.
 
     ``sort_cols`` must be a total order (unique key tuples) for byte-stable
@@ -84,12 +86,23 @@ def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
     struct_type = ("struct<" + ",".join(
         f"{c}:{fields[c].simpleString()}" for c in sort_cols) + ">")
 
-    n_rows = df.select(*sort_cols).count()  # column-pruned count-only scan
-    fraction = _bounded_sample_fraction(n_rows, sample_target)
-    sampled = [tuple(r[c] for c in sort_cols)
-               for r in df.select(*sort_cols)
-               .sample(fraction=fraction, seed=42)
-               .collect()]
+    # probe-first sampling: ONE limit(target+1) job both sizes the input and
+    # — for dimension-scale frames (the release pipeline's admin tables) —
+    # IS the complete boundary sample, so small inputs pay a single driver
+    # action instead of count + sample (fixed job latency dominated the
+    # release-pipeline bench at sf0.1).  Big inputs fall through to the
+    # count-then-bounded-fraction path, where two extra linear jobs are
+    # noise at 10^12 rows and the collect stays ≤ sample_target rows.
+    probe = df.select(*sort_cols).limit(sample_target + 1).collect()
+    if len(probe) <= sample_target:
+        sampled = [tuple(r[c] for c in sort_cols) for r in probe]
+    else:
+        n_rows = df.select(*sort_cols).count()  # column-pruned count scan
+        fraction = _bounded_sample_fraction(n_rows, sample_target)
+        sampled = [tuple(r[c] for c in sort_cols)
+                   for r in df.select(*sort_cols)
+                   .sample(fraction=fraction, seed=42)
+                   .collect()]
     sampled.sort(key=_sort_key)
     cuts = []
     for i in range(1, n_buckets):
@@ -117,12 +130,17 @@ def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
             & (F.col("hi").isNull() | (key < F.col("hi"))))
     tagged = df.join(F.broadcast(bdf), cond).drop("lo", "hi")
 
-    counts = tagged.groupBy("__pid").count().orderBy("__pid").collect()
-    offs, acc = [], 0
-    for r in counts:
-        offs.append((int(r["__pid"]), acc))
-        acc += int(r["count"])
-    odf = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    # running offsets stay a SUBPLAN, not a driver collect: per-bucket
+    # counts are a deterministic exact-integer function of the data and the
+    # boundary literals, so the cumulative window over the TINY counter
+    # rows (≤ #buckets rows — never data) recomputes identically on every
+    # job; this removes a whole driver action versus collecting the counts
+    woff = (Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    odf = (tagged.groupBy("__pid").count()
+           .select("__pid",
+                   F.coalesce(F.sum("count").over(woff),
+                              F.lit(0).cast("long")).alias("__off")))
 
     local = Window.partitionBy("__pid").orderBy(*sort_cols)
     return (tagged.join(F.broadcast(odf), "__pid", "left")
