@@ -43,6 +43,30 @@ def windowed_page_counts(stream: DataFrame, *, ts_col: str = "warc_ts",
             .select(F.col("w.start").alias("window_start"), "n_pages"))
 
 
+def streaming_exact_dedup(stream: DataFrame, *, content_col: str = "html",
+                          ts_col: str = "warc_ts",
+                          watermark: str = "24 hours",
+                          key_out: str = "content_hash") -> DataFrame:
+    """Streaming twin of the batch exact-dedup (``doc_exact_dedup``): keep
+    the FIRST row per content hash seen within the watermark horizon — the
+    recrawl-suppression shape of a continuously-ingested pages stream.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the 128-bit
+    md5 only (never the payload) and EVICTS each key once the watermark
+    passes its arrival time, so state is bounded by (ingest rate ×
+    watermark), not by corpus history — the property that makes streaming
+    dedup viable at 10^12-page scale where an unbounded ``dropDuplicates``
+    state store would grow forever.  Exact-duplicate recrawls farther apart
+    than the watermark are re-emitted (horizon dedup, not global dedup —
+    global is the batch operator's job downstream).
+    """
+    hashed = stream.withColumn(
+        key_out, F.md5(F.col(content_col).cast("binary")))
+    return (hashed
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([key_out]))
+
+
 SESSION_OUTPUT = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

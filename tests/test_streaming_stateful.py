@@ -8,7 +8,7 @@ import time
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import (LongType, StructField, StructType,
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
                                TimestampType)
 
 EVENTS_SCHEMA = StructType([
@@ -111,3 +111,58 @@ class TestStatefulSessionize:
         # user 8's lone session is still live state — correctly not emitted
         # (no processing-time timeout configured: the deterministic gap path)
         assert (got["user_id"] == 8).sum() == 0
+
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", StringType()),
+])
+
+
+def _write_pages(spark, path: str, rows: list[tuple[str, str, str]]):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+class TestStreamingExactDedup:
+    def test_first_occurrence_kept_within_watermark(self, spark, tmp_path):
+        """Streaming twin of doc_exact_dedup: duplicate content within the
+        watermark horizon is suppressed, the first arrival survives, and
+        distinct content always passes."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            streaming_exact_dedup
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_pages(spark, inp, [
+            ("u1", "2026-01-01 10:00:00", "<html>A</html>"),
+            ("u2", "2026-01-01 10:01:00", "<html>A</html>"),   # dup content
+            ("u3", "2026-01-01 10:02:00", "<html>B</html>"),
+        ])
+
+        def run():
+            stream = (spark.readStream.schema(PAGES_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(inp))
+            q = (streaming_exact_dedup(stream, watermark="1 hour")
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run()
+        # a recrawl of A in a later batch, still inside the horizon: dropped
+        # (the dedup state is keyed on the hash and persists across batches
+        # via the checkpoint)
+        _write_pages(spark, inp, [
+            ("u4", "2026-01-01 10:30:00", "<html>A</html>"),
+            ("u5", "2026-01-01 10:31:00", "<html>C</html>"),
+        ])
+        run()
+        got = spark.read.parquet(out).toPandas().sort_values("url")
+        assert got["url"].tolist() == ["u1", "u3", "u5"]
+        # state key is the md5, present on every surviving row
+        assert got["content_hash"].notna().all()
+        assert got["content_hash"].str.len().eq(32).all()
