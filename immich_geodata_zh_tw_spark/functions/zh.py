@@ -312,6 +312,15 @@ S2T_WORD_FIXUPS: list[tuple[str, str]] = [
     ("寬帶", "寬頻"), ("帶寬", "頻寬"), ("鏈接", "連結"),
     ("自行車", "腳踏車"), ("圓珠筆", "原子筆"),
 ]
+
+# ---- round-4: Taiwan proper-noun fixups mined from the reference's public
+# admin-name corpus (see zh_twnames.py for the mining rule + provenance).
+# Appended AFTER the prose fixups: several sources (一心裡, 古城裡, …) only
+# exist once a prose pair has fired, and the fold applies entries in order.
+from .zh_twnames import TW_NAME_FIXUPS  # noqa: E402
+
+S2T_WORD_FIXUPS += TW_NAME_FIXUPS
+
 # fixups run AFTER the character pass, so their sources must be written in
 # post-character-stage form (a source containing a still-simplified mapped
 # char could never match)
@@ -399,28 +408,33 @@ assert not _UNREACHED, f"fixup sources preempted by earlier entries: {_UNREACHED
 
 
 # ---------------------------------------------------------------------------
-# The word stage is a FOLD over two flat literal arrays — one aggregate /
+# The word stage is a FOLD over the fixup pairs — one aggregate /
 # list_reduce node regardless of dictionary size.  A chained replace(replace(
 # …)) nests one level per entry: DuckDB's binder caps expression depth at 128
 # (a 209-entry chain fails to bind) and Spark's expression tree would grow a
 # node per entry; the fold keeps depth O(1) and scales to thousands of
 # entries — the shape an OpenCC-sized phrase dictionary needs.
+#
+# Each PAIR rides the folded list itself as one 'src␟dst' string (split
+# inside the lambda): the earlier shape indexed two n-literal arrays from
+# inside the lambda, which DuckDB re-constructed on EVERY reduce step —
+# O(n²) literal evals per row, measured 176 s for 500 rows at n=510 vs
+# 0.5 s for this shape (identical output, asserted below via _py_s2t).
 # ---------------------------------------------------------------------------
 
 def _word_fold(init: str, pairs: list[tuple[str, str]], *, dialect: str) -> str:
     """SQL text folding ``replace(acc, src_i, dst_i)`` over ``init``."""
-    n = len(pairs)
-    srcs = ", ".join(f"'{s}'" for s, _ in pairs)
-    dsts = ", ".join(f"'{d}'" for _, d in pairs)
+    if not pairs:
+        return init
+    elems = ", ".join(f"'{s}{_SEP}{d}'" for s, d in pairs)
     if dialect == "spark":
-        return (f"aggregate(sequence(1, {n}), {init}, (acc, i) -> "
-                f"replace(acc, element_at(array({srcs}), i), "
-                f"element_at(array({dsts}), i)))")
+        return (f"aggregate(array({elems}), {init}, (acc, p) -> "
+                f"replace(acc, element_at(split(p, chr(31)), 1), "
+                f"element_at(split(p, chr(31)), 2)))")
     if dialect == "duckdb":
-        return (f"list_reduce(list_concat([{init}], "
-                f"list_transform(generate_series(1, {n}), i -> CAST(i AS VARCHAR))), "
-                f"(acc, i) -> replace(acc, ([{srcs}])[CAST(i AS INT)], "
-                f"([{dsts}])[CAST(i AS INT)]))")
+        return (f"list_reduce(list_concat([{init}], [{elems}]), "
+                f"(acc, p) -> replace(acc, string_split(p, chr(31))[1], "
+                f"string_split(p, chr(31))[2]))")
     raise ValueError(dialect)
 
 

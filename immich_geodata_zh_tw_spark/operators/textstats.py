@@ -114,6 +114,48 @@ def fingerprint_sql(text_col: str = "text") -> str:
     return f"md5(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''))"
 
 
+#: PII patterns (the C4 / RefinedWeb / Dolma redaction classes: emails,
+#: E.164-style dashed phone numbers, IPv4 literals) — backslash-free per the
+#: module portability rule ([0-9] not \d, [.] not \., no \b: RE2 (DuckDB)
+#: and java.util.regex (Spark) agree on these exactly), and ORDERED: email
+#: first so a phone- or IP-looking substring inside an address is consumed
+#: by the email redaction, never double-counted.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+     "<EMAIL>"),
+    ("phone", "[+][0-9]{1,3}-[0-9]{1,4}-[0-9]{3,4}-[0-9]{3,4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+]
+
+
+def pii_count_sql(kind: str, text_col: str = "text", *,
+                  dialect: str = "spark") -> str:
+    """Occurrence count of one PII class (same regex both engines)."""
+    (pat,) = [p for k, p, _ in PII_PATTERNS if k == kind]
+    if dialect == "spark":
+        return f"size(regexp_extract_all({text_col}, '{pat}', 0))"
+    if dialect == "duckdb":
+        return f"len(regexp_extract_all({text_col}, '{pat}'))"
+    raise ValueError(dialect)
+
+
+def redact_pii_sql(text_col: str = "text", *, dialect: str = "spark") -> str:
+    """Replace every PII occurrence with its class token, in PII_PATTERNS
+    order (one nested global regexp_replace per class — three JVM/RE2
+    regex passes per row, zero UDF, zero shuffle)."""
+    g = "" if dialect == "spark" else ", 'g'"  # Spark replaces all by default
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(dialect)
+    out = text_col
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}'{g})"
+    return out
+
+
+def redact_pii(col: str = "text") -> Column:
+    return F.expr(redact_pii_sql(col, dialect="spark"))
+
+
 def word_ngrams_expr(words_col: str, n: int) -> Column:
     """Word n-grams of an already-split array, as one JVM expression
     (positions are 1-based in both Spark ``slice`` and DuckDB

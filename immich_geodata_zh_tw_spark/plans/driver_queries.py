@@ -2034,17 +2034,38 @@ FROM ({SQL_MULTI_NAME_COLLAPSE})
 """
 
 
+#: deterministic PII-bearing suffix keyed on doc_id, appended to every 7th
+#: doc — the synthetic corpus carries no natural PII, so the redaction
+#: branch synthesizes its own inputs IN the shared SQL (same string on both
+#: engines; the 裏-name gate in metadata_coord_join uses the same trick).
+_PII_TEXT = ("(CASE WHEN doc_id % 7 = 0 THEN concat(text, "
+             "' contact u', doc_id, '@ex.com ip 10.0.', doc_id % 250, "
+             "'.7 tel +886-', 100 + doc_id % 900, '-1234-', "
+             "1000 + doc_id % 9000) ELSE text END)")
+
+
 def q_doc_text_profile(spark, sf_dir):
     """Per-doc text profile: token/punct/digit/stopword/quality stats +
-    stopword-vote language ID + BPE-ish token count, ONE projection over
-    documents (all JVM SQL; folds doc_text_stats/doc_langid/doc_bpe_tokens)."""
+    stopword-vote language ID + BPE-ish token count + PII detection and
+    redaction (C4/RefinedWeb curation classes: email/phone/IPv4 — counts
+    plus the redacted tail as value evidence), ONE projection over
+    documents (all JVM SQL; folds doc_text_stats/doc_langid/doc_bpe_tokens
+    and the round-4 PII operator)."""
     d = _t(spark, sf_dir, "documents")
+    red = textstats.redact_pii_sql(_PII_TEXT, dialect="spark")
     return textstats.with_text_stats(d, "text").select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio",
         "stopword_hits", "quality_score",
         textstats.predict_lang("text").alias("pred_lang"),
         F.expr(textstats.bpe_token_count_sql("text", dialect="spark"))
-        .alias("bpe_tokens"))
+        .alias("bpe_tokens"),
+        F.expr(textstats.pii_count_sql("email", _PII_TEXT, dialect="spark"))
+        .alias("n_emails"),
+        F.expr(textstats.pii_count_sql("phone", _PII_TEXT, dialect="spark"))
+        .alias("n_phones"),
+        F.expr(textstats.pii_count_sql("ipv4", _PII_TEXT, dialect="spark"))
+        .alias("n_ipv4"),
+        F.expr(f"right({red}, 44)").alias("pii_redacted_tail"))
 
 
 SQL_DOC_TEXT_PROFILE = f"""
@@ -2055,7 +2076,12 @@ SELECT doc_id,
        {textstats.stopword_hits_sql('en', 'text')} AS stopword_hits,
        {textstats.quality_score_sql('text')} AS quality_score,
        {textstats.predict_lang_sql('text')} AS pred_lang,
-       {textstats.bpe_token_count_sql('text', dialect='duckdb')} AS bpe_tokens
+       {textstats.bpe_token_count_sql('text', dialect='duckdb')} AS bpe_tokens,
+       {textstats.pii_count_sql('email', _PII_TEXT, dialect='duckdb')} AS n_emails,
+       {textstats.pii_count_sql('phone', _PII_TEXT, dialect='duckdb')} AS n_phones,
+       {textstats.pii_count_sql('ipv4', _PII_TEXT, dialect='duckdb')} AS n_ipv4,
+       right({textstats.redact_pii_sql(_PII_TEXT, dialect='duckdb')}, 44)
+           AS pii_redacted_tail
 FROM documents
 """
 

@@ -194,7 +194,7 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
     #   mixed (neither)        → meta            (reference passes verbatim)
     # Both conversions come from ONE Arrow kernel call per row
     # (zh.s2t_t2s_udf — bit-identical to the Column folds, which remain the
-    # oracle spec): the interpreted 403-replace fold and its 800-literal
+    # oracle spec): the interpreted 510-replace fold and its 1000+-literal
     # packed arrays would otherwise repeat in every branch of this CASE and
     # dominate per-row cost at corpus scale.
     meta_name = F.col("meta_name")

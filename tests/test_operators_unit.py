@@ -604,3 +604,59 @@ class TestSequencePack:
         data_specs = [sp for sp in specs if "doc_id" in sp]
         assert data_specs, plan
         assert all("__b" in sp for sp in data_specs), data_specs
+
+
+class TestPiiRedaction:
+    """Round-4 PII operator (C4/RefinedWeb redaction classes) — hand-written
+    strings through BOTH dialects of the shared SQL; the cross-engine value
+    check rides the doc_text_profile oracle-parity test."""
+
+    CASES = [
+        ("mail a@b.org and c.d+e@sub.ex.com now",
+         {"email": 2, "phone": 0, "ipv4": 0},
+         "mail <EMAIL> and <EMAIL> now"),
+        ("tel +886-2-1234-5678 or +1-800-555-0199",
+         {"email": 0, "phone": 2, "ipv4": 0},
+         "tel <PHONE> or <PHONE>"),
+        ("host 10.0.0.1 and 192.168.255.254 up",
+         {"email": 0, "phone": 0, "ipv4": 2},
+         "host <IP> and <IP> up"),
+        # ordering: the address consumes its dotted domain — ipv4 count on
+        # the RAW text may see digit-dotted domains, but redaction runs
+        # email-first so nothing is double-redacted
+        ("u@10.0.0.1.example.net said hi", {"email": 1}, "<EMAIL> said hi"),
+        ("no pii here", {"email": 0, "phone": 0, "ipv4": 0}, "no pii here"),
+    ]
+
+    def test_duckdb_counts_and_redaction(self):
+        import duckdb
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+        con = duckdb.connect()
+        for text, counts, redacted in self.CASES:
+            for kind, want in counts.items():
+                got = con.sql(
+                    f"SELECT {textstats.pii_count_sql(kind, 't', dialect='duckdb')}"
+                    f" FROM (SELECT '{text}' AS t)").fetchone()[0]
+                assert got == want, (text, kind, got, want)
+            got_red = con.sql(
+                f"SELECT {textstats.redact_pii_sql('t', dialect='duckdb')}"
+                f" FROM (SELECT '{text}' AS t)").fetchone()[0]
+            assert got_red == redacted, (text, got_red)
+
+    def test_spark_matches_duckdb(self, spark):
+        from pyspark.sql import functions as F
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+        df = spark.createDataFrame(
+            [(t,) for t, _, _ in self.CASES], ["t"])
+        rows = df.select(
+            "t", textstats.redact_pii("t").alias("red"),
+            *[F.expr(textstats.pii_count_sql(k, "t", dialect="spark"))
+              .alias(k) for k in ("email", "phone", "ipv4")]).collect()
+        by_text = {r["t"]: r for r in rows}
+        for text, counts, redacted in self.CASES:
+            r = by_text[text]
+            assert r["red"] == redacted, (text, r["red"])
+            for kind, want in counts.items():
+                assert r[kind] == want, (text, kind, r[kind], want)
