@@ -9,7 +9,7 @@ reproduce it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import keep_best_per_key
@@ -29,3 +29,82 @@ def diverse_sample(df: DataFrame, prefix_cols: list[str], *, n: int,
             break
     picked = keep_best_per_key(df, chosen, [F.col(order_col).asc()])
     return picked.orderBy(*chosen).limit(n)
+
+
+def domain_cap(df: DataFrame, domain_col: str, id_col: str, *, cap: int,
+               order_cols: list[Column], n_salts: int = 16) -> DataFrame:
+    """C4-style per-host document cap (C4 §2.2 keeps at most N pages per
+    host; Dolma/RefinedWeb apply the same per-domain budget), emitting a
+    per-document verdict: ``(id, domain, rk, kept)`` where ``rk`` is the
+    1-based position under ``order_cols`` among the domain's *kept* docs
+    (NULL once dropped) and ``kept = rk <= cap``.
+
+    ``order_cols`` must be a TOTAL order (tie-break on the unique id) so the
+    verdict is deterministic and SQL-oracle-reproducible.
+
+    Scale shape — a naive ``row_number() OVER (PARTITION BY domain)`` puts a
+    mega-host's every page into ONE window partition (single-task sort ⇒
+    straggler/OOM at web scale, where host sizes are zipfian).  Instead a
+    salted two-phase exact top-K:
+
+    1. local phase: rank within ``(domain, salt)`` — ``n_salts`` bounded
+       partitions per host; a local rank > cap proves ≥ cap better docs
+       exist in that salt alone, so the global rank is also > cap and the
+       row is safely cut (sound, exact);
+    2. global phase: the ≤ ``cap * n_salts`` survivors per domain ride the
+       real per-domain window — bounded partition size by construction.
+
+    Both phases are plain hash-shuffle + bounded sort; nothing rides the
+    driver and no domain list is collected/broadcast.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w_local = Window.partitionBy(F.col(domain_col), salt).orderBy(*order_cols)
+    tagged = df.withColumn("__lrk", F.row_number().over(w_local))
+    # phase-1 casualties: local rank > cap proves global rank > cap —
+    # verdict emitted straight off the local window, no join-back
+    cut = tagged.filter(F.col("__lrk") > cap).select(
+        F.col(id_col), F.col(domain_col),
+        F.lit(None).cast("long").alias("rk"), F.lit(False).alias("kept"))
+    w_global = Window.partitionBy(domain_col).orderBy(*order_cols)
+    ranked = (tagged.filter(F.col("__lrk") <= cap)
+              .withColumn("__rk", F.row_number().over(w_global)))
+    judged = ranked.select(
+        F.col(id_col), F.col(domain_col),
+        F.when(F.col("__rk") <= cap, F.col("__rk")).cast("long").alias("rk"),
+        (F.col("__rk") <= cap).alias("kept"))
+    return judged.unionByName(cut)
+
+
+def stratified_hash_sample_pred(id_col: str, *, one_in: int = 16) -> str:
+    """Deterministic content-free sampling predicate shared verbatim by the
+    Spark plan and the DuckDB oracle: keep a row iff the first
+    ``log16(one_in)`` hex chars of ``md5(id)`` are '0'.  Engine-portable
+    (md5 hex text is identical everywhere), reproducible across runs and
+    cluster sizes, and independent per stratum — the standard trick for
+    audit-stable training-mix downsampling.  ``one_in`` must be a power of
+    16 (16 → 1/16, 256 → 1/256 …)."""
+    n_hex = 0
+    v = one_in
+    while v > 1:
+        if v % 16:
+            raise ValueError("one_in must be a power of 16")
+        v //= 16
+        n_hex += 1
+    zeros = "0" * n_hex
+    return (f"substring(md5(cast({id_col} AS VARCHAR)), 1, {n_hex}) = '{zeros}'")
+
+
+def stratified_hash_sample(df: DataFrame, stratum_col: str, id_col: str, *,
+                           one_in: int = 16) -> DataFrame:
+    """Per-stratum deterministic downsample summary: for each stratum the
+    total row count and the count surviving the md5-prefix predicate.  One
+    hash aggregate (count-if), no second pass; the predicate is the shared
+    SQL text from :func:`stratified_hash_sample_pred` so an oracle can
+    reproduce the sample exactly."""
+    pred = stratified_hash_sample_pred(id_col, one_in=one_in)
+    # Spark SQL spells VARCHAR as STRING; the cast target is the only
+    # dialect-divergent token in the predicate
+    pred_spark = pred.replace("AS VARCHAR", "AS STRING")
+    return (df.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count_if(F.expr(pred_spark)).alias("n_sampled")))

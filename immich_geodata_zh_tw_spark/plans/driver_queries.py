@@ -2065,7 +2065,8 @@ def q_doc_text_profile(spark, sf_dir):
         .alias("n_phones"),
         F.expr(textstats.pii_count_sql("ipv4", _PII_TEXT, dialect="spark"))
         .alias("n_ipv4"),
-        F.expr(f"right({red}, 44)").alias("pii_redacted_tail"))
+        F.expr(f"right({red}, 44)").alias("pii_redacted_tail"),
+        textstats.fingerprint("text").alias("fp"))
 
 
 SQL_DOC_TEXT_PROFILE = f"""
@@ -2081,8 +2082,71 @@ SELECT doc_id,
        {textstats.pii_count_sql('phone', _PII_TEXT, dialect='duckdb')} AS n_phones,
        {textstats.pii_count_sql('ipv4', _PII_TEXT, dialect='duckdb')} AS n_ipv4,
        right({textstats.redact_pii_sql(_PII_TEXT, dialect='duckdb')}, 44)
-           AS pii_redacted_tail
+           AS pii_redacted_tail,
+       {textstats.fingerprint_sql('text')} AS fp
 FROM documents
+"""
+
+
+#: C4-style per-host cap + stratified-sample constants shared with the oracle.
+#: cap=3 with 4 salts at sf0.01 (25 docs/source, ~6 per salt) exercises BOTH
+#: phases of the salted top-K: phase-1 local cuts AND phase-2 global ranks.
+_DCAP_CAP, _DCAP_SALTS, _DCAP_ONE_IN = 3, 4, 16
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-host document budget (C4 §2.2 / Dolma per-domain cap) ∪ per-source
+    deterministic md5-prefix downsample summary, one union-typed result.
+
+    The cap branch is the salted two-phase exact top-K
+    (``operators/sample.domain_cap``) — a mega-host never lands in one
+    window partition — verified here against a single-window SQL oracle;
+    ordering is total (n_tokens DESC, doc_id) so ranks are deterministic.
+    The sample branch shares its md5-prefix predicate text with the oracle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        F.expr(textstats.token_count_sql("text")).alias("n_tokens"))
+    capped = sample.domain_cap(
+        scored, "source", "doc_id", cap=_DCAP_CAP,
+        order_cols=[F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        n_salts=_DCAP_SALTS)
+    null_l = F.lit(None).cast("long")
+    b1 = capped.select(
+        F.lit("cap").alias("op"), F.col("doc_id"), F.col("source"),
+        F.col("rk"), F.col("kept"),
+        null_l.alias("n_total"), null_l.alias("n_sampled"))
+    b2 = (sample.stratified_hash_sample(d, "source", "doc_id",
+                                        one_in=_DCAP_ONE_IN)
+          .select(F.lit("sample").alias("op"), null_l.alias("doc_id"),
+                  F.col("source"), null_l.alias("rk"),
+                  F.lit(None).cast("boolean").alias("kept"),
+                  F.col("n_total"), F.col("n_sampled")))
+    return b1.unionByName(b2)
+
+
+def _sql_doc_domain_cap() -> str:
+    from ..operators.sample import stratified_hash_sample_pred
+    pred = stratified_hash_sample_pred("doc_id", one_in=_DCAP_ONE_IN)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {textstats.token_count_sql('text')} AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM scored)
+SELECT 'cap' AS op, doc_id, source,
+       CAST(CASE WHEN rk <= {_DCAP_CAP} THEN rk END AS BIGINT) AS rk,
+       rk <= {_DCAP_CAP} AS kept,
+       CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_sampled
+FROM ranked
+UNION ALL
+SELECT 'sample', NULL, source, NULL, NULL, count(*),
+       count(*) FILTER (WHERE {pred})
+FROM documents GROUP BY source
 """
 
 
@@ -2184,7 +2248,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diverse_sample": q_diverse_sample,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_text_profile": q_doc_text_profile,
-    "doc_fingerprint": q_doc_fingerprint,
+    # doc_fingerprint's per-doc fp now rides doc_text_profile (its grouped
+    # min-id/count shape stays evidenced by doc_exact_dedup/doc_simhash);
+    # the freed slot carries the C4 per-host cap + stratified sample
+    "doc_domain_cap": q_doc_domain_cap,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -2237,7 +2304,7 @@ _ORACLES: dict[str, str] = {
     "diverse_sample": SQL_DIVERSE_SAMPLE,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_text_profile": SQL_DOC_TEXT_PROFILE,
-    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_domain_cap": _sql_doc_domain_cap(),
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,

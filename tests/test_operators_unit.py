@@ -660,3 +660,87 @@ class TestPiiRedaction:
             assert r["red"] == redacted, (text, r["red"])
             for kind, want in counts.items():
                 assert r[kind] == want, (text, kind, r[kind], want)
+
+
+class TestDomainCap:
+    """C4-style per-host cap: the salted two-phase top-K must equal the
+    single-window reference verdict for any salt count, including skewed
+    domains (one mega-host) and domains under the cap."""
+
+    def _mkdf(self, spark):
+        import pandas as pd
+
+        rows = []
+        # mega-host: 40 docs, host b: 5 docs (over cap), host c: 2 (under)
+        for i in range(40):
+            rows.append(("mega", 1000 + i, (i * 7) % 13))
+        for i in range(5):
+            rows.append(("b", 2000 + i, i % 3))
+        for i in range(2):
+            rows.append(("c", 3000 + i, 9))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["host", "doc_id", "score"]))
+
+    def _reference(self, pdf, cap):
+        import numpy as np
+
+        pdf = pdf.sort_values(["host", "score", "doc_id"],
+                              ascending=[True, False, True])
+        pdf["rk_all"] = pdf.groupby("host").cumcount() + 1
+        pdf["kept"] = pdf["rk_all"] <= cap
+        pdf["rk"] = np.where(pdf["kept"], pdf["rk_all"], np.nan)
+        return pdf[["doc_id", "host", "rk", "kept"]]
+
+    def test_matches_single_window_reference(self, spark):
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.sample import domain_cap
+        from pyspark.sql import functions as F
+
+        df = self._mkdf(spark)
+        want = self._reference(df.toPandas(), cap=4)
+        for n_salts in (1, 3, 16):
+            got = domain_cap(
+                df, "host", "doc_id", cap=4,
+                order_cols=[F.col("score").desc(), F.col("doc_id").asc()],
+                n_salts=n_salts).toPandas()
+            a = got.sort_values("doc_id").reset_index(drop=True)
+            b = want.sort_values("doc_id").reset_index(drop=True)
+            assert a["kept"].tolist() == b["kept"].tolist(), n_salts
+            pd.testing.assert_series_equal(
+                a["rk"].astype("float64"), b["rk"].astype("float64"),
+                check_names=False)
+            assert set(a["host"]) == {"mega", "b", "c"}
+            # every domain keeps exactly min(cap, its size)
+            kept_per = a[a["kept"]].groupby("host").size().to_dict()
+            assert kept_per == {"mega": 4, "b": 4, "c": 2}
+
+    def test_stratified_hash_sample_deterministic(self, spark):
+        import duckdb
+
+        from immich_geodata_zh_tw_spark.operators.sample import (
+            stratified_hash_sample, stratified_hash_sample_pred)
+
+        df = self._mkdf(spark)
+        got = {r["host"]: (r["n_total"], r["n_sampled"])
+               for r in stratified_hash_sample(
+                   df, "host", "doc_id", one_in=16).collect()}
+        pdf = df.toPandas()
+        pred = stratified_hash_sample_pred("doc_id", one_in=16)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = {h: (int(n), int(s)) for h, n, s in con.sql(
+            f"SELECT host, count(*), count(*) FILTER (WHERE {pred})"
+            " FROM t GROUP BY 1").fetchall()}
+        assert got == want
+        assert got["mega"][0] == 40
+
+    def test_one_in_validation(self):
+        import pytest
+
+        from immich_geodata_zh_tw_spark.operators.sample import (
+            stratified_hash_sample_pred)
+
+        with pytest.raises(ValueError):
+            stratified_hash_sample_pred("x", one_in=10)
+        assert "1, 2" in stratified_hash_sample_pred("x", one_in=256)
