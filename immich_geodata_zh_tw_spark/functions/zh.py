@@ -369,17 +369,33 @@ AMBIGUOUS_UNMAPPED = ("干面里只复钟范几斗卜占布舍杰姜淀卤伙松
                       "曲朴蒙余系采制表征获尽症辟游")
 assert not set(AMBIGUOUS_UNMAPPED) & set(SIMPLIFIED)
 
+#: transliteration stems AUDITED as correctly KEEPING a bare ambiguous char:
+#: phonetic morphemes of Thai place names (reference meta_data/TH.csv, the
+#: simplified-Chinese LocationIQ corpus the reference feeds through s2twp —
+#: core/translate.py:17-19) where 里/干/谷/松/游 are syllables, not words
+#: (武里=buri, 汶干=Bueng Kan, 曼谷=Bangkok, 阿游她亞=Ayutthaya…): OpenCC's
+#: char stage keeps them too (only prose phrases rewrite them), so the bare
+#: char IS the correct zh-tw form.  Audit-only — consulted by
+#: :func:`ambiguous_unfixed_occurrences`, never by the conversion fold, so
+#: the hot path pays nothing.  tests/test_properties.py asserts this set
+#: exactly covers the TH corpus flags (drift in either direction fails).
+AMBIGUOUS_KEEP_STEMS = frozenset({
+    "武里", "董里", "富里", "汶干", "巴干", "曼谷", "彤松", "阿游她亞",
+})
+
 
 def ambiguous_unfixed_occurrences(name: str) -> list[tuple[int, str]]:
     """Positions of :data:`AMBIGUOUS_UNMAPPED` chars in ``name`` that are
-    NOT covered by any word-fixup target spanning them (pure-Python audit
-    helper for the property tests; not a query-path function)."""
+    NOT covered by any word-fixup target spanning them, nor by an audited
+    transliteration stem (:data:`AMBIGUOUS_KEEP_STEMS`) — pure-Python audit
+    helper for the property tests; not a query-path function."""
     out = []
+    covers = [dst for _, dst in S2T_WORD_FIXUPS] + list(AMBIGUOUS_KEEP_STEMS)
     for pos, ch in enumerate(name):
         if ch not in AMBIGUOUS_UNMAPPED:
             continue
         covered = False
-        for _, dst in S2T_WORD_FIXUPS:
+        for dst in covers:
             if ch not in dst:
                 continue
             start = 0

@@ -251,3 +251,69 @@ class TestTwCorpusFidelity:
                         names.add(v)
         assert names and all(
             zh._py_s2t(zh._py_t2s(n)) == n for n in names)
+
+
+class TestThaiCorpusConversion:
+    """The reference's TH corpus (meta_data/TH.csv) is the one shipped file
+    whose Chinese is SIMPLIFIED (LocationIQ output the reference feeds
+    through s2twp, core/translate.py:17-19) — i.e. real s2t INPUT.  Every
+    Han name must convert to an s2t fixpoint, and every remaining
+    ambiguous char must be inside an audited transliteration stem
+    (zh.AMBIGUOUS_KEEP_STEMS) — in BOTH directions: no unaudited char, and
+    no stale stem the corpus no longer needs."""
+
+    CORPUS = "/root/reference/meta_data/TH.csv"
+
+    def _names(self):
+        import csv
+        import os
+
+        import pytest as _pytest
+        if not os.path.exists(self.CORPUS):
+            _pytest.skip("reference corpus not available")
+        names = set()
+        with open(self.CORPUS, encoding="utf-8") as f:
+            for row in csv.DictReader(f):
+                for k in ("country", "admin_1", "admin_2",
+                          "admin_3", "admin_4"):
+                    v = (row.get(k) or "").strip()
+                    if v and any("一" <= c <= "鿿" for c in v):
+                        names.add(v)
+        return names
+
+    def test_th_names_convert_to_audited_fixpoints(self):
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        names = self._names()
+        assert len(names) > 100
+        out = {zh._py_s2t(n) for n in names}
+        assert all(zh._py_s2t(t) == t for t in out)  # fixpoint
+        bad = {t for t in out if zh.ambiguous_unfixed_occurrences(t)}
+        assert not bad, f"unaudited ambiguous chars: {sorted(bad)[:10]}"
+        # the simplified country name really converts
+        assert zh._py_s2t("泰国") == "泰國"
+
+    def test_keep_stems_all_needed(self):
+        """Every keep-stem occurs in some converted TH name AND removing it
+        would re-flag that name (no dead audit entries)."""
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        out = {zh._py_s2t(n) for n in self._names()}
+        for stem in zh.AMBIGUOUS_KEEP_STEMS:
+            hosts = [t for t in out if stem in t]
+            assert hosts, f"stem {stem} matches no TH name"
+            assert any(
+                any(hit[1] in stem for hit in _flags_without(t, stem))
+                for t in hosts), f"stem {stem} audits nothing"
+
+
+def _flags_without(name, stem):
+    """ambiguous_unfixed_occurrences with one stem removed from the audit."""
+    from immich_geodata_zh_tw_spark.functions import zh
+
+    kept = zh.AMBIGUOUS_KEEP_STEMS
+    try:
+        zh.AMBIGUOUS_KEEP_STEMS = frozenset(kept - {stem})
+        return zh.ambiguous_unfixed_occurrences(name)
+    finally:
+        zh.AMBIGUOUS_KEEP_STEMS = kept
