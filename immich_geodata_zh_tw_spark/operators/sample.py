@@ -75,6 +75,27 @@ def domain_cap(df: DataFrame, domain_col: str, id_col: str, *, cap: int,
     return judged.unionByName(cut)
 
 
+def global_topk_ranked(df: DataFrame, salt_on: str, *, k: int,
+                       order_cols: list[Column],
+                       n_salts: int = 64) -> DataFrame:
+    """Exact global top-K with 1-based ``__rk``, without ever sorting the
+    full input in ONE task: the naive ``row_number() OVER ()`` (empty
+    PARTITION BY) funnels every row through a single window partition —
+    the same straggler/OOM shape :func:`domain_cap` avoids per domain,
+    here for a global ranking (e.g. vocabulary induction over billions of
+    distinct tokens).  Phase 1 ranks within ``hash(salt_on) % n_salts``
+    buckets and cuts rows whose local rank > k (sound: ≥ k better rows in
+    that bucket alone); phase 2 ranks the ≤ k × n_salts survivors.
+    ``order_cols`` must be a total order for a deterministic result."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    w_local = Window.partitionBy(salt).orderBy(*order_cols)
+    survivors = (df.withColumn("__lrk", F.row_number().over(w_local))
+                 .filter(F.col("__lrk") <= k).drop("__lrk"))
+    w_global = Window.partitionBy().orderBy(*order_cols)
+    return (survivors.withColumn("__rk", F.row_number().over(w_global))
+            .filter(F.col("__rk") <= k))
+
+
 def stratified_hash_sample_pred(id_col: str, *, one_in: int = 16) -> str:
     """Deterministic content-free sampling predicate shared verbatim by the
     Spark plan and the DuckDB oracle: keep a row iff the first

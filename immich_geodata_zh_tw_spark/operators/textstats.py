@@ -336,3 +336,52 @@ def predict_lang(text_col: str = "text") -> Column:
 
 def fingerprint(text_col: str = "text") -> Column:
     return F.expr(fingerprint_sql(text_col))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary induction + OOV coverage (tokenizer-prep for pretraining data)
+# ---------------------------------------------------------------------------
+
+def vocab_table(df: DataFrame, text_col: str = "text", *, k: int,
+                min_freq: int = 1, n_salts: int = 64) -> DataFrame:
+    """Top-``k`` whitespace-token vocabulary by (freq DESC, token ASC) with
+    0-based contiguous ``token_id`` — the deterministic frequency-vocab a
+    tokenizer-training pass materializes first.
+
+    Scale shape: explode → (token) hash count (map-side partial agg), then
+    the exact global rank rides :func:`~..operators.sample.global_topk_ranked`
+    — never a single-partition ``row_number() OVER ()`` over the full
+    distinct-token set (billions at corpus scale)."""
+    from .sample import global_topk_ranked
+
+    toks = (df.select(F.explode(F.expr(f"split({text_col}, ' ')"))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    freq = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= min_freq))
+    ranked = global_topk_ranked(
+        freq, "token", k=k,
+        order_cols=[F.col("freq").desc(), F.col("token").asc()],
+        n_salts=n_salts)
+    return ranked.select("token", (F.col("__rk") - 1).cast("long")
+                         .alias("token_id"), "freq")
+
+
+def oov_stats(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document vocabulary coverage: total tokens, OOV tokens, OOV
+    ratio (round 6).  The vocab side is ≤ k rows by construction —
+    broadcast, so the exploded corpus never shuffles for the join; the
+    only shuffle is the per-doc count rollup.  Docs with zero tokens carry
+    no rows out of the explode and are absent (deterministic)."""
+    toks = (df.select(id_col, F.explode(F.expr(f"split({text_col}, ' ')"))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count_if(F.col("token_id").isNull()).alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                    .alias("oov_ratio")))

@@ -1004,6 +1004,61 @@ FROM c
 """
 
 
+#: vocabulary-induction constants shared with the oracle: top-20 of the
+#: corpus's 31 distinct tokens at sf0.01 — both in-vocab and OOV tokens
+#: exist, so the coverage branch is exercised on real misses
+_VOCAB_K, _VOCAB_SALTS = 20, 8
+
+
+def q_doc_vocab(spark, sf_dir):
+    """Frequency-vocabulary induction (tokenizer prep) ∪ per-doc OOV
+    coverage, one union-typed result.
+
+    The vocab branch's exact global top-K rides the salted two-phase rank
+    (``sample.global_topk_ranked``) — never a single-partition
+    ``row_number() OVER ()`` over the full distinct-token set — verified
+    against a plain-window SQL oracle; the coverage branch broadcasts the
+    ≤ K-row vocab so the exploded corpus never shuffles for the join."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = textstats.vocab_table(d, "text", k=_VOCAB_K,
+                                  n_salts=_VOCAB_SALTS)
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    b1 = vocab.select(
+        F.lit("vocab").alias("op"), F.col("token"), F.col("token_id"),
+        F.col("freq"), null_l.alias("doc_id"), null_l.alias("n_tokens"),
+        null_l.alias("n_oov"), F.lit(None).cast("double").alias("oov_ratio"))
+    b2 = (textstats.oov_stats(d, vocab, "doc_id", "text")
+          .select(F.lit("doc").alias("op"), null_s.alias("token"),
+                  null_l.alias("token_id"), null_l.alias("freq"),
+                  F.col("doc_id"), F.col("n_tokens"), F.col("n_oov"),
+                  F.col("oov_ratio")))
+    return b1.unionByName(b2)
+
+
+SQL_DOC_VOCAB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) - 1
+                     AS BIGINT) AS token_id, freq
+  FROM freq QUALIFY token_id < {_VOCAB_K})
+SELECT 'vocab' AS op, token, token_id, freq,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS n_oov, CAST(NULL AS DOUBLE) AS oov_ratio
+FROM vocab
+UNION ALL
+SELECT 'doc', NULL, NULL, NULL, t.doc_id, count(*),
+       count(*) FILTER (WHERE v.token_id IS NULL),
+       round(CAST(count(*) FILTER (WHERE v.token_id IS NULL) AS DOUBLE)
+             / count(*), 6)
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_doc_curation_pipeline(spark, sf_dir):
     """Full C4+Gopher curation as ONE plan: Gopher quality gate (word-count
     / mean-word-length windows, stopword floor, repetition ceilings) →
@@ -1372,18 +1427,27 @@ _N_ZH = len(_ZH_WORDS)
 def q_zh_s2t(spark, sf_dir):
     """F8 OpenCC-style s2t conversion (translate.py:72-97): character stage
     + word-level fixups, plus the reference-definition is_traditional /
-    is_simplified predicates (is_chinese ∧ conversion fixpoint)."""
+    is_simplified predicates (is_chinese ∧ conversion fixpoint).  Also
+    carries F7's Unicode Han-script predicates over han_detect's own
+    salted-name expression (the standalone q_han_detect plan, folded here
+    to keep the registry inside the driver's 50-row window)."""
     from ..functions import zh
 
     d = _t(spark, sf_dir, "documents")
     salted = d.withColumn(
         "name", F.expr(f"element_at({_ZH_ARRAY_SPARK}, "
                        f"CAST(doc_id % {_N_ZH} AS INT) + 1)"))
+    han = F.expr(
+        "CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS STRING)) "
+        "WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS STRING)) "
+        "ELSE concat('台中', ' mixed ', CAST(doc_id AS STRING)) END")
     return salted.select(
         "doc_id",
         zh.s2t(F.col("name")).alias("name_t"),
         zh.is_traditional(F.col("name")).alias("is_trad"),
-        zh.is_simplified(F.col("name")).alias("is_simp"))
+        zh.is_simplified(F.col("name")).alias("is_simp"),
+        han.rlike("^[\\p{IsHan}\\-0-9]+$").alias("is_pure_han"),
+        han.rlike("[\\p{IsHan}]").alias("contains_han"))
 
 
 from ..functions.zh import (IS_CHINESE_SQL, s2t_sql as _s2t_sql,  # noqa: E402
@@ -1391,14 +1455,21 @@ from ..functions.zh import (IS_CHINESE_SQL, s2t_sql as _s2t_sql,  # noqa: E402
 
 SQL_ZH_S2T = f"""
 WITH salted AS (
-  SELECT doc_id, ({_ZH_ARRAY_DUCK})[CAST(doc_id % {_N_ZH} AS INT) + 1] AS name
+  SELECT doc_id, lang,
+         ({_ZH_ARRAY_DUCK})[CAST(doc_id % {_N_ZH} AS INT) + 1] AS name,
+         CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS VARCHAR))
+              WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS VARCHAR))
+              ELSE concat('台中', ' mixed ', CAST(doc_id AS VARCHAR)) END
+           AS name_h
   FROM documents)
 SELECT doc_id,
   {_s2t_sql('name')} AS name_t,
   (regexp_matches(name, '{IS_CHINESE_SQL['duckdb']}')
    AND {_s2t_sql('name')} = name) AS is_trad,
   (regexp_matches(name, '{IS_CHINESE_SQL['duckdb']}')
-   AND {_t2s_sql('name')} = name) AS is_simp
+   AND {_t2s_sql('name')} = name) AS is_simp,
+  regexp_matches(name_h, '^[\\p{{Han}}\\-0-9]+$') AS is_pure_han,
+  regexp_matches(name_h, '[\\p{{Han}}]') AS contains_han
 FROM salted
 """
 
@@ -2267,7 +2338,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_knn_topk": q_embed_knn_topk,
     "embed_knn": q_embed_knn,
     "korea_split_strip": q_korea_split_strip,
-    "han_detect": q_han_detect,
+    # han_detect's predicates now ride zh_s2t (same documents projection);
+    # the freed slot carries vocabulary induction + OOV coverage
+    "doc_vocab": q_doc_vocab,
     "metadata_coord_join": q_metadata_coord_join,
     "zh_s2t": q_zh_s2t,
     "admin1_translate": q_admin1_translate,
@@ -2320,7 +2393,7 @@ _ORACLES: dict[str, str] = {
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
     "embed_knn": SQL_EMBED_KNN,
     "korea_split_strip": SQL_KOREA_SPLIT_STRIP,
-    "han_detect": SQL_HAN_DETECT,
+    "doc_vocab": SQL_DOC_VOCAB,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
     "zh_s2t": SQL_ZH_S2T,
     "admin1_translate": SQL_ADMIN1_TRANSLATE,

@@ -744,3 +744,45 @@ class TestDomainCap:
         with pytest.raises(ValueError):
             stratified_hash_sample_pred("x", one_in=10)
         assert "1, 2" in stratified_hash_sample_pred("x", one_in=256)
+
+
+class TestVocabInduction:
+    def test_global_topk_matches_single_window(self, spark):
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.sample import (
+            global_topk_ranked)
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame({
+            "tok": [f"t{i:03d}" for i in range(200)],
+            "freq": [(i * 13) % 50 for i in range(200)]})
+        df = spark.createDataFrame(pdf)
+        want = (pdf.sort_values(["freq", "tok"], ascending=[False, True])
+                .head(25).reset_index(drop=True))
+        for n_salts in (1, 4, 64):
+            got = (global_topk_ranked(
+                df, "tok", k=25,
+                order_cols=[F.col("freq").desc(), F.col("tok").asc()],
+                n_salts=n_salts)
+                .orderBy("__rk").toPandas())
+            assert got["tok"].tolist() == want["tok"].tolist(), n_salts
+            assert got["__rk"].tolist() == list(range(1, 26))
+
+    def test_vocab_and_oov(self, spark):
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a c", "b b z", ""]}))
+        vocab = textstats.vocab_table(df, "text", k=3, n_salts=2)
+        v = {r["token"]: (r["token_id"], r["freq"]) for r in vocab.collect()}
+        # freq: b=3, a=2, c=1, z=1 → top-3 by (freq desc, token): b, a, c
+        assert v == {"b": (0, 3), "a": (1, 2), "c": (2, 1)}
+        st = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ratio"])
+              for r in textstats.oov_stats(df, vocab).collect()}
+        assert st[1] == (4, 0, 0.0)
+        assert st[2] == (3, 1, round(1 / 3, 6))
+        assert 3 not in st  # zero-token doc absent by contract
