@@ -1018,10 +1018,18 @@ def q_doc_vocab(spark, sf_dir):
     (``sample.global_topk_ranked``) — never a single-partition
     ``row_number() OVER ()`` over the full distinct-token set — verified
     against a plain-window SQL oracle; the coverage branch broadcasts the
-    ≤ K-row vocab so the exploded corpus never shuffles for the join."""
+    ≤ K-row vocab so the exploded corpus never shuffles for the join.
+
+    The vocab is MATERIALIZED once (≤ K rows by construction — bounded
+    driver payload like the kNN place dim): without this, the union's two
+    uses of the vocab subtree each re-run the corpus explode+count — a
+    measured third full-corpus pass in the one-plan form (plan audit,
+    tests/test_plan_quality.py pins single-scan)."""
     d = _t(spark, sf_dir, "documents")
-    vocab = textstats.vocab_table(d, "text", k=_VOCAB_K,
-                                  n_salts=_VOCAB_SALTS)
+    vocab_rows = textstats.vocab_table(
+        d, "text", k=_VOCAB_K, n_salts=_VOCAB_SALTS).collect()
+    vocab = spark.createDataFrame(
+        vocab_rows, "token string, token_id long, freq long")
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
     b1 = vocab.select(

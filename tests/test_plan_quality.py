@@ -169,3 +169,52 @@ class TestSpanDedupPlan:
         assert n_exchanges == 2, plan
         # shuffle key of the first-occurrence agg is the 16-byte hash pair
         assert "xxhash64" in plan
+
+
+class TestCurationPlanQuality:
+    def test_doc_vocab_single_corpus_scan_and_broadcast(self, spark):
+        """The vocab is materialized once (≤ K rows): the final plan must
+        scan the corpus exactly ONCE (the coverage explode) and join the
+        vocab by broadcast — never sort-merge, never a second corpus pass
+        for the vocab branch."""
+        import __spark_entry__ as e
+
+        import re
+
+        plan = _plan(e.queries()["doc_vocab"](spark, SF_DIR))
+        # formatted output lists each physical scan once in the numbered
+        # detail section — exactly one corpus scan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_global_topk_uses_window_group_limit(self, spark):
+        """Phase 1 of the salted top-K must get Spark's WindowGroupLimit
+        pushdown (partial rank-limit pruning BEFORE the exchange, final
+        after), and phase 2 must compile to a distributed
+        TakeOrderedAndProject over the bounded survivors — no
+        SinglePartition exchange anywhere."""
+        from immich_geodata_zh_tw_spark.operators.sample import (
+            global_topk_ranked)
+
+        df = spark.range(10000).selectExpr("CAST(id AS STRING) AS tok",
+                                           "id % 97 AS freq")
+        out = global_topk_ranked(
+            df, "tok", k=10,
+            order_cols=[F.col("freq").desc(), F.col("tok").asc()],
+            n_salts=8)
+        plan = _plan(out)
+        assert "Partial" in plan and plan.count("WindowGroupLimit") >= 2, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_domain_cap_no_unsalted_corpus_window(self, spark):
+        """The per-domain window may only run on phase-1 survivors: the
+        raw-corpus-wide exchange must be keyed on (domain, salt), and the
+        plan must carry WindowGroupLimit pruning for the rank filters."""
+        import __spark_entry__ as e
+
+        plan = _plan(e.queries()["doc_domain_cap"](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan
+        assert "pmod" in plan  # the salt rides the partitioning keys
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
