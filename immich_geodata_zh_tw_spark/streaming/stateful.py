@@ -140,3 +140,62 @@ def stateful_sessionize(stream: DataFrame, *, gap_sec: int = 1800,
                 stateStructType=SESSION_STATE,
                 outputMode="append",
                 timeoutConf=timeout_conf))
+
+
+BUDGET_OUTPUT = StructType([
+    StructField("host", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("admit_seq", IntegerType()),
+])
+
+BUDGET_STATE = StructType([
+    StructField("n_admitted", IntegerType()),
+])
+
+
+def _budget_fn(cap: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= cap:
+                continue  # keep draining the Arrow batches; admit nothing
+            take = (pdf.sort_values(["ts", "doc_id"], kind="mergesort")
+                    .head(cap - n))
+            if len(take):
+                seqs = list(range(n + 1, n + 1 + len(take)))
+                n += len(take)
+                yield pd.DataFrame({
+                    "host": [host] * len(take),
+                    "doc_id": take["doc_id"].astype("int64").tolist(),
+                    "admit_seq": seqs,
+                })
+        state.update((int(n),))
+    return fn
+
+
+def streaming_host_budget(stream: DataFrame, *, cap: int,
+                          host_col: str = "host") -> DataFrame:
+    """Streaming twin of the batch per-host cap (``sample.domain_cap``):
+    ADMISSION CONTROL on a continuously-crawled stream — the first ``cap``
+    docs per host (arrival order across micro-batches; (ts, doc_id) order
+    within a batch, deterministic) are admitted with a 1-based
+    ``admit_seq``; everything after is dropped at ingest, so a crawler
+    trap or mega-host can't flood the downstream pipeline.
+
+    Semantics note: this is first-come-first-admitted — the online
+    analogue; the authoritative quality-RANKED cap over the full corpus is
+    the batch operator (``domain_cap``), run downstream.  State is ONE
+    int per host ever seen (8-byte counter; bounded by |hosts|, not by
+    pages — a state-store row count a 10^12-page crawl sustains).  The
+    input must carry ``host``, ``doc_id``, ``ts`` columns.
+    """
+    return (stream
+            .groupBy(F.col(host_col).alias("host"))
+            .applyInPandasWithState(
+                _budget_fn(cap),
+                outputStructType=BUDGET_OUTPUT,
+                stateStructType=BUDGET_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

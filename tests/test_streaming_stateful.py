@@ -166,3 +166,57 @@ class TestStreamingExactDedup:
         # state key is the md5, present on every surviving row
         assert got["content_hash"].notna().all()
         assert got["content_hash"].str.len().eq(32).all()
+
+
+DOCS_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+])
+
+
+class TestStreamingHostBudget:
+    def test_first_cap_docs_admitted_across_batches(self, spark, tmp_path):
+        """cap=3 per host, two micro-batches: host a sends 2 then 3 docs
+        (only 1 of the second batch admitted, state carries across
+        batches), host b stays under cap, host c arrives only in batch 2."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            streaming_host_budget
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write(rows):
+            pdf = pd.DataFrame(rows, columns=["host", "doc_id", "ts"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            (spark.createDataFrame(pdf).coalesce(1)
+             .write.mode("append").parquet(inp))
+
+        def run():
+            stream = (spark.readStream.schema(DOCS_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(inp))
+            q = (streaming_host_budget(stream, cap=3)
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        write([("a", 1, "2026-01-01 10:00:00"),
+               ("a", 2, "2026-01-01 10:01:00"),
+               ("b", 10, "2026-01-01 10:00:30")])
+        run()
+        write([("a", 3, "2026-01-01 10:02:00"),
+               ("a", 4, "2026-01-01 10:03:00"),
+               ("a", 5, "2026-01-01 10:04:00"),
+               ("c", 20, "2026-01-01 10:05:00")])
+        run()
+
+        got = spark.read.parquet(out).toPandas()
+        by_host = {h: sorted(zip(g["admit_seq"], g["doc_id"]))
+                   for h, g in got.groupby("host")}
+        # host a: docs 1,2 from batch 1; only doc 3 (earliest ts) from
+        # batch 2 — seq continues across batches
+        assert by_host["a"] == [(1, 1), (2, 2), (3, 3)]
+        assert by_host["b"] == [(1, 10)]
+        assert by_host["c"] == [(1, 20)]
