@@ -317,3 +317,71 @@ def _flags_without(name, stem):
         return zh.ambiguous_unfixed_occurrences(name)
     finally:
         zh.AMBIGUOUS_KEEP_STEMS = kept
+
+
+class TestSaltedTopKProperties:
+    """Salted two-phase exactness under RANDOM inputs: for any data, cap,
+    and salt count, `domain_cap` must equal the single-window reference
+    verdict and `global_topk_ranked` must equal the sorted head — the
+    soundness claim ('local rank > cap ⇒ global rank > cap') holds for
+    every salt assignment, not just the fixed unit-test corpus."""
+
+    @given(st.data())
+    @settings(max_examples=8, deadline=None)
+    def test_domain_cap_matches_reference(self, spark, data):
+        import numpy as np
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.sample import domain_cap
+        from pyspark.sql import functions as F
+
+        n = data.draw(st.integers(min_value=1, max_value=120))
+        n_hosts = data.draw(st.integers(min_value=1, max_value=6))
+        cap = data.draw(st.integers(min_value=1, max_value=5))
+        n_salts = data.draw(st.integers(min_value=1, max_value=8))
+        scores = data.draw(st.lists(
+            st.integers(min_value=0, max_value=4),  # heavy ties on purpose
+            min_size=n, max_size=n))
+        pdf = pd.DataFrame({
+            "host": [f"h{i % n_hosts}" for i in range(n)],
+            "doc_id": range(n), "score": scores})
+        got = (domain_cap(
+            spark.createDataFrame(pdf), "host", "doc_id", cap=cap,
+            order_cols=[F.col("score").desc(), F.col("doc_id").asc()],
+            n_salts=n_salts)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+        ref = pdf.sort_values(["host", "score", "doc_id"],
+                              ascending=[True, False, True]).copy()
+        ref["rk_all"] = ref.groupby("host").cumcount() + 1
+        ref["kept"] = ref["rk_all"] <= cap
+        ref["rk"] = np.where(ref["kept"], ref["rk_all"], np.nan)
+        ref = ref.sort_values("doc_id").reset_index(drop=True)
+        assert got["kept"].tolist() == ref["kept"].tolist()
+        assert (got["rk"].astype("float64").fillna(-1).tolist()
+                == ref["rk"].astype("float64").fillna(-1).tolist())
+
+    @given(st.data())
+    @settings(max_examples=8, deadline=None)
+    def test_global_topk_matches_sorted_head(self, spark, data):
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.sample import (
+            global_topk_ranked)
+        from pyspark.sql import functions as F
+
+        n = data.draw(st.integers(min_value=1, max_value=150))
+        k = data.draw(st.integers(min_value=1, max_value=12))
+        n_salts = data.draw(st.integers(min_value=1, max_value=16))
+        freqs = data.draw(st.lists(
+            st.integers(min_value=0, max_value=6),
+            min_size=n, max_size=n))
+        pdf = pd.DataFrame({"tok": [f"t{i:04d}" for i in range(n)],
+                            "freq": freqs})
+        got = (global_topk_ranked(
+            spark.createDataFrame(pdf), "tok", k=k,
+            order_cols=[F.col("freq").desc(), F.col("tok").asc()],
+            n_salts=n_salts).orderBy("__rk").toPandas())
+        want = (pdf.sort_values(["freq", "tok"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+        assert got["tok"].tolist() == want["tok"].tolist()
+        assert got["__rk"].tolist() == list(range(1, len(want) + 1))
