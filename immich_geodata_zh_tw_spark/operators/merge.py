@@ -48,3 +48,39 @@ def marker_join(df: DataFrame, dup_keys: list[str], *,
             .select(*dup_keys, F.lit(True).alias(flag_col)))
     return (df.join(F.broadcast(dups), dup_keys, "left")
             .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False))))
+
+
+def release_diff(old: DataFrame, new: DataFrame, *, key: str,
+                 compare_cols: list[str]) -> DataFrame:
+    """Version-to-version release diff (the reference's update workflow —
+    update_data.sh regenerates geodata and ships the delta as a release;
+    CHANGELOG.md documents per-release added/renamed entries by hand).
+
+    Full-outer keyed join classifying every key as ``added`` / ``removed``
+    / ``changed`` / ``unchanged``, with the exact list of differing columns
+    for ``changed`` rows (null-safe ``<=>`` comparison, so NULL→value and
+    value→NULL edits are detected and NULL==NULL is not a change).
+
+    Scale shape: ONE keyed equi-join (both sides shuffle once on the key —
+    AQE picks broadcast when a side is dim-sized); the per-column compare
+    is a codegen'd projection; downstream consumers usually filter
+    ``status <> 'unchanged'``, which pushes into the join output before
+    anything wide happens.
+    """
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    o_key, n_key = F.col(f"o.{key}"), F.col(f"n.{key}")
+    diffs = F.array_compact(F.array(*[
+        F.when(~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c))
+        for c in compare_cols]))
+    status = (F.when(o_key.isNull(), F.lit("added"))
+              .when(n_key.isNull(), F.lit("removed"))
+              .when(F.size(diffs) > 0, F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select(
+        F.coalesce(o_key, n_key).alias(key),
+        status.alias("status"),
+        F.when(status == "changed", diffs).alias("changed_cols"),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols])

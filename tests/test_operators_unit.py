@@ -786,3 +786,31 @@ class TestVocabInduction:
         assert st[1] == (4, 0, 0.0)
         assert st[2] == (3, 1, round(1 / 3, 6))
         assert 3 not in st  # zero-token doc absent by contract
+
+
+class TestReleaseDiff:
+    def test_classification_and_changed_cols(self, spark):
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.merge import release_diff
+
+        old = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": [1, 2, 3, 4],
+            "name": ["臺北", "高雄", "臺南", "桃園"],
+            "admin1": ["TW.1", "TW.2", "TW.3", None]}))
+        new = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": [1, 2, 4, 5],
+            "name": ["臺北", "高雄市", "桃園", "新竹"],
+            "admin1": ["TW.1", "TW.2", "TW.6", "TW.7"]}))
+        got = {r["geoname_id"]: r for r in release_diff(
+            old, new, key="geoname_id",
+            compare_cols=["name", "admin1"]).collect()}
+        assert got[1]["status"] == "unchanged" and got[1]["changed_cols"] is None
+        assert got[2]["status"] == "changed"
+        assert got[2]["changed_cols"] == ["name"]
+        assert got[3]["status"] == "removed" and got[3]["new_name"] is None
+        # NULL -> value must count as a change (null-safe compare)
+        assert got[4]["status"] == "changed"
+        assert got[4]["changed_cols"] == ["admin1"]
+        assert got[5]["status"] == "added" and got[5]["old_name"] is None
+        assert got[5]["new_name"] == "新竹"
