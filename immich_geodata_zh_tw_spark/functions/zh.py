@@ -72,6 +72,9 @@ SIMPLIFIED = (
     "赚赞赢趋跃践踊蹒躏轧轩轿辑输辖辗迹适酝钉钙钠钧钩钮铃铅铭铸铺销锐锚锣锤锦键锯镑镖"
     "镰闭闰闷闹阅阐陇陕险随隐隶难韵顷颅颗颠颤饰饲饵馁馅驭驮驯驳驹骆骇骚骡骤鲤鲨鳄鸥鹃"
     "鹊鹦鹭硅莺坜须碱盗垦矾钾钝锄滞涩浒泻潇澜痪痈瘾笼筝篱耻肮胧脓蓟蔹"
+    # round-4: gaps surfaced by the i18n-iso-countries zh vs zh-tw audit
+    # (tests/test_properties.py TestCountryPairCorpus) — all unambiguous 1:1
+    "萨奥兹纽脱挝"
 )
 TRADITIONAL = (
     "臺灣縣園區鎮鄉莊島嶼東龍鳳橋頭溝漢濟寧廣嚴岡養愛國學門馬鳥雲電氣務書體當發後萬與醜專業叢"
@@ -103,6 +106,7 @@ TRADITIONAL = (
     "賺贊贏趨躍踐踴蹣躪軋軒轎輯輸轄輾跡適醞釘鈣鈉鈞鉤鈕鈴鉛銘鑄鋪銷銳錨鑼錘錦鍵鋸鎊鏢"
     "鐮閉閏悶鬧閱闡隴陝險隨隱隸難韻頃顱顆顛顫飾飼餌餒餡馭馱馴駁駒駱駭騷騾驟鯉鯊鱷鷗鵑"
     "鵲鸚鷺矽鶯壢須鹼盜墾礬鉀鈍鋤滯澀滸瀉瀟瀾瘓癰癮籠箏籬恥骯朧膿薊蘞"
+    "薩奧茲紐脫撾"
 )
 
 assert len(SIMPLIFIED) == len(TRADITIONAL), \

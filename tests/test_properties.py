@@ -385,3 +385,53 @@ class TestSaltedTopKProperties:
                 .head(k).reset_index(drop=True))
         assert got["tok"].tolist() == want["tok"].tolist()
         assert got["__rk"].tolist() == list(range(1, len(want) + 1))
+
+
+class TestCountryPairCorpus:
+    """The reference ships BOTH scripts of the country dimension
+    (i18n-iso-countries langs/zh.json simplified, zh-tw.json traditional) —
+    a ground-truth aligned pair corpus for the s2t stage.  Most deltas are
+    Taiwan NAMING conventions (象牙海岸 vs 科特迪瓦), not script, so exact
+    equality can't be the invariant; instead pin (a) the audited
+    exact-match floor, (b) conversion fixpoints for every name, (c) the
+    round-4 char pairs this corpus surfaced (萨奥兹纽脱挝 were passing
+    through unconverted)."""
+
+    CN = "/root/reference/i18n-iso-countries/langs/zh.json"
+    TW = "/root/reference/i18n-iso-countries/langs/zh-tw.json"
+
+    def _pairs(self):
+        import json
+        import os
+
+        import pytest as _pytest
+        if not (os.path.exists(self.CN) and os.path.exists(self.TW)):
+            _pytest.skip("reference corpus not available")
+        first = lambda v: v[0] if isinstance(v, list) else v  # noqa: E731
+        cn = json.load(open(self.CN))["countries"]
+        tw = json.load(open(self.TW))["countries"]
+        return {c: (first(cn[c]), first(tw[c])) for c in tw if c in cn}
+
+    def test_script_conversion_floor_and_fixpoints(self):
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        pairs = self._pairs()
+        assert len(pairs) == 250
+        exact = sum(1 for s, t in pairs.values() if zh._py_s2t(s) == t)
+        # 129 audited script-exact codes; the other 121 differ by NAMING
+        # (the country dim ships those zh-tw names directly).  A regression
+        # in the char/word tables drops this number.
+        assert exact >= 129, exact
+        assert all(zh._py_s2t(zh._py_s2t(s)) == zh._py_s2t(s)
+                   for s, _ in pairs.values())
+
+    def test_round4_mined_chars(self):
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        for s, t in [("萨", "薩"), ("奥", "奧"), ("兹", "茲"),
+                     ("纽", "紐"), ("脱", "脫"), ("挝", "撾")]:
+            assert zh._py_s2t(s) == t and zh._py_t2s(t) == s
+        # the names that exposed them now convert script-correctly
+        assert zh._py_s2t("美属萨摩亚") == "美屬薩摩亞"
+        assert zh._py_s2t("奥地利") == "奧地利"
+        assert zh._py_s2t("纽埃") == "紐埃"
