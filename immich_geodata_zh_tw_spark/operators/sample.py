@@ -19,12 +19,20 @@ def diverse_sample(df: DataFrame, prefix_cols: list[str], *, n: int,
                    order_col: str) -> DataFrame:
     """Smallest prefix level whose distinct-group count reaches ``n`` wins;
     returns the first row (min order_col) per group at that level, the first
-    ``n`` groups in group-key order.  Driver-side loop over tiny counts."""
-    level = 1
-    chosen = None
-    for level in range(1, len(prefix_cols) + 1):
-        groups = df.select(*prefix_cols[:level]).distinct().count()
-        chosen = prefix_cols[:level]
+    ``n`` groups in group-key order.  Driver-side loop over tiny counts.
+
+    Reference edge cases mirrored (tests/test_geodata_base.py):
+    requested columns absent from the frame are skipped; with NO usable
+    column the first ``n`` rows (by ``order_col`` — the reference's
+    positional ``head`` made deterministic) are returned; if every level
+    stays under ``n`` the deepest level's dedup is returned whole."""
+    avail = [c for c in prefix_cols if c in df.columns]
+    if not avail:
+        return df.orderBy(F.col(order_col).asc()).limit(n)
+    chosen = avail
+    for level in range(1, len(avail) + 1):
+        groups = df.select(*avail[:level]).distinct().count()
+        chosen = avail[:level]
         if groups >= n:
             break
     picked = keep_best_per_key(df, chosen, [F.col(order_col).asc()])

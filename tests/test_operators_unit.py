@@ -294,6 +294,61 @@ class TestSample:
         assert len(out) == 4
         assert out["id"].tolist() == [0, 2, 4, 6]  # first per group, group order
 
+    def test_diverse_sample_reference_edge_cases(self, spark):
+        """The reference's full O4 edge-case family
+        (tests/test_geodata_base.py): normal / duplicate combos /
+        insufficient / missing columns / empty / no admin columns /
+        hierarchical / all-same-admin1 / nulls."""
+        from immich_geodata_zh_tw_spark.operators.sample import diverse_sample
+
+        def mk(a1, a2):
+            return spark.createDataFrame(pd.DataFrame(
+                {"a1": a1, "a2": a2, "id": range(len(a1))}))
+
+        cols = ["a1", "a2"]
+        # normal: all combos distinct, n == rows
+        assert diverse_sample(
+            mk(list("abcde"), list("vwxyz")), cols, n=5,
+            order_col="id").count() == 5
+        # duplicate combos: 10 rows, 3 combos → 3
+        out = diverse_sample(
+            mk(["t"] * 3 + ["n"] * 2 + ["c"] * 5,
+               ["z"] * 3 + ["b"] * 2 + ["x"] * 5),
+            cols, n=5, order_col="id").toPandas()
+        assert len(out) == 3 and set(out["a1"]) == {"t", "n", "c"}
+        # insufficient: 3 rows, n=5 → 3
+        assert diverse_sample(mk(list("abc"), list("xyz")), cols, n=5,
+                              order_col="id").count() == 3
+        # missing columns: only a1 exists
+        df_missing = spark.createDataFrame(
+            pd.DataFrame({"a1": ["t", "t", "n"], "id": range(3)}))
+        assert diverse_sample(df_missing, cols, n=5,
+                              order_col="id").count() == 2
+        # empty frame
+        assert diverse_sample(
+            spark.createDataFrame([], "a1 string, a2 string, id long"),
+            cols, n=5, order_col="id").count() == 0
+        # no admin columns at all → first n rows by order_col
+        df_none = spark.createDataFrame(pd.DataFrame(
+            {"lat": [25.0, 25.1, 25.2, 24.0, 22.0], "id": range(5)}))
+        got = diverse_sample(df_none, cols, n=3, order_col="id").toPandas()
+        assert got["id"].tolist() == [0, 1, 2]
+        # hierarchical: 3 a1 < 5 ≤ 5 (a1, a2) combos
+        out = diverse_sample(
+            mk(["t", "t", "n", "n", "c"], ["p", "q", "r", "s", "u"]),
+            cols, n=5, order_col="id").toPandas()
+        assert len(out) == 5 and len(set(out["a1"])) == 3
+        # all same a1: level 2 gives 5
+        out = diverse_sample(
+            mk(["t"] * 5, list("vwxyz")), cols, n=5,
+            order_col="id").toPandas()
+        assert len(out) == 5 and set(out["a1"]) == {"t"}
+        # nulls are group values (polars-unique semantics)
+        out = diverse_sample(
+            mk(["t", "t", None, "n"], ["z", None, "b", "b"]),
+            cols, n=5, order_col="id").toPandas()
+        assert 0 < len(out) <= 5 and len(out) == 4
+
 
 class TestRepetition:
     def test_gopher_repetition_hand_computed(self, spark):
