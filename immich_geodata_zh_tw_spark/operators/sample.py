@@ -26,7 +26,9 @@ def diverse_sample(df: DataFrame, prefix_cols: list[str], *, n: int,
     column the first ``n`` rows (by ``order_col`` — the reference's
     positional ``head`` made deterministic) are returned; if every level
     stays under ``n`` the deepest level's dedup is returned whole."""
-    avail = [c for c in prefix_cols if c in df.columns]
+    # Spark resolves columns case-insensitively by default — match that
+    have = {c.lower() for c in df.columns}
+    avail = [c for c in prefix_cols if c.lower() in have]
     if not avail:
         return df.orderBy(F.col(order_col).asc()).limit(n)
     chosen = avail
@@ -112,6 +114,8 @@ def stratified_hash_sample_pred(id_col: str, *, one_in: int = 16) -> str:
     cluster sizes, and independent per stratum — the standard trick for
     audit-stable training-mix downsampling.  ``one_in`` must be a power of
     16 (16 → 1/16, 256 → 1/256 …)."""
+    if one_in < 1:
+        raise ValueError("one_in must be a positive power of 16")
     n_hex = 0
     v = one_in
     while v > 1:

@@ -37,8 +37,11 @@ def validate_geodata(df: DataFrame, *,
     checks: list[tuple[str, str, int]] = [("row_count", "__n", min_rows)]
     if key_cols:
         name = "unique_" + "_".join(key_cols)
+        # count_distinct(cols...) drops rows where ANY column is NULL,
+        # which would misreport null-keyed rows as duplicates; a struct
+        # retains NULL fields, so distinct is null-safe over key tuples
         aggs.append((F.count(F.lit(1)) - F.count_distinct(
-            *[F.col(c) for c in key_cols])).alias("__dups"))
+            F.struct(*[F.col(c) for c in key_cols]))).alias("__dups"))
         checks.append((name, "__dups", 0))
     for c in required_non_null or []:
         aggs.append(F.count_if(F.col(c).isNull()).alias(f"__null_{c}"))

@@ -660,21 +660,6 @@ SELECT doc_id, {textstats.predict_lang_sql('text')} AS pred_lang FROM documents
 """
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint groups."""
-    d = _t(spark, sf_dir, "documents")
-    return (d.select(textstats.fingerprint("text").alias("fp"), "doc_id")
-            .groupBy("fp")
-            .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")))
-
-
-SQL_DOC_FINGERPRINT = f"""
-SELECT {textstats.fingerprint_sql('text')} AS fp, min(doc_id) AS rep_id,
-       count(*) AS n_docs
-FROM documents GROUP BY 1
-"""
-
-
 def q_doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (4 bands, 5-char shingles)."""
     d = _t(spark, sf_dir, "documents")
@@ -1341,34 +1326,6 @@ FROM split
 """
 
 
-def q_han_detect(spark, sf_dir):
-    """F7 Unicode Han-script predicates (translate.py:52-69), over documents
-    text salted with Han characters for zh rows."""
-    d = _t(spark, sf_dir, "documents")
-    salted = d.withColumn(
-        "name", F.expr("CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS STRING)) "
-                       "WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS STRING)) "
-                       "ELSE concat('台中', ' mixed ', CAST(doc_id AS STRING)) END"))
-    return salted.select(
-        "doc_id",
-        F.col("name").rlike("^[\\p{IsHan}\\-0-9]+$").alias("is_pure_han"),
-        F.col("name").rlike("[\\p{IsHan}]").alias("contains_han"))
-
-
-SQL_HAN_DETECT = r"""
-WITH salted AS (
-  SELECT doc_id,
-    CASE WHEN lang = 'zh' THEN concat('臺北市-', CAST(doc_id AS VARCHAR))
-         WHEN lang = 'de' THEN concat('Berlin', CAST(doc_id AS VARCHAR))
-         ELSE concat('台中', ' mixed ', CAST(doc_id AS VARCHAR)) END AS name
-  FROM documents)
-SELECT doc_id,
-  regexp_matches(name, '^[\p{Han}\-0-9]+$') AS is_pure_han,
-  regexp_matches(name, '[\p{Han}]') AS contains_han
-FROM salted
-"""
-
-
 def q_multi_name_collapse(spark, sf_dir):
     """F12 '/'-joined multi-name collapse (translate.py:125-147): if all
     slash-separated parts are equal keep one, else keep the raw string."""
@@ -1437,7 +1394,7 @@ def q_zh_s2t(spark, sf_dir):
     + word-level fixups, plus the reference-definition is_traditional /
     is_simplified predicates (is_chinese ∧ conversion fixpoint).  Also
     carries F7's Unicode Han-script predicates over han_detect's own
-    salted-name expression (the standalone q_han_detect plan, folded here
+    salted-name expression (the former standalone han_detect plan, folded here
     to keep the registry inside the driver's 50-row window)."""
     from ..functions import zh
 

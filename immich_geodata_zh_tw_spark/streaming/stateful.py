@@ -158,19 +158,29 @@ def _budget_fn(cap: int):
            ) -> Iterator[pd.DataFrame]:
         (host,) = key
         n = state.get[0] if state.exists else 0
+        # a group's micro-batch arrives as SEVERAL Arrow chunks (split at
+        # maxRecordsPerBatch / by upstream partitions) in no guaranteed
+        # order; sorting per-chunk would admit greedily by chunk and break
+        # the (ts, doc_id) contract — keep only the running best ≤ remaining
+        # docs across chunks, then emit once (bounded memory: ≤ cap rows
+        # held, never the whole batch)
+        remaining = cap - n
+        best: pd.DataFrame | None = None
         for pdf in pdfs:
-            if n >= cap:
+            if remaining <= 0:
                 continue  # keep draining the Arrow batches; admit nothing
-            take = (pdf.sort_values(["ts", "doc_id"], kind="mergesort")
-                    .head(cap - n))
-            if len(take):
-                seqs = list(range(n + 1, n + 1 + len(take)))
-                n += len(take)
-                yield pd.DataFrame({
-                    "host": [host] * len(take),
-                    "doc_id": take["doc_id"].astype("int64").tolist(),
-                    "admit_seq": seqs,
-                })
+            part = pdf[["ts", "doc_id"]]
+            best = part if best is None else pd.concat((best, part))
+            best = (best.sort_values(["ts", "doc_id"], kind="mergesort")
+                    .head(remaining))
+        if best is not None and len(best):
+            seqs = list(range(n + 1, n + 1 + len(best)))
+            n += len(best)
+            yield pd.DataFrame({
+                "host": [host] * len(best),
+                "doc_id": best["doc_id"].astype("int64").tolist(),
+                "admit_seq": seqs,
+            })
         state.update((int(n),))
     return fn
 

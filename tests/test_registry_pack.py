@@ -134,6 +134,26 @@ class TestValidateGeodata:
         assert_valid(clean, min_rows=1, key_cols=["geoname_id"],
                      required_non_null=["name"])
 
+    def test_null_keys_are_not_duplicates(self, spark):
+        """Review regression: count_distinct drops NULL-keyed rows, which
+        misreported unique frames with a NULL key as duplicated; the
+        struct-wrapped distinct is null-safe."""
+        from immich_geodata_zh_tw_spark.operators.validate import (
+            validate_geodata)
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (None,)], "geoname_id int")
+        got = {r["check"]: r for r in validate_geodata(
+            df, key_cols=["geoname_id"]).collect()}
+        assert got["unique_geoname_id"]["passed"]
+        assert got["unique_geoname_id"]["observed"] == 0
+        # two NULL keys DO count as a duplicate tuple
+        df2 = spark.createDataFrame(
+            [(1,), (None,), (None,)], "geoname_id int")
+        got2 = {r["check"]: r for r in validate_geodata(
+            df2, key_cols=["geoname_id"]).collect()}
+        assert not got2["unique_geoname_id"]["passed"]
+
     def test_one_aggregate_in_plan(self, spark):
         import pandas as pd
 

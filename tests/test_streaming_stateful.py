@@ -220,3 +220,39 @@ class TestStreamingHostBudget:
         assert by_host["a"] == [(1, 1), (2, 2), (3, 3)]
         assert by_host["b"] == [(1, 10)]
         assert by_host["c"] == [(1, 20)]
+
+    def test_admission_deterministic_across_arrow_chunks(self, spark, tmp_path):
+        """Review regression: a group's micro-batch arrives as several Arrow
+        chunks; admission must be (ts, doc_id)-ordered across ALL chunks,
+        not greedily per chunk.  maxRecordsPerBatch=2 forces chunking; the
+        earliest-ts docs must win even when written last."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            streaming_host_budget
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "2")
+            # one file, one micro-batch: 8 docs for host a, LATE ts first
+            rows = [("a", 100 + i, f"2026-01-01 10:{30 - i:02d}:00")
+                    for i in range(8)]  # doc 107 has the earliest ts 10:23
+            pdf = pd.DataFrame(rows, columns=["host", "doc_id", "ts"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            (spark.createDataFrame(pdf).coalesce(1)
+             .write.mode("append").parquet(inp))
+            stream = (spark.readStream.schema(DOCS_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(inp))
+            q = (streaming_host_budget(stream, cap=3)
+                 .writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            got = (spark.read.parquet(out).toPandas()
+                   .sort_values("admit_seq"))
+            # earliest three timestamps are docs 107 (10:23), 106, 105
+            assert got["doc_id"].tolist() == [107, 106, 105]
+        finally:
+            spark.conf.set(key, old)
