@@ -66,6 +66,13 @@ def domain_cap(df: DataFrame, domain_col: str, id_col: str, *, cap: int,
 
     Both phases are plain hash-shuffle + bounded sort; nothing rides the
     driver and no domain list is collected/broadcast.
+
+    Plan note: the cut and judged branches are two filters over the same
+    local-window subtree — Catalyst plans the (domain, salt) exchange
+    twice (exchange reuse does not fire across the union's differing
+    parents).  At toy scale irrelevant; on a 100 TB run persist/checkpoint
+    the tagged frame once if the doubled scan+shuffle matters, or consume
+    only the kept side (the common case — then the cut branch is pruned).
     """
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     w_local = Window.partitionBy(F.col(domain_col), salt).orderBy(*order_cols)
