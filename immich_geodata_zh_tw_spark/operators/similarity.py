@@ -13,6 +13,9 @@
   the embedding-space member of the dedup family.
 * ``ivf_topk`` — the second ANN scale path (coarse quantizer, single-cell
   corpus assignment, nprobe query fan-out).
+* ``pq_codebooks`` / ``pq_encode`` / ``pq_adc_topk`` — product quantization:
+  m-subspace codes (16-32x memory cut) + asymmetric-distance top-k scan,
+  the memory-side companion that lets a 10^12-vector corpus fit executors.
 """
 
 from __future__ import annotations
@@ -290,3 +293,115 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
                                            F.col("neighbor_id").asc())
     return (sym.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k).drop("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100-TB memory-side companion of IVF
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(sample: np.ndarray, *, m: int, ksub: int = 16,
+                 iters: int = 8) -> list[np.ndarray]:
+    """Per-subspace k-means codebooks: the vector splits into ``m`` equal
+    slices, each quantized against its own ``ksub`` centroids — a D-float
+    vector compresses to ``m`` small codes (m bytes at ksub ≤ 256), the
+    representation that lets a 10^12-vector corpus live in executor memory
+    (4 KB float32 → 8-16 B).  Same deterministic strided-init Lloyd as the
+    IVF coarse quantizer; the codebooks (m × ksub × D/m floats) broadcast.
+    """
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return [kmeans_centroids(np.ascontiguousarray(sample[:, i * ds:(i + 1) * ds]),
+                             k=ksub, iters=iters)
+            for i in range(m)]
+
+
+def pq_encode_udf(codebooks: list[np.ndarray]):
+    """Arrow UDF: embedding → array<int> of per-subspace nearest-centroid
+    codes (L2 argmin, numpy per batch — one matmul per subspace)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    ds = cbs[0].shape[1]
+
+    def encode(vs):
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        codes = np.empty((len(x), len(cbs)), dtype=np.int32)
+        for i, cb in enumerate(cbs):
+            sub = x[:, i * ds:(i + 1) * ds]
+            # argmin ||s-c||^2 = argmin (||c||^2 - 2 s.c); ||s||^2 constant
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # explicit annotations — same closure-resolution workaround as
+    # _assign_udf above
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(encode, "array<int>")
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[np.ndarray], *,
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    return corpus.withColumn(out_col, pq_encode_udf(codebooks)(F.col(vec_col)))
+
+
+def pq_adc_topk(codes: DataFrame, query_vecs: np.ndarray,
+                codebooks: list[np.ndarray], *, k: int = 10,
+                id_col: str = "vec_id", code_col: str = "pq_code",
+                query_ids: list[int] | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k scan over PQ codes.
+
+    The query batch is small and rides to every executor inside the UDF
+    closure as per-query lookup tables LUT[q][m][code] = dot(q_sub,
+    centroid) — scoring a corpus row is ``m`` table lookups + adds, NO
+    decompression.  ``mapInPandas`` emits each partition's per-query top-k
+    only (≤ |queries| × k rows per partition cross the wire — the corpus
+    itself never shuffles), then one tiny global window finishes the
+    ranking.  Scores are approximate (quantized corpus side, exact query
+    side — the standard ADC estimator of the dot product).
+    """
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    ds = cbs[0].shape[1]
+    # LUT[q, m, code]: per-subspace dot products
+    lut = np.stack([np.stack([q[:, i * ds:(i + 1) * ds] @ cb.T
+                              for i, cb in enumerate(cbs)], axis=1)])[0]
+
+    out_schema = StructType([
+        StructField("q_id", LongType()),
+        StructField(id_col, LongType()),
+        StructField("adc_score", DoubleType()),
+        StructField("__m", IntegerType()),
+    ])
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.asarray(pdf[code_col].tolist(), dtype=np.int64)  # n × m
+            # scores[q, n] = Σ_m LUT[q, m, code[n, m]]
+            scores = lut[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = {"q_id": [], id_col: [], "adc_score": [], "__m": []}
+            for qi in range(len(qids)):
+                rows["q_id"].extend([qids[qi]] * kk)
+                rows[id_col].extend(ids[top[qi]].tolist())
+                rows["adc_score"].extend(scores[qi, top[qi]].tolist())
+                rows["__m"].extend([0] * kk)
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+    cand = codes.mapInPandas(scan, schema=out_schema).drop("__m")
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
+                                           F.col(id_col).asc())
+    return (cand.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("q_id", id_col, "adc_score", F.col("__rk").alias("rank")))
