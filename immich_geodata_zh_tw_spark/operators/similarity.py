@@ -405,3 +405,74 @@ def pq_adc_topk(codes: DataFrame, query_vecs: np.ndarray,
     return (cand.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .select("q_id", id_col, "adc_score", F.col("__rk").alias("rank")))
+
+
+def ivf_pq_topk(codes: DataFrame, query_vecs: np.ndarray,
+                centroids: np.ndarray, codebooks: list[np.ndarray], *,
+                nprobe: int = 2, k: int = 10, id_col: str = "vec_id",
+                code_col: str = "pq_code", cell_col: str = "__cid",
+                query_ids: list[int] | None = None) -> DataFrame:
+    """IVF-PQ: the composed production ANN shape — coarse cells prune the
+    corpus, PQ codes compress it, ADC scores the survivors.
+
+    ``codes`` must carry the cell id (``pq_encode`` output joined with the
+    IVF assignment — both are one-pass batch kernels).  The scan first
+    SEMI-prunes to the union of all queries' probe cells (one broadcastable
+    literal ``isin`` — no join), then inside each Arrow batch masks each
+    query to its OWN probe cells before the LUT scoring, so the candidate
+    set equals strict per-query IVF probing.  Per partition only
+    ≤ |queries| × k rows emerge; the corpus never shuffles, never
+    decompresses.
+    """
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    ds = cbs[0].shape[1]
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # |q| × nprobe
+    all_cells = sorted({int(c) for row in probe for c in row})
+    probe_sets = [set(map(int, row)) for row in probe]
+    lut = np.stack([np.stack([q[:, i * ds:(i + 1) * ds] @ cb.T
+                              for i, cb in enumerate(cbs)], axis=1)])[0]
+
+    out_schema = StructType([
+        StructField("q_id", LongType()),
+        StructField(id_col, LongType()),
+        StructField("adc_score", DoubleType()),
+    ])
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf[cell_col].to_numpy()
+            c = np.asarray(pdf[code_col].tolist(), dtype=np.int64)
+            scores = lut[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+            rows = {"q_id": [], id_col: [], "adc_score": []}
+            for qi in range(len(qids)):
+                mask = np.isin(cells, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                s, i = scores[qi][mask], ids[mask]
+                kk = min(k, len(i))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                rows["q_id"].extend([qids[qi]] * kk)
+                rows[id_col].extend(i[top].tolist())
+                rows["adc_score"].extend(s[top].tolist())
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+    pruned = codes.filter(F.col(cell_col).isin(all_cells))
+    cand = pruned.mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
+                                           F.col(id_col).asc())
+    return (cand.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("q_id", id_col, "adc_score", F.col("__rk").alias("rank")))

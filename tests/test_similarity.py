@@ -211,3 +211,46 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError):
             sim.pq_codebooks(np.zeros((10, 10)), m=3)
+
+    def test_ivf_pq_equals_pq_restricted_to_probed_cells(self, spark,
+                                                         embeddings):
+        """IVF-PQ must score exactly the rows whose cell is in each query's
+        probe set — verified against a hand-filtered pq_adc_topk."""
+        import numpy as np
+
+        from immich_geodata_zh_tw_spark.operators import similarity as sim
+
+        pdf = embeddings.toPandas()
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        cents = sim.kmeans_centroids(x[::3], k=8)
+        cbs = sim.pq_codebooks(x, m=16, ksub=16)
+        assign1 = sim._assign_udf(cents, 1)
+        codes = (sim.pq_encode(embeddings, cbs)
+                 .withColumn("__cid", F.element_at(
+                     assign1(F.col("embedding")), 1)))
+        n_q, k, nprobe = 5, 5, 3
+        got = (sim.ivf_pq_topk(codes, x[:n_q], cents, cbs, nprobe=nprobe,
+                               k=k, query_ids=ids[:n_q].tolist())
+               .toPandas())
+        # reference: per query, brute-force ADC over rows in probed cells
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cell_of = np.argmax(xn @ cn.T, axis=1)
+        qn = xn[:n_q]
+        probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+        codes_pd = codes.toPandas().set_index("vec_id")
+        ds = x.shape[1] // len(cbs)
+        for qi in range(n_q):
+            in_cells = np.isin(cell_of, probes[qi])
+            lut = np.stack([x[qi][i * ds:(i + 1) * ds] @ cb.T
+                            for i, cb in enumerate(cbs)])
+            cand_ids = ids[in_cells]
+            cc = np.asarray(codes_pd.loc[cand_ids]["pq_code"].tolist(),
+                            dtype=np.int64)
+            s = lut[np.arange(len(cbs))[None, :], cc].sum(axis=1)
+            order = sorted(zip(-s, cand_ids))[:k]
+            want = [int(i) for _, i in order]
+            mine = (got[got["q_id"] == ids[qi]].sort_values("rank")
+                    ["vec_id"].tolist())
+            assert mine == want, (qi, mine, want)
