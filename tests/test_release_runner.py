@@ -88,3 +88,57 @@ class TestReleaseRunner:
         res = run_release(spark, workdir=tmp_path, **inputs,
                           skip={"enhance"}, release_date="2026-08-16")
         assert spark.read.parquet(res["translated"]).count() == 3
+
+
+class TestReleaseVersionWorkflow:
+    """update_data.sh's regenerate-and-ship-delta loop: run a release,
+    change an input, run again, diff the two versions, gate with the
+    validator — the three operators composed as a user would."""
+
+    def test_diff_and_validate_between_versions(self, spark, tmp_path,
+                                                inputs):
+        from pyspark.sql import functions as F
+
+        from immich_geodata_zh_tw_spark.operators.merge import release_diff
+        from immich_geodata_zh_tw_spark.operators.validate import (
+            assert_valid, validate_geodata)
+
+        res_v1 = run_release(spark, workdir=tmp_path / "v1", **inputs,
+                             release_date="2026-08-16")
+        v1 = spark.read.parquet(res_v1["translated"])
+        # v2 input: Paris renamed upstream
+        inputs2 = dict(inputs)
+        inputs2["cities"] = inputs["cities"].withColumn(
+            "name", F.when(F.col("geoname_id") == "200",
+                           F.lit("Paris Renamed")).otherwise(F.col("name")))
+        res_v2 = run_release(spark, workdir=tmp_path / "v2", **inputs2,
+                             release_date="2026-08-17")
+        v2 = spark.read.parquet(res_v2["translated"])
+
+        # both versions pass the release gate
+        for v in (v1, v2):
+            assert_valid(v, min_rows=1, key_cols=["geoname_id"],
+                         required_non_null=["name", "country_code"],
+                         lat_col="latitude", lon_col="longitude",
+                         bbox=(-90.0, 90.0, -180.0, 180.0))
+
+        diff = release_diff(v1, v2, key="geoname_id",
+                            compare_cols=["name", "country_code"])
+        by_status = {r["geoname_id"]: r for r in diff.collect()}
+        # FR row kept its zh translation (name comes from the metadata
+        # join, not the raw name), TW villages unchanged — the rename of
+        # the UNTRANSLATED field must not leak into the shipped names
+        statuses = {r["status"] for r in by_status.values()}
+        assert statuses == {"unchanged"}, by_status
+        # but diffing the ENHANCED (pre-translate) tables shows the rename
+        e1 = spark.read.parquet(str(tmp_path / "v1" / "cities500_enhanced"))
+        e2 = spark.read.parquet(str(tmp_path / "v2" / "cities500_enhanced"))
+        ediff = {r["geoname_id"]: r for r in release_diff(
+            e1, e2, key="geoname_id", compare_cols=["name"]).collect()}
+        assert ediff["200"]["status"] == "changed"
+        assert ediff["200"]["changed_cols"] == ["name"]
+        # validator catches a broken frame before pack would ship it
+        broken = v2.withColumn("latitude", F.lit(float("nan")))
+        got = {r["check"]: r for r in validate_geodata(
+            broken, lat_col="latitude", lon_col="longitude").collect()}
+        assert not got["coords_parseable"]["passed"]
