@@ -384,6 +384,8 @@ def pq_adc_topk(codes: DataFrame, query_vecs: np.ndarray,
     def scan(batches):
         import pandas as pd
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: shape[1]/argpartition(-1) blow up
+                continue
             ids = pdf[id_col].to_numpy()
             c = np.asarray(pdf[code_col].tolist(), dtype=np.int64)  # n × m
             # scores[q, n] = Σ_m LUT[q, m, code[n, m]]

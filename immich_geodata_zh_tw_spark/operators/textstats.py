@@ -234,9 +234,13 @@ def mixture_weights(df: DataFrame, *, group_col: str = "source",
 
     The normalizer is made ORDER-FREE: a float ``sum(sqrt(n)) OVER ()``
     accumulates doubles in engine-internal, parallelism-dependent order on
-    both Spark and DuckDB, so a last-ulp total difference can flip a
-    ``round(…, 6)`` boundary between runs (observed once in the round-3
-    driver run).  Instead each domain's sqrt is quantized to an exact
+    both Spark and DuckDB, so a last-ulp total difference could in
+    principle flip a ``round(…, 6)`` boundary between runs.  (The round-3/4
+    driver mismatch once attributed to this was actually an oracle typing
+    artifact — DuckDB ``sum(BIGINT)`` → HUGEINT → pandas float64, fixed by
+    ``CAST(… AS BIGINT)`` in the oracle SQL; the order-free normalizer is
+    kept because it is strictly more robust.)  Each domain's sqrt is
+    quantized to an exact
     integer (``round(sqrt(n) * 1e6)`` — correctly-rounded IEEE sqrt, no
     half-way cases since sqrt of a non-square is irrational and sqrt of a
     perfect square times 1e6 is already integral), integers are summed

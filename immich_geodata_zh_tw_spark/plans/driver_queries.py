@@ -938,13 +938,16 @@ def q_doc_mixture_weights(spark, sf_dir):
     return textstats.mixture_weights(d, group_col="source", text_col="text")
 
 
-# normalizer is order-free: per-domain sqrt quantized to an exact BIGINT
-# (round(sqrt(n)*1e6)), summed associatively, ONE final IEEE divide — a
-# float sum OVER () accumulates in run-dependent order and can flip the
-# round(…,6) boundary (operators/textstats.py:mixture_weights docstring)
+# n_tokens MUST be CAST(... AS BIGINT): DuckDB types sum(BIGINT) as HUGEINT
+# (int128), which Arrow/pandas renders as float64, so the driver's value
+# hash sees 1234.0 vs Spark's int64 1234 and flags a mismatch even though
+# every value is identical — this un-cast sum (not float accumulation
+# order) was the actual cause of the round-3/round-4 red rows. The
+# order-free quantized normalizer kept below is still the more robust form.
 SQL_DOC_MIXTURE_WEIGHTS = f"""
 WITH per AS (
-  SELECT source, sum({textstats.token_count_sql('text')}) AS n_tokens,
+  SELECT source,
+         CAST(sum({textstats.token_count_sql('text')}) AS BIGINT) AS n_tokens,
          count(*) AS n_docs
   FROM documents GROUP BY 1),
 q AS (
@@ -970,21 +973,24 @@ def q_doc_seq_pack(spark, sf_dir):
 
 # oracle states the SAME result as one plain window cumsum (exact integer
 # arithmetic — bucketization on the Spark side cannot change the sums);
-# `//` / DIV = integer division on both engines, exact at any stream length
+# `//` / DIV = integer division on both engines, exact at any stream length.
+# tok_start/pack_first/pack_last are CAST(... AS BIGINT) because DuckDB's
+# window sum(BIGINT) types as HUGEINT → pandas float64 → driver value-hash
+# mismatch against Spark's int64 (same artifact as SQL_DOC_MIXTURE_WEIGHTS).
 SQL_DOC_SEQ_PACK = f"""
 WITH toks AS (
   SELECT source, doc_id, {textstats.token_count_sql('text')} AS n_tokens
   FROM documents),
 c AS (
   SELECT source, doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS tok_start
+              AS BIGINT) AS tok_start
   FROM toks)
 SELECT source, doc_id, n_tokens, tok_start,
-       tok_start // 512 AS pack_first,
-       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
-            ELSE tok_start // 512 END AS pack_last
+       CAST(tok_start // 512 AS BIGINT) AS pack_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END AS BIGINT) AS pack_last
 FROM c
 """
 
@@ -2001,7 +2007,10 @@ WHERE cos_sim >= {_ND_THRESHOLD!r}
 # queries below are FOLDED into compound union-typed queries — each branch
 # is the SAME plan the standalone query ran (the standalone q_* functions
 # stay importable and are composed here), so per-operator evidence is
-# preserved while the registry drops to 49 entries.  Branches use typed
+# preserved while the registry holds exactly 50 entries — the cap is
+# enforced by test_oracle_parity.py::test_registry_within_driver_window so
+# an overflow fails loudly instead of silently losing its driver row.
+# Branches use typed
 # columns with NULL padding (never float→string casts: the two engines
 # disagree on double rendering, numbers hash-match).
 
