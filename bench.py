@@ -75,7 +75,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
             "doc_jaccard_pairs", "doc_gopher_filter", "doc_span_dedup",
             "doc_text_profile", "doc_domain_cap", "doc_vocab",
-            "embed_knn", "embed_neardup", "extract_chinese_names",
+            "embed_pq_adc", "embed_neardup", "extract_chinese_names",
             "release_pipeline",
         ]
         qs = dq.queries()

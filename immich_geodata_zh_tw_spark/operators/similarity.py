@@ -299,6 +299,23 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
 # Product quantization (PQ) — the 100-TB memory-side companion of IVF
 # ---------------------------------------------------------------------------
 
+def _topk_ties_min_id(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` of ``s`` with ties broken by LOWEST id —
+    the same order the downstream global window uses (score DESC, id ASC).
+
+    PQ scores are quantized, so EXACT ties between distinct rows are
+    common (two rows sharing all m codes score identically); a bare
+    ``argpartition`` keeps an arbitrary tie-mate, which makes the
+    per-partition candidate set — and hence the final result — depend on
+    how the scan was partitioned.  Linear argpartition finds the kth
+    score, then only the ≥-threshold candidates (k + tie-mates, tiny) are
+    lexsorted — exact at any partitioning, still O(n) over the batch.
+    """
+    part = np.argpartition(-s, kk - 1)[:kk]
+    thresh = s[part].min()
+    cand = np.flatnonzero(s >= thresh)
+    return cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+
 def pq_codebooks(sample: np.ndarray, *, m: int, ksub: int = 16,
                  iters: int = 8) -> list[np.ndarray]:
     """Per-subspace k-means codebooks: the vector splits into ``m`` equal
@@ -391,12 +408,12 @@ def pq_adc_topk(codes: DataFrame, query_vecs: np.ndarray,
             # scores[q, n] = Σ_m LUT[q, m, code[n, m]]
             scores = lut[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
             kk = min(k, len(ids))
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             rows = {"q_id": [], id_col: [], "adc_score": [], "__m": []}
             for qi in range(len(qids)):
+                top = _topk_ties_min_id(scores[qi], ids, kk)
                 rows["q_id"].extend([qids[qi]] * kk)
-                rows[id_col].extend(ids[top[qi]].tolist())
-                rows["adc_score"].extend(scores[qi, top[qi]].tolist())
+                rows[id_col].extend(ids[top].tolist())
+                rows["adc_score"].extend(scores[qi, top].tolist())
                 rows["__m"].extend([0] * kk)
             yield pd.DataFrame(rows)
 
@@ -464,7 +481,7 @@ def ivf_pq_topk(codes: DataFrame, query_vecs: np.ndarray,
                     continue
                 s, i = scores[qi][mask], ids[mask]
                 kk = min(k, len(i))
-                top = np.argpartition(-s, kk - 1)[:kk]
+                top = _topk_ties_min_id(s, i, kk)
                 rows["q_id"].extend([qids[qi]] * kk)
                 rows[id_col].extend(i[top].tolist())
                 rows["adc_score"].extend(s[top].tolist())

@@ -1238,32 +1238,6 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
 """
 
 
-def q_embed_knn(spark, sf_dir):
-    """Brute-force cosine top-1 neighbor for the first 100 vectors."""
-    e = _t(spark, sf_dir, "embeddings")
-    queries = (e.filter(F.col("vec_id") < 100)
-               .select(F.col("vec_id").alias("q_id"),
-                       F.col("embedding").alias("q_vec")))
-    return similarity.brute_force_topk(e, queries, k=1, id_col="vec_id",
-                                       vec_col="embedding", query_id="q_id",
-                                       query_vec="q_vec")
-
-
-SQL_EMBED_KNN = """
-WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
-           FROM embeddings WHERE vec_id < 100),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (SELECT q.q_id, c.vec_id,
-             round(list_dot_product(c.v, q.q_vec)
-                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.q_vec, q.q_vec))), 9) AS cos_sim
-      FROM c CROSS JOIN q WHERE c.vec_id != q.q_id),
-r AS (SELECT q_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
-      FROM p)
-SELECT q_id, vec_id AS neighbor_id, cos_sim FROM r WHERE rn = 1
-"""
-
-
 def q_split_last(spark, sf_dir):
     """F3 split + element_at(-1) (base.py:164-169 admin1 suffix extraction)."""
     p = _t(spark, sf_dir, "part")
@@ -1878,6 +1852,91 @@ SELECT q_id, vec_id AS neighbor_id, cos_sim FROM (
 """
 
 
+#: PQ driver-query codebooks: strided corpus rows sliced per subspace —
+#: deterministic AND SQL-expressible (same trick as ``_IVF_STRIDE`` above),
+#: so the ENTIRE PQ pipeline (per-subspace encode, LUT build, ADC scan,
+#: window re-rank) has an exact DuckDB twin.  Production codebooks stay
+#: ``pq_codebooks`` (per-subspace k-means; pytest recall gates) — codebook
+#: *placement* is orthogonal to the machinery this query checks.
+_PQ_STRIDE, _PQ_OFF, _PQ_M, _PQ_KSUB, _PQ_NQ, _PQ_DIM = 29, 3, 4, 8, 20, 64
+
+
+def q_embed_pq_adc(spark, sf_dir):
+    """PQ + asymmetric-distance top-1 — the compressed-corpus ANN serving
+    shape (corpus lives as m small codes, scoring is m LUT lookups, the
+    corpus never shuffles or decompresses; operators/similarity.py
+    ``pq_adc_topk``).  Queries sit OUTSIDE the encoded corpus
+    (vec_id < ``_PQ_NQ``) so the top-1 is a genuine cross-row match.  Both
+    driver collects are bounded literals: ``_PQ_KSUB`` codebook rows and
+    ``_PQ_NQ`` query rows."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb_rows = (e.filter((F.col("vec_id") % _PQ_STRIDE == _PQ_OFF)
+                        & (F.col("vec_id") < _PQ_OFF + _PQ_STRIDE * _PQ_KSUB))
+               .orderBy("vec_id").select("embedding").collect())
+    cb = np.asarray([list(r["embedding"]) for r in cb_rows], dtype=np.float64)
+    ds = _PQ_DIM // _PQ_M
+    cbs = [np.ascontiguousarray(cb[:, i * ds:(i + 1) * ds])
+           for i in range(_PQ_M)]
+    q_rows = (e.filter(F.col("vec_id") < _PQ_NQ)
+              .orderBy("vec_id").select("vec_id", "embedding").collect())
+    qids = [int(r["vec_id"]) for r in q_rows]
+    qv = np.asarray([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    corpus = e.filter(F.col("vec_id") >= _PQ_NQ)
+    codes = similarity.pq_encode(corpus, cbs).select("vec_id", "pq_code")
+    res = similarity.pq_adc_topk(codes, qv, cbs, k=1, query_ids=qids)
+    return res.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round("adc_score", 9).alias("adc_score"))
+
+
+def _sql_embed_pq_adc() -> str:
+    # the pivot sum is written as explicit left-associated additions in
+    # subspace order — the SAME order numpy's sum(axis=2) accumulates — so
+    # the two engines' doubles are bit-identical before the round(_, 9)
+    ds = _PQ_DIM // _PQ_M
+    pivot = " + ".join(f"max(CASE WHEN m = {i} THEN s END)"
+                       for i in range(_PQ_M))
+    return f"""
+WITH ms AS (SELECT unnest(range({_PQ_M})) AS m),
+cb0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_PQ_STRIDE} = {_PQ_OFF}
+    AND vec_id < {_PQ_OFF + _PQ_STRIDE * _PQ_KSUB}),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM cb0),
+cbm AS (SELECT code, m, list_slice(v, m*{ds}+1, m*{ds}+{ds}) AS sub
+        FROM cb CROSS JOIN ms),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id >= {_PQ_NQ}),
+csub AS (SELECT vec_id, m, list_slice(v, m*{ds}+1, m*{ds}+{ds}) AS sub
+         FROM corpus CROSS JOIN ms),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT c.vec_id, c.m, b.code,
+           row_number() OVER (PARTITION BY c.vec_id, c.m
+             ORDER BY list_dot_product(b.sub, b.sub)
+                      - 2 * list_dot_product(c.sub, b.sub) ASC,
+                      b.code ASC) AS rn
+    FROM csub c JOIN cbm b ON b.m = c.m) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < {_PQ_NQ}),
+qsub AS (SELECT q_id, m, list_slice(v, m*{ds}+1, m*{ds}+{ds}) AS sub
+         FROM q CROSS JOIN ms),
+parts AS (
+  SELECT qs.q_id, a.vec_id, qs.m, list_dot_product(qs.sub, b.sub) AS s
+  FROM qsub qs JOIN assign a ON a.m = qs.m
+  JOIN cbm b ON b.m = a.m AND b.code = a.code),
+scores AS (
+  SELECT q_id, vec_id, {pivot} AS adc
+  FROM parts GROUP BY 1, 2)
+SELECT q_id, vec_id AS neighbor_id, round(adc, 9) AS adc_score FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc DESC, vec_id ASC) AS rn
+  FROM scores) WHERE rn = 1
+"""
+
+
 _LSH_N_PLANES, _LSH_N_TABLES = 4, 16
 
 
@@ -2310,7 +2369,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_seq_pack": q_doc_seq_pack,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "embed_knn_topk": q_embed_knn_topk,
-    "embed_knn": q_embed_knn,
+    # embed_knn (brute k=1) is subsumed by embed_knn_topk (same plan,
+    # k=3); its slot carries the round-4 PQ/ADC compressed-corpus scan
+    "embed_pq_adc": q_embed_pq_adc,
     "korea_split_strip": q_korea_split_strip,
     # han_detect's predicates now ride zh_s2t (same documents projection);
     # the freed slot carries vocabulary induction + OOV coverage
@@ -2365,7 +2426,7 @@ _ORACLES: dict[str, str] = {
     "doc_seq_pack": SQL_DOC_SEQ_PACK,
     "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
     "embed_knn_topk": SQL_EMBED_KNN_TOPK,
-    "embed_knn": SQL_EMBED_KNN,
+    "embed_pq_adc": _sql_embed_pq_adc(),
     "korea_split_strip": SQL_KOREA_SPLIT_STRIP,
     "doc_vocab": SQL_DOC_VOCAB,
     "metadata_coord_join": SQL_METADATA_COORD_JOIN,
