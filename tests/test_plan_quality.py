@@ -208,13 +208,35 @@ class TestCurationPlanQuality:
         assert "TakeOrderedAndProject" in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
 
-    def test_domain_cap_no_unsalted_corpus_window(self, spark):
-        """The per-domain window may only run on phase-1 survivors: the
-        raw-corpus-wide exchange must be keyed on (domain, salt), and the
-        plan must carry WindowGroupLimit pruning for the rank filters."""
+    def test_domain_cap_single_scan_two_exchanges(self, spark):
+        """Round-4 VERDICT #3 rework: domain_cap is ONE linear tree — the
+        corpus scan and the salted (domain, salt) phase-1 exchange appear
+        exactly once (the old cut/judged union re-planned that subtree
+        twice), phase 2 re-buckets by the survivor/casualty key, and no
+        branch joins, unions, or funnels into a single partition."""
+        import re
+
+        from immich_geodata_zh_tw_spark.operators.sample import domain_cap
+
+        df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .select("doc_id", "source",
+                      F.length("text").alias("n_tokens")))
+        out = domain_cap(df, "source", "doc_id", cap=3,
+                         order_cols=[F.col("n_tokens").desc(),
+                                     F.col("doc_id").asc()], n_salts=8)
+        plan = _plan(out)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+        assert "pmod" in plan  # the salt rides the partitioning keys
+        assert "Join" not in plan and "Union" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_doc_domain_cap_driver_query_no_joins(self, spark):
+        """The full driver query (cap ∪ sample branches) stays join-free
+        and never funnels the corpus into one partition."""
         import __spark_entry__ as e
 
         plan = _plan(e.queries()["doc_domain_cap"](spark, SF_DIR))
-        assert "WindowGroupLimit" in plan
-        assert "pmod" in plan  # the salt rides the partitioning keys
+        assert "pmod" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan, plan
