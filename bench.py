@@ -24,6 +24,39 @@ import time
 from bench.common import flagship as _flagship  # noqa: E402
 from bench.common import materialize_pages  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cpu_sys_total() -> tuple[int, int] | None:
+    """(system-ish jiffies, total jiffies) from /proc/stat line 1 — host-wide,
+    so it sees the sandbox's documented sys-time storms even when another
+    process causes them."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(v) for v in fh.readline().split()[1:]]
+        return vals[2] + vals[5] + vals[6], sum(vals)  # system+irq+softirq
+    except Exception:
+        return None
+
+
+def _calm_anchor(sf: float) -> float | None:
+    """Flagship calm-window reference from the newest committed calmest-run
+    artifact (BENCH/BENCH_r*_local.json) at the SAME sf — drives the
+    adaptive-rep gate and the recorded calm_ratio, instead of a hardcoded
+    literal (round-4 ADVICE)."""
+    import glob
+    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH",
+                                              "BENCH_r*_local.json")),
+                       reverse=True):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            if abs(float(rec.get("sf", -1)) - sf) < 1e-9:
+                return float(rec["queries"]["reverse_geocode"])
+        except Exception:
+            continue
+    return None
+
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from immich_geodata_zh_tw_spark.session import get_spark
@@ -54,19 +87,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         _flagship(spark, warm_path).count()
         spark.catalog.clearCache()
         # adaptive reps: 3 base + up to 3 extra while min stays above 2×
-        # the calm-window reference (3.2-3.4 s at sf0.1 — BASELINE.md) —
-        # host sys-time storms inflate identical reps 2-20× for minutes at
-        # a time, and an extra rep is the cheapest shot at straddling a
-        # storm edge; a calm run never pays for the extras
-        noise_gate = 6.0 if abs(sf - 0.1) < 1e-9 else float("inf")
-        flagship_sec = float("inf")
+        # the calm-window anchor (read from the committed calmest-run
+        # artifact, not a literal) — host sys-time storms inflate identical
+        # reps 2-20× for minutes at a time, and an extra rep is the
+        # cheapest shot at straddling a storm edge; a calm run never pays
+        # for the extras.  EVERY rep is recorded (count + spread) so noisy
+        # and calm runs stay comparable even though the headline is min-of-N.
+        anchor = _calm_anchor(sf)
+        noise_gate = 2.0 * anchor if anchor else float("inf")
+        sys0 = _cpu_sys_total()
+        flagship_reps: list[float] = []
         for rep in range(6):
-            if rep >= 3 and flagship_sec <= noise_gate:
+            if rep >= 3 and min(flagship_reps) <= noise_gate:
                 break
             t0 = time.perf_counter()
             flagship_rows = _flagship(spark, pages_path).count()
-            flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+            flagship_reps.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+        flagship_sec = min(flagship_reps)
         timings["reverse_geocode"] = round(flagship_sec, 3)
 
         bench_queries = [
@@ -88,6 +126,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)
 
+        # self-describing noise record (round-4 VERDICT item 4): host-wide
+        # sys-time fraction over the whole run + ratio of the recorded
+        # flagship min to the committed calm anchor — a storm-window run
+        # shows host_sys_frac ≳ 0.3 and calm_ratio ≳ 1.5 and must not be
+        # read as a plan regression (see BENCH/BASELINE.md noise protocol)
+        sys1 = _cpu_sys_total()
+        noise = {
+            "flagship_reps": flagship_reps,
+            "flagship_rep_spread": round(max(flagship_reps)
+                                         / max(min(flagship_reps), 1e-9), 2),
+            "calm_anchor_sec": anchor,
+            "calm_ratio": (round(flagship_sec / anchor, 2)
+                           if anchor else None),
+            "host_sys_frac": (round((sys1[0] - sys0[0])
+                                    / max(sys1[1] - sys0[1], 1), 3)
+                              if sys0 and sys1 else None),
+        }
         return {
             "metric": "reverse_geocode_e2e_sec",
             "value": timings["reverse_geocode"],
@@ -98,6 +153,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "pages_per_sec": round(n_pages / flagship_sec, 1),
             "flagship_rows": flagship_rows,
             "cpus": cpus,
+            "noise": noise,
         }
     finally:
         spark.stop()
