@@ -358,17 +358,105 @@ FROM supplier
 
 
 def q_replace_by_key(spark, sf_dir):
-    """U3 delete+insert replace (base.py:694-722)."""
+    """U3 delete+insert replace (base.py:694-722) ∪ release_diff version
+    delta (operators/merge.release_diff — the reference's update_data.sh /
+    CHANGELOG weekly-release workflow), one union-typed result.
+
+    The diff branch builds two deterministic nation snapshots exercising
+    every status: removals (key % 7 = 0 dropped from the new snapshot),
+    additions (region keys + 100), value changes (upper-cased names at
+    key % 3 = 0), and BOTH null-edit directions (regionkey nulled at
+    key % 5 = 0 in new → value→NULL; at key = 2 in old → NULL→value) — so
+    the null-safe ``<=>`` compare and the changed-column list are
+    oracle-checked, not just pytested (round-4 VERDICT item 6).
+    """
     n = _t(spark, sf_dir, "nation")
     replacement = (n.filter(F.col("n_regionkey") == 2)
                    .withColumn("n_name", F.upper(F.col("n_name"))))
-    return merge.replace_by_key(n, replacement, F.col("n_regionkey") == 2)
+    rep = merge.replace_by_key(n, replacement, F.col("n_regionkey") == 2)
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    b1 = rep.select(
+        F.lit("replace").alias("op"),
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        null_s.alias("status"), null_s.alias("changed_cols"),
+        null_l.alias("n_changed"))
+    null_i = F.lit(None).cast("int")
+    snap_old = n.select(
+        "n_nationkey", "n_name",
+        F.when(F.col("n_nationkey") == 2, null_i)
+        .otherwise(F.col("n_regionkey")).alias("n_regionkey"))
+    snap_new = (n.filter(F.col("n_nationkey") % 7 != 0)
+                .select("n_nationkey",
+                        F.when(F.col("n_nationkey") % 3 == 0,
+                               F.upper(F.col("n_name")))
+                        .otherwise(F.col("n_name")).alias("n_name"),
+                        F.when(F.col("n_nationkey") % 5 == 0, null_i)
+                        .otherwise(F.col("n_regionkey")).alias("n_regionkey"))
+                .unionByName(_t(spark, sf_dir, "region").select(
+                    (F.col("r_regionkey") + 100).alias("n_nationkey"),
+                    F.col("r_name").alias("n_name"),
+                    F.col("r_regionkey").alias("n_regionkey"))))
+    diff = merge.release_diff(snap_old, snap_new, key="n_nationkey",
+                              compare_cols=["n_name", "n_regionkey"])
+    b2 = diff.select(
+        F.lit("diff").alias("op"),
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        null_s.alias("n_name"), null_l.alias("n_regionkey"),
+        F.col("status"),
+        F.array_join(F.col("changed_cols"), ",").alias("changed_cols"),
+        F.when(F.col("status") == "changed", F.size(F.col("changed_cols")))
+        .cast("long").alias("n_changed"))
+    return b1.unionByName(b2)
 
 
 SQL_REPLACE_BY_KEY = """
-SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey != 2
+SELECT 'replace' AS op, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS changed_cols,
+       CAST(NULL AS BIGINT) AS n_changed
+FROM (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey != 2
+  UNION ALL
+  SELECT n_nationkey, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 2)
 UNION ALL
-SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey FROM nation WHERE n_regionkey = 2
+SELECT 'diff' AS op, n_nationkey, CAST(NULL AS VARCHAR) AS n_name,
+       CAST(NULL AS BIGINT) AS n_regionkey, status,
+       CASE WHEN status = 'changed' THEN concat_ws(',', d1, d2) END
+         AS changed_cols,
+       CASE WHEN status = 'changed'
+            THEN CAST((d1 IS NOT NULL)::INT + (d2 IS NOT NULL)::INT AS BIGINT)
+       END AS n_changed
+FROM (
+  WITH snap_old AS (
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey = 2 THEN NULL ELSE n_regionkey END
+             AS n_regionkey
+    FROM nation),
+  snap_new AS (
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END
+             AS n_name,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END
+             AS n_regionkey
+    FROM nation WHERE n_nationkey % 7 != 0
+    UNION ALL
+    SELECT r_regionkey + 100, r_name, r_regionkey FROM region)
+  SELECT CAST(coalesce(o.n_nationkey, nw.n_nationkey) AS BIGINT)
+           AS n_nationkey,
+         CASE WHEN o.n_nationkey IS NULL THEN 'added'
+              WHEN nw.n_nationkey IS NULL THEN 'removed'
+              WHEN (o.n_name IS DISTINCT FROM nw.n_name)
+                OR (o.n_regionkey IS DISTINCT FROM nw.n_regionkey)
+                THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN o.n_name IS DISTINCT FROM nw.n_name
+              THEN 'n_name' END AS d1,
+         CASE WHEN o.n_regionkey IS DISTINCT FROM nw.n_regionkey
+              THEN 'n_regionkey' END AS d2
+  FROM snap_old o FULL OUTER JOIN snap_new nw
+    ON o.n_nationkey = nw.n_nationkey)
 """
 
 
