@@ -307,6 +307,58 @@ class TestThaiCorpusConversion:
                 for t in hosts), f"stem {stem} audits nothing"
 
 
+class TestKoreaCorpusConversion:
+    """The reference's KR corpus (meta_data/kr_geodata.csv, 3.5 k rows of
+    Hanja-derived admin names — 世宗市/全東面/大平洞…) is TRADITIONAL
+    input: the reference pipes it through the same s2twp conversion
+    (core/translate.py:17-19), so every name must be an s2t FIXPOINT
+    (conversion must not corrupt an already-traditional Hanja name — e.g. a
+    TW full-name fixup or word fold firing inside a KR name) and must
+    survive the t2s→s2t round trip (no one-to-many simplification hazard
+    maps a KR char to a different traditional variant).
+
+    A round-5 mining pass (the tools/mine_tw_fixups.py rule applied to
+    this corpus) yielded ZERO fixups — all 249 distinct Han names already
+    hold both properties; this test locks that in against future
+    char-table / word-fold / fixup additions."""
+
+    CORPUS = "/root/reference/meta_data/kr_geodata.csv"
+
+    def _names(self):
+        import csv
+        import os
+
+        import pytest as _pytest
+        if not os.path.exists(self.CORPUS):
+            _pytest.skip("reference corpus not available")
+        names = set()
+        with open(self.CORPUS, encoding="utf-8") as f:
+            for row in csv.DictReader(f):
+                for k in ("country", "admin_1", "admin_2",
+                          "admin_3", "admin_4"):
+                    v = (row.get(k) or "").strip()
+                    if v and any("一" <= c <= "鿿" for c in v):
+                        names.add(v)
+        return names
+
+    def test_kr_names_are_s2t_fixpoints(self):
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        names = self._names()
+        assert len(names) > 200
+        moved = sorted(n for n in names if zh._py_s2t(n) != n)
+        assert not moved, f"s2t corrupts KR Hanja names: {moved[:10]}"
+
+    def test_kr_names_survive_roundtrip(self):
+        from immich_geodata_zh_tw_spark.functions import zh
+
+        bad = sorted(n for n in self._names()
+                     if zh._py_s2t(zh._py_t2s(n)) != n)
+        assert not bad, f"t2s→s2t round trip moves: {bad[:10]}"
+        # the corpus's own country label converts from its simplified form
+        assert zh._py_s2t("南韩") == "南韓"
+
+
 def _flags_without(name, stem):
     """ambiguous_unfixed_occurrences with one stem removed from the audit."""
     from immich_geodata_zh_tw_spark.functions import zh
