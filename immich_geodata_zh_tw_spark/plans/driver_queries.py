@@ -1950,13 +1950,16 @@ _PQ_STRIDE, _PQ_OFF, _PQ_M, _PQ_KSUB, _PQ_NQ, _PQ_DIM = 29, 3, 4, 8, 20, 64
 
 
 def q_embed_pq_adc(spark, sf_dir):
-    """PQ + asymmetric-distance top-1 — the compressed-corpus ANN serving
-    shape (corpus lives as m small codes, scoring is m LUT lookups, the
-    corpus never shuffles or decompresses; operators/similarity.py
-    ``pq_adc_topk``).  Queries sit OUTSIDE the encoded corpus
-    (vec_id < ``_PQ_NQ``) so the top-1 is a genuine cross-row match.  Both
-    driver collects are bounded literals: ``_PQ_KSUB`` codebook rows and
-    ``_PQ_NQ`` query rows."""
+    """PQ + asymmetric-distance top-1 ∪ composed IVF-PQ top-1 — the two
+    compressed-corpus ANN serving shapes (corpus lives as m small codes,
+    scoring is m LUT lookups, the corpus never shuffles or decompresses;
+    IVF-PQ additionally prunes to each query's probe cells before the
+    LUT scan; operators/similarity.py ``pq_adc_topk``/``ivf_pq_topk``).
+    Queries sit OUTSIDE the encoded corpus (vec_id < ``_PQ_NQ``) so the
+    top-1 is a genuine cross-row match.  The PQ codes are encoded ONCE and
+    shared by both branches.  All driver collects are bounded literals:
+    ``_PQ_KSUB`` codebook rows, ``_IVF_K`` centroid rows, ``_PQ_NQ``
+    query rows."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1967,15 +1970,32 @@ def q_embed_pq_adc(spark, sf_dir):
     ds = _PQ_DIM // _PQ_M
     cbs = [np.ascontiguousarray(cb[:, i * ds:(i + 1) * ds])
            for i in range(_PQ_M)]
+    cent_rows = (e.filter((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
+                          & (F.col("vec_id") < _IVF_OFF + _IVF_STRIDE * _IVF_K))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = np.asarray([list(r["embedding"]) for r in cent_rows],
+                       dtype=np.float64)
     q_rows = (e.filter(F.col("vec_id") < _PQ_NQ)
               .orderBy("vec_id").select("vec_id", "embedding").collect())
     qids = [int(r["vec_id"]) for r in q_rows]
     qv = np.asarray([list(r["embedding"]) for r in q_rows], dtype=np.float64)
     corpus = e.filter(F.col("vec_id") >= _PQ_NQ)
-    codes = similarity.pq_encode(corpus, cbs).select("vec_id", "pq_code")
-    res = similarity.pq_adc_topk(codes, qv, cbs, k=1, query_ids=qids)
-    return res.select("q_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round("adc_score", 9).alias("adc_score"))
+    tagged = corpus.withColumn(
+        "__cid", F.element_at(
+            similarity._assign_udf(cents, 1)(F.col("embedding")), 1))
+    codes = similarity.pq_encode(tagged, cbs).select(
+        "vec_id", "__cid", "pq_code")
+    b1 = (similarity.pq_adc_topk(codes.select("vec_id", "pq_code"), qv, cbs,
+                                 k=1, query_ids=qids)
+          .select(F.lit("adc").alias("op"), "q_id",
+                  F.col("vec_id").alias("neighbor_id"),
+                  F.round("adc_score", 9).alias("adc_score")))
+    b2 = (similarity.ivf_pq_topk(codes, qv, cents, cbs, nprobe=_IVF_NPROBE,
+                                 k=1, query_ids=qids)
+          .select(F.lit("ivf_pq").alias("op"), "q_id",
+                  F.col("vec_id").alias("neighbor_id"),
+                  F.round("adc_score", 9).alias("adc_score")))
+    return b1.unionByName(b2)
 
 
 def _sql_embed_pq_adc() -> str:
@@ -1985,6 +2005,8 @@ def _sql_embed_pq_adc() -> str:
     ds = _PQ_DIM // _PQ_M
     pivot = " + ".join(f"max(CASE WHEN m = {i} THEN s END)"
                        for i in range(_PQ_M))
+    cos_cc = _COS_DUCK.format(a="corpus.v", b="cents.v")
+    cos_qc = _COS_DUCK.format(a="q.v", b="cents.v")
     return f"""
 WITH ms AS (SELECT unnest(range({_PQ_M})) AS m),
 cb0 AS (
@@ -2016,12 +2038,41 @@ parts AS (
   JOIN cbm b ON b.m = a.m AND b.code = a.code),
 scores AS (
   SELECT q_id, vec_id, {pivot} AS adc
-  FROM parts GROUP BY 1, 2)
-SELECT q_id, vec_id AS neighbor_id, round(adc, 9) AS adc_score FROM (
+  FROM parts GROUP BY 1, 2),
+cent0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_IVF_STRIDE} = {_IVF_OFF}
+    AND vec_id < {_IVF_OFF + _IVF_STRIDE * _IVF_K}),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+          FROM cent0),
+cellassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT corpus.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cos_cc} DESC, cents.cid ASC) AS rn
+    FROM corpus CROSS JOIN cents) WHERE rn = 1),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, cents.cid,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc} DESC, cents.cid ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= {_IVF_NPROBE})
+SELECT 'adc' AS op, q_id, vec_id AS neighbor_id, round(adc, 9) AS adc_score
+FROM (
   SELECT q_id, vec_id, adc,
          row_number() OVER (PARTITION BY q_id
                             ORDER BY adc DESC, vec_id ASC) AS rn
   FROM scores) WHERE rn = 1
+UNION ALL
+SELECT 'ivf_pq' AS op, q_id, vec_id AS neighbor_id,
+       round(adc, 9) AS adc_score
+FROM (
+  SELECT s.q_id, s.vec_id, s.adc,
+         row_number() OVER (PARTITION BY s.q_id
+                            ORDER BY s.adc DESC, s.vec_id ASC) AS rn
+  FROM scores s
+  JOIN cellassign ca ON ca.vec_id = s.vec_id
+  JOIN probes p ON p.q_id = s.q_id AND p.cid = ca.cid) WHERE rn = 1
 """
 
 
