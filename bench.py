@@ -27,14 +27,19 @@ from bench.common import materialize_pages  # noqa: E402
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _cpu_sys_total() -> tuple[int, int] | None:
-    """(system-ish jiffies, total jiffies) from /proc/stat line 1 — host-wide,
-    so it sees the sandbox's documented sys-time storms even when another
-    process causes them."""
+def _cpu_sys_total() -> tuple[int, int, int] | None:
+    """(system-ish jiffies, steal jiffies, total jiffies) from /proc/stat
+    line 1 — host-wide, so it sees the sandbox's documented noise storms
+    even when another process (or, for steal, a CO-TENANT VM on the
+    hypervisor) causes them.  Steal is tracked separately: this sandbox is
+    a firecracker guest and hypervisor co-tenancy inflates wall time with
+    near-zero guest sys time — the one noise mode sys-frac alone misses."""
     try:
         with open("/proc/stat") as fh:
             vals = [int(v) for v in fh.readline().split()[1:]]
-        return vals[2] + vals[5] + vals[6], sum(vals)  # system+irq+softirq
+        sys_t = vals[2] + vals[5] + vals[6]  # system+irq+softirq
+        steal = vals[7] if len(vals) > 7 else 0
+        return sys_t, steal, sum(vals)
     except Exception:
         return None
 
@@ -140,8 +145,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "calm_ratio": (round(flagship_sec / anchor, 2)
                            if anchor else None),
             "host_sys_frac": (round((sys1[0] - sys0[0])
-                                    / max(sys1[1] - sys0[1], 1), 3)
+                                    / max(sys1[2] - sys0[2], 1), 3)
                               if sys0 and sys1 else None),
+            "host_steal_frac": (round((sys1[1] - sys0[1])
+                                      / max(sys1[2] - sys0[2], 1), 3)
+                                if sys0 and sys1 else None),
         }
         return {
             "metric": "reverse_geocode_e2e_sec",
