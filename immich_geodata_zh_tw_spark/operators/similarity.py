@@ -110,6 +110,16 @@ def _assign_udf(centroids: np.ndarray, nprobe: int):
     return pandas_udf(assign, "array<int>")
 
 
+def ivf_assign(df: DataFrame, centroids: np.ndarray, *,
+               vec_col: str = "embedding",
+               out_col: str = "__cid") -> DataFrame:
+    """Tag each row with its single nearest-centroid cell id (cosine argmax,
+    Arrow-batched) — the corpus half of IVF, exposed standalone so IVF-PQ
+    pipelines can assign cells once and reuse the tagged frame."""
+    return df.withColumn(
+        out_col, F.element_at(_assign_udf(centroids, 1)(F.col(vec_col)), 1))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, centroids: np.ndarray,
              nprobe: int = 2, k: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1980,9 +1980,7 @@ def q_embed_pq_adc(spark, sf_dir):
     qids = [int(r["vec_id"]) for r in q_rows]
     qv = np.asarray([list(r["embedding"]) for r in q_rows], dtype=np.float64)
     corpus = e.filter(F.col("vec_id") >= _PQ_NQ)
-    tagged = corpus.withColumn(
-        "__cid", F.element_at(
-            similarity._assign_udf(cents, 1)(F.col("embedding")), 1))
+    tagged = similarity.ivf_assign(corpus, cents, vec_col="embedding")
     codes = similarity.pq_encode(tagged, cbs).select(
         "vec_id", "__cid", "pq_code")
     b1 = (similarity.pq_adc_topk(codes.select("vec_id", "pq_code"), qv, cbs,
