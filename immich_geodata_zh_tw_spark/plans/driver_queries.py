@@ -1963,22 +1963,31 @@ def q_embed_pq_adc(spark, sf_dir):
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
-    cb_rows = (e.filter((F.col("vec_id") % _PQ_STRIDE == _PQ_OFF)
-                        & (F.col("vec_id") < _PQ_OFF + _PQ_STRIDE * _PQ_KSUB))
-               .orderBy("vec_id").select("embedding").collect())
-    cb = np.asarray([list(r["embedding"]) for r in cb_rows], dtype=np.float64)
+    # ONE bounded driver action for all three literal row sets (codebook
+    # rows + centroid rows + query rows, ≤ ksub+k+nq rows total) instead of
+    # three jobs' fixed scheduling latency; split driver-side by the same
+    # predicates
+    pred_cb = ((F.col("vec_id") % _PQ_STRIDE == _PQ_OFF)
+               & (F.col("vec_id") < _PQ_OFF + _PQ_STRIDE * _PQ_KSUB))
+    pred_ct = ((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
+               & (F.col("vec_id") < _IVF_OFF + _IVF_STRIDE * _IVF_K))
+    pred_q = F.col("vec_id") < _PQ_NQ
+    rows = (e.filter(pred_cb | pred_ct | pred_q)
+            .orderBy("vec_id").select("vec_id", "embedding").collect())
+
+    def _mat(pred):
+        return np.asarray([list(r["embedding"]) for r in rows if pred(
+            int(r["vec_id"]))], dtype=np.float64)
+
+    cb = _mat(lambda i: i % _PQ_STRIDE == _PQ_OFF
+              and i < _PQ_OFF + _PQ_STRIDE * _PQ_KSUB)
     ds = _PQ_DIM // _PQ_M
     cbs = [np.ascontiguousarray(cb[:, i * ds:(i + 1) * ds])
            for i in range(_PQ_M)]
-    cent_rows = (e.filter((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
-                          & (F.col("vec_id") < _IVF_OFF + _IVF_STRIDE * _IVF_K))
-                 .orderBy("vec_id").select("embedding").collect())
-    cents = np.asarray([list(r["embedding"]) for r in cent_rows],
-                       dtype=np.float64)
-    q_rows = (e.filter(F.col("vec_id") < _PQ_NQ)
-              .orderBy("vec_id").select("vec_id", "embedding").collect())
-    qids = [int(r["vec_id"]) for r in q_rows]
-    qv = np.asarray([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    cents = _mat(lambda i: i % _IVF_STRIDE == _IVF_OFF
+                 and i < _IVF_OFF + _IVF_STRIDE * _IVF_K)
+    qids = [int(r["vec_id"]) for r in rows if int(r["vec_id"]) < _PQ_NQ]
+    qv = _mat(lambda i: i < _PQ_NQ)
     corpus = e.filter(F.col("vec_id") >= _PQ_NQ)
     tagged = similarity.ivf_assign(corpus, cents, vec_col="embedding")
     codes = similarity.pq_encode(tagged, cbs).select(
