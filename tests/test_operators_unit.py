@@ -869,3 +869,37 @@ class TestReleaseDiff:
         assert got[4]["changed_cols"] == ["admin1"]
         assert got[5]["status"] == "added" and got[5]["old_name"] is None
         assert got[5]["new_name"] == "新竹"
+
+    def test_diff_reconstructs_new_snapshot(self, spark):
+        """Apply-invariant: old + diff == new.  Keep old values for
+        unchanged keys, take new_* for added/changed, drop removed —
+        exactly the consumer contract a weekly-release delta must honor
+        (any classification or value error breaks the reconstruction)."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators.merge import release_diff
+
+        old = spark.createDataFrame(pd.DataFrame({
+            "geoname_id": list(range(12)),
+            "name": [f"n{i}" for i in range(12)],
+            "admin1": [None if i % 5 == 0 else f"A{i % 3}"
+                       for i in range(12)]}))
+        new_pdf = pd.DataFrame({
+            "geoname_id": [i for i in range(14) if i % 7 != 1],
+            "name": [f"n{i}" if i % 3 else f"N{i}"
+                     for i in range(14) if i % 7 != 1],
+            "admin1": [None if i % 4 == 0 else f"A{i % 3}"
+                       for i in range(14) if i % 7 != 1]})
+        new = spark.createDataFrame(new_pdf)
+        diff = release_diff(old, new, key="geoname_id",
+                            compare_cols=["name", "admin1"]).collect()
+        rebuilt = {}
+        for r in diff:
+            if r["status"] == "removed":
+                continue
+            src = "new" if r["status"] in ("added", "changed") else "old"
+            rebuilt[r["geoname_id"]] = (r[f"{src}_name"], r[f"{src}_admin1"])
+        want = {int(r.geoname_id): (r.name,
+                                    None if pd.isna(r.admin1) else r.admin1)
+                for r in new_pdf.itertuples()}
+        assert rebuilt == want
