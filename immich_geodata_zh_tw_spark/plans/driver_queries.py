@@ -1677,12 +1677,20 @@ def q_release_pipeline(spark, sf_dir):
                "ELSE NULL END").alias("admin_3"),
         F.lit(None).cast("string").alias("admin_4"))
 
-    base = enhance.global_max_geoname_id(
+    # the reference threads current_max_id through two scalars (global max
+    # id, then +|admin1|); both are 1-row aggregates, so fuse them into ONE
+    # bounded driver action (1×1-row crossJoin) instead of two jobs' fixed
+    # scheduling latency
+    mdf = enhance.global_max_geoname_id_df(
         [_t(spark, sf_dir, "orders")
          .select(F.col("o_orderkey").alias("geoname_id"))])
+    ndf = (geodata.select("admin_1").distinct()
+           .agg(F.count(F.lit(1)).alias("n")))
+    row = mdf.crossJoin(ndf).first()
+    base = int(row.m) if row.m is not None else 0
     admin1 = enhance.generate_admin1_records(
         geodata, country_code="JP", base_geoname_id=base + 1)
-    base2 = base + 1 + admin1.count()  # reference threads current_max_id
+    base2 = base + 1 + int(row.n)
     cities = enhance.convert_to_cities_schema(
         geodata, country_code="JP", base_geoname_id=base2, admin1_codes=admin1)
 

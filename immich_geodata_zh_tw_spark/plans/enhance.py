@@ -39,11 +39,19 @@ from ..operators.translate import (CHINESE_PRIORITY, coalesce_chain,
 COORD_DECIMAL_PLACES = 8  # reference base.py:24-25
 
 
-def global_max_geoname_id(tables: list[DataFrame], id_col: str = "geoname_id") -> int:
-    """Max id across all id-bearing tables (geoname_ids.py:36-75)."""
+def global_max_geoname_id_df(tables: list[DataFrame],
+                             id_col: str = "geoname_id") -> DataFrame:
+    """One-row ``(m)`` subplan: max id across all id-bearing tables —
+    exposed un-collected so callers can fuse it with other one-row
+    aggregates (crossJoin of 1×1 rows) into a SINGLE driver action."""
     maxes = [t.agg(F.max(F.col(id_col).cast("long")).alias("m")) for t in tables]
     merged = reduce(DataFrame.unionByName, maxes)
-    row = merged.agg(F.max("m").alias("m")).first()
+    return merged.agg(F.max("m").alias("m"))
+
+
+def global_max_geoname_id(tables: list[DataFrame], id_col: str = "geoname_id") -> int:
+    """Max id across all id-bearing tables (geoname_ids.py:36-75)."""
+    row = global_max_geoname_id_df(tables, id_col).first()
     return int(row.m) if row.m is not None else 0
 
 
