@@ -231,6 +231,33 @@ class TestCurationPlanQuality:
         assert "Join" not in plan and "Union" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
 
+    def test_pq_adc_corpus_never_shuffles(self, spark):
+        """Both ANN branches of embed_pq_adc must be the compressed-corpus
+        serving shape: Scan → MapInPandas (the ADC scan reads the corpus
+        IN PLACE — no exchange below it) → per-partition rank prune →
+        ONE q_id-keyed exchange of ≤ |queries|×k candidate rows → final
+        window.  No joins anywhere (the probe-cell prune is a literal
+        isin, not a join)."""
+        import re
+
+        import __spark_entry__ as e
+
+        plan = _plan(e.queries()["embed_pq_adc"](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+        assert plan.count("hashpartitioning(q_id") >= 2, plan
+        assert "Join" not in plan, plan
+        # the scan feeds MapInPandas directly — in the tree (parent above
+        # child) no Exchange may sit between a MapInPandas and its scan
+        tree = plan.split("\n\n")[0].splitlines()
+        for i, line in enumerate(tree):
+            if "MapInPandas" not in line:
+                continue
+            for below in tree[i + 1:]:
+                if "Scan parquet" in below:
+                    break
+                assert "Exchange" not in below, plan
+
     def test_doc_domain_cap_driver_query_no_joins(self, spark):
         """The full driver query (cap ∪ sample branches) stays join-free
         and never funnels the corpus into one partition."""
