@@ -50,9 +50,17 @@ def _calm_anchor(sf: float) -> float | None:
     adaptive-rep gate and the recorded calm_ratio, instead of a hardcoded
     literal (round-4 ADVICE)."""
     import glob
+    import re
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)_local\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # NUMERIC round sort — lexicographic would pin the anchor to r9
+    # forever once r10 lands
     for path in sorted(glob.glob(os.path.join(_REPO, "BENCH",
                                               "BENCH_r*_local.json")),
-                       reverse=True):
+                       key=_round_no, reverse=True):
         try:
             with open(path) as fh:
                 rec = json.load(fh)

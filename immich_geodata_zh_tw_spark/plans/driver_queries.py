@@ -1680,11 +1680,16 @@ def q_release_pipeline(spark, sf_dir):
     # the reference threads current_max_id through two scalars (global max
     # id, then +|admin1|); both are 1-row aggregates, so fuse them into ONE
     # bounded driver action (1×1-row crossJoin) instead of two jobs' fixed
-    # scheduling latency
+    # scheduling latency.  The |admin1| side counts generate_admin1_records
+    # ITSELF (its row count is invariant to base_geoname_id, so a
+    # provisional base of 0 is sound) — definitionally the same quantity
+    # the old admin1.count() action measured, robust to any future
+    # filtering inside the generator
     mdf = enhance.global_max_geoname_id_df(
         [_t(spark, sf_dir, "orders")
          .select(F.col("o_orderkey").alias("geoname_id"))])
-    ndf = (geodata.select("admin_1").distinct()
+    ndf = (enhance.generate_admin1_records(
+               geodata, country_code="JP", base_geoname_id=0)
            .agg(F.count(F.lit(1)).alias("n")))
     row = mdf.crossJoin(ndf).first()
     base = int(row.m) if row.m is not None else 0
@@ -2015,8 +2020,13 @@ def q_embed_pq_adc(spark, sf_dir):
 
 def _sql_embed_pq_adc() -> str:
     # the pivot sum is written as explicit left-associated additions in
-    # subspace order — the SAME order numpy's sum(axis=2) accumulates — so
-    # the two engines' doubles are bit-identical before the round(_, 9)
+    # subspace order — the SAME order numpy's sum(axis=2) accumulates.
+    # The per-subspace dot products themselves are NOT guaranteed
+    # bit-identical (numpy BLAS vs DuckDB list_dot_product may differ in
+    # the last ulp — the same accepted divergence class as the IVF/LSH
+    # oracles): a flip needs an encode d2 tie or an adc round(_, 9)
+    # half-boundary within ~1 ulp, which the fixed deterministic test data
+    # does not contain (verified green at sf0.01, the driver's gate SF)
     ds = _PQ_DIM // _PQ_M
     pivot = " + ".join(f"max(CASE WHEN m = {i} THEN s END)"
                        for i in range(_PQ_M))
