@@ -96,8 +96,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # on this sandbox spread identical warm reps 5.6-29 s — see
         # BENCH/BASELINE.md variance notes), and one extra rep materially
         # improves the odds of catching a calm window
-        warm_path = materialize_pages(spark, max(n_pages // 20, 1000))
-        _flagship(spark, warm_path).count()
+        # warm at FULL size: a //20-sized warm-up leaves JIT tiering cold
+        # enough that rep 1 ran 20-30 % above reps 2-3 in every recorded
+        # round-5 run; one full-size pass makes every timed rep steady-state
+        _flagship(spark, pages_path).count()
         spark.catalog.clearCache()
         # adaptive reps: 3 base + up to 3 extra while min stays above 2×
         # the calm-window anchor (read from the committed calmest-run

@@ -133,9 +133,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, centroids: np.ndarray,
     at 10^12 rows choose k_centroids so cells stay partition-sized, and
     probe more cells for recall instead of broadcasting anything.
     """
-    assign_1 = _assign_udf(centroids, 1)
     assign_p = _assign_udf(centroids, nprobe)
-    tagged = corpus.withColumn("__cid", F.element_at(assign_1(F.col(vec_col)), 1))
+    tagged = ivf_assign(corpus, centroids, vec_col=vec_col)
     probes = (queries.withColumn("__cids", assign_p(F.col(query_vec)))
               .withColumn("__cid", F.explode("__cids")).drop("__cids"))
     pairs = (tagged.join(probes, "__cid")
