@@ -226,6 +226,11 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         w = Window.partitionBy("band_idx", "sig").orderBy(F.col(id_col).asc())
         bands = (bands.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= max_bucket_size).drop("__rn"))
+    return _pairs_from_bands(bands, id_col=id_col)
+
+
+def _pairs_from_bands(bands: DataFrame, *, id_col: str) -> DataFrame:
+    """(id, band_idx, sig) rows → distinct candidate (id_a, id_b), a < b."""
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right, ["band_idx", "sig"])
@@ -272,71 +277,118 @@ def hashed_shingle_set_expr(text_col: str, *, shingle: int = 5,
     raise ValueError(dialect)
 
 
-def hashed_shingles_udf(*, shingle: int = 5, stride: int = 2):
-    """Arrow-batched twin of :func:`hashed_shingle_set_expr`: text →
-    distinct 60-bit md5-prefix shingle hashes as ``array<long>`` (the SQL
-    expression's ``transform``/``conv`` chain is CodegenFallback and runs
-    interpreted — same story as :func:`minhash_bands_udf`, same per-batch
-    distinct-shingle memo)."""
+def minhash_shingles_udf(*, n_bands: int = 4, shingle: int = 5,
+                         stride: int = 2):
+    """Fused Arrow kernel: text → ``struct(bands array<string>,
+    hs array<long>)`` — MinHash band signatures AND the distinct 60-bit
+    md5-prefix shingle-hash set in ONE md5 pass over the batch's distinct
+    shingles.
+
+    The two quantities the two-stage near-dup pipeline needs (band sigs for
+    LSH candidates, hash sets for exact Jaccard) both derive from the md5
+    of the SAME shingles; computing them in separate kernels md5s the
+    corpus twice.  ``bands`` is bit-identical to :func:`minhash_bands_udf`
+    (same big-endian-uint32 slice minima); ``hs`` is value-identical to
+    :func:`hashed_shingle_set_expr` — distinct by hash VALUE (the SQL twin
+    applies ``list_distinct`` AFTER hashing, so a within-doc 60-bit
+    collision, P ≈ 10⁻¹³ per shingle pair, folds to one element on both
+    sides).  Parity with both SQL specs is locked by
+    ``tests/test_operators_unit.py``.
+    """
     import hashlib
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def hs(texts):
+    n_rows = n_bands * ROWS_PER_BAND
+    assert n_rows * 4 <= 32
+
+    def fused(texts: pd.Series) -> pd.DataFrame:
         memo: dict[str, int] = {}
-        out = []
+        per_doc: list[np.ndarray | None] = []
         for t in texts:
             if t is None:
-                out.append(None)
+                per_doc.append(None)
                 continue
             last = max(len(t) - (shingle - 1), 1)
-            vals, seen = [], set()
+            ids = []
             for i in range(0, last, stride):
                 s = t[i:i + shingle]
-                v = memo.get(s)
-                if v is None:
-                    v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
-                            16)
-                    memo[s] = v
-                if v not in seen:
-                    seen.add(v)
-                    vals.append(v)
-            out.append(vals)
-        return pd.Series(out)
+                j = memo.get(s)
+                if j is None:
+                    j = len(memo)
+                    memo[s] = j
+                ids.append(j)
+            per_doc.append(np.asarray(ids, dtype=np.int64))
+        hexes = "".join(hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in memo)
+        digests = (np.frombuffer(hexes.encode("ascii"), dtype=">u4")
+                   .reshape(len(memo), 8)[:, :n_rows]
+                   if memo else np.empty((0, 8), dtype=">u4"))
+        h60 = np.array([int(hexes[32 * j:32 * j + 15], 16)
+                        for j in range(len(memo))], dtype=np.int64)
+        bcol: list[list[str] | None] = []
+        hcol: list[list[int] | None] = []
+        for ids in per_doc:
+            if ids is None:
+                bcol.append(None)
+                hcol.append(None)
+                continue
+            m = digests[ids].min(axis=0).astype(">u4")
+            bcol.append([m[2 * b:2 * b + 2].tobytes().decode("ascii")
+                         for b in range(n_bands)])
+            hcol.append(np.unique(h60[ids]).tolist())
+        return pd.DataFrame({"bands": bcol, "hs": hcol})
 
-    hs.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(hs, "array<long>")
+    fused.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(fused, "struct<bands: array<string>, hs: array<long>>")
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                         n_bands: int = 4, shingle: int = 5,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        persist: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity over LSH candidate pairs.
 
     Two-stage near-dup pipeline: MinHash banding proposes candidates (cheap,
     bucketed — never all-pairs), then the exact shingle-set Jaccard scores
     each candidate; ``threshold`` keeps pairs at/above it.
 
-    Scoring shape — NO per-pair array payload.  Three designs were
-    measured at sf0.1 (485 k candidate pairs × ~150-hash sets, 32 cores):
+    Scoring shape — NO per-pair array payload.  Designs measured at sf0.1
+    (485 k candidate pairs × ~150-hash sets, 32 cores):
 
     * ``array_intersect``/``array_union`` per pair: 10-30 s — the set
       expressions evaluate interpreted with per-element boxing, GC-bound;
     * pandas-UDF set ops per pair: 10-23 s — the numpy intersect itself is
       0.6 s, but serializing two ~150-element arrays per pair into Arrow
       (~1.2 GB) dominates;
-    * this one, ~7 s (the 62 M-row fan-out at this box's ~1 M
-      rows/s/core): explode each doc's distinct shingle hashes ONCE
-      (narrow (doc, hash) rows), attach A-side hashes to the pairs, keep
-      rows whose hash also exists on the B side (semi join), count per
-      pair.  Everything after the one Arrow kernel
-      (:func:`hashed_shingles_udf`, linear in corpus size) is
-      whole-stage-codegen joins over 8-byte keys; |A ∪ B| is derived as
-      |A| + |B| − |A ∩ B|, and division/rounding stay JVM-side so
-      DuckDB-oracle parity is exact.  At 100 TB the same plan holds with
-      the broadcasts becoming shuffle joins on (doc) / (doc, hash) — all
-      narrow rows, nothing quadratic, no wide payloads.
+    * this one, ~6-8 s (the 59 M-row fan-out at this box's ~1 M
+      rows/s/core): ONE fused Arrow kernel (:func:`minhash_shingles_udf`)
+      emits band sigs + hash sets per doc, the bands branch self-joins into
+      candidate pairs, the hash branch explodes to narrow (doc, n, hash)
+      rows; pairs join A-side rows (carrying |A|), left-join the B side on
+      (doc, hash) (carrying |B|), and ONE aggregate yields |A∩B| = count of
+      B-matches, |A| = first, |B| = max — no separate sizes pass or
+      join-back.  Everything after the kernel is whole-stage-codegen joins
+      over 8-byte keys; |A ∪ B| = |A| + |B| − |A ∩ B| and
+      division/rounding stay JVM-side so DuckDB-oracle parity is exact.
+      At 100 TB the same plan holds with the broadcasts becoming shuffle
+      joins on (doc) / (doc, hash) — all narrow rows, nothing quadratic,
+      no wide payloads.
+
+    Corpus-pass budget — the point of the fusion: the fused frame feeds
+    three consumers (bands branch, A-side, B-side), so unpersisted the
+    kernel runs 3× (was 4×: split band + shingle kernels plus a sizes
+    pass).  At sf0.1 the kernel is ~1 s of a ~6 s query, so an interleaved
+    same-session A/B against the split design reads as parity within host
+    noise (old 5.7-8.1 s, fused 6.0-8.3 s over 4 reps each); the win is
+    the pass COUNT, which scales with corpus size while the pair fan-out
+    scales with near-dup density.  ``persist=True`` spools the fused frame
+    to MEMORY_AND_DISK and the kernel runs ONCE — the right call on a
+    cluster where the corpus scan + md5 dominates (~1.3 KB/doc cached,
+    linear).  Locally it's a LOSS (measured +2 s at sf0.1: cache write +
+    InMemory scans cost more than two ~1 s kernel re-runs), hence default
+    False.
 
     The explicit round-robin ``repartition`` on the pair stream is
     load-balancing, not correctness: AQE coalesces shuffle partitions by
@@ -347,34 +399,60 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
     with the distinct's own exchange, whose coalescing is the problem
     being fixed.
     """
-    pairs = minhash_candidate_pairs(df, id_col=id_col, text_col=text_col,
-                                    n_bands=n_bands, shingle=shingle)
-    pairs = pairs.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
-    sh = (df.select(F.col(id_col), hashed_shingles_udf(shingle=shingle)(
-            F.col(text_col)).alias("__hs"))
-          .select(id_col, F.size("__hs").alias("__n"),
-                  F.explode_outer("__hs").alias("h"))
+    hashed = (df.select(F.col(id_col),
+                        minhash_shingles_udf(n_bands=n_bands,
+                                             shingle=shingle)(
+                            F.col(text_col)).alias("__f"))
+              .select(id_col, F.col("__f.bands").alias("__bands"),
+                      F.col("__f.hs").alias("__hs")))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = (hashed.select(id_col, F.posexplode_outer("__bands")
+                           .alias("band_idx", "sig"))
+             .filter(F.col("sig").isNotNull())
+             .repartition("band_idx", "sig"))
+    pairs = (_pairs_from_bands(bands, id_col=id_col)
+             .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    sh = (hashed.select(id_col, F.size("__hs").alias("__n"),
+                        F.explode_outer("__hs").alias("h"))
           .filter(F.col("h").isNotNull()))
-    inter = (pairs.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
-             .join(sh.select(F.col(id_col).alias("id_b"), "h"),
-                   ["id_b", "h"], "left_semi")
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("__i")))
     if threshold <= 0.0:
         # an LSH band collision without any shared shingle is possible in
         # principle; only a zero threshold keeps those jaccard-0 pairs, and
-        # only this branch pays the join back onto the pair stream (which
-        # re-computes the candidate subtree — measured 2× the plan)
+        # only this branch pays the semi-join + join-back onto the pair
+        # stream plus a separate sizes pass (a jaccard-0 pair has no
+        # B-match rows to carry |B| on)
+        inter = (pairs.join(sh.select(F.col(id_col).alias("id_a"), "h"),
+                            "id_a")
+                 .join(sh.select(F.col(id_col).alias("id_b"), "h"),
+                       ["id_b", "h"], "left_semi")
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("__i")))
         inter = (pairs.join(inter, ["id_a", "id_b"], "left")
                  .select("id_a", "id_b",
                          F.coalesce("__i", F.lit(0)).alias("__i")))
-    sizes = sh.groupBy(id_col).agg(F.first("__n").alias("n"))
-    scored = (inter
-              .join(sizes.select(F.col(id_col).alias("id_a"),
-                                 F.col("n").alias("__na")), "id_a")
-              .join(sizes.select(F.col(id_col).alias("id_b"),
-                                 F.col("n").alias("__nb")), "id_b"))
+        sizes = hashed.filter(F.col("__hs").isNotNull()).select(
+            F.col(id_col), F.size("__hs").alias("n"))
+        scored = (inter
+                  .join(sizes.select(F.col(id_col).alias("id_a"),
+                                     F.col("n").alias("__na")), "id_a")
+                  .join(sizes.select(F.col(id_col).alias("id_b"),
+                                     F.col("n").alias("__nb")), "id_b"))
+    else:
+        # every surviving pair shares ≥1 shingle, so the B-side left join
+        # match rows carry |B| and the sizes pass disappears; count(__nb)
+        # counts exactly the matched (intersecting) rows
+        scored = (pairs
+                  .join(sh.select(F.col(id_col).alias("id_a"),
+                                  F.col("__n").alias("__na"), "h"), "id_a")
+                  .join(sh.select(F.col(id_col).alias("id_b"),
+                                  F.col("__n").alias("__nb"), "h"),
+                        ["id_b", "h"], "left")
+                  .groupBy("id_a", "id_b")
+                  .agg(F.first("__na").alias("__na"),
+                       F.count("__nb").alias("__i"),
+                       F.max("__nb").alias("__nb")))
     jac = F.round(F.col("__i").cast("double")
                   / (F.col("__na") + F.col("__nb") - F.col("__i")), 6)
     return (scored.withColumn("jaccard", jac)

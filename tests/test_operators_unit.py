@@ -147,6 +147,55 @@ class TestDedup:
         assert scores[(1, 3)] > 0.6
         assert all(4 not in k for k in scores)
 
+    def test_fused_kernel_matches_sql_specs(self, spark):
+        """minhash_shingles_udf must equal BOTH split SQL specs: bands ==
+        minhash_bands_udf (itself bit-locked to the SQL spec above), hs ==
+        hashed_shingle_set_expr as a VALUE set (the SQL list keeps
+        first-occurrence order, the kernel sorts; set equality is the
+        contract the explode-join consumes)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        fused = (d.select("doc_id", dedup.minhash_shingles_udf(
+            n_bands=4, shingle=5)(F.col("text")).alias("f"))
+            .select("doc_id", F.col("f.bands").alias("bands"),
+                    F.sort_array("f.hs").alias("hs")))
+        split = (d.select(
+            "doc_id",
+            dedup.minhash_bands_udf(n_bands=4, shingle=5)(
+                F.col("text")).alias("bands"),
+            F.sort_array(F.array_distinct(F.expr(
+                dedup.hashed_shingle_set_expr("text", shingle=5))))
+            .alias("hs")))
+        assert fused.exceptAll(split).count() == 0
+        assert split.exceptAll(fused).count() == 0
+        # null text → null struct fields
+        edge = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [None]}))
+        row = (edge.select(dedup.minhash_shingles_udf()(F.col("text"))
+                           .alias("f")).collect()[0].f)
+        assert row.bands is None and row.hs is None
+
+    def test_ngram_jaccard_persist_path_identical(self, spark):
+        """persist=True (the cluster-scale single-kernel-pass knob) must
+        return exactly the unpersisted results, for both the carried-sizes
+        fast branch and the jaccard-0-keeping slow branch."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for thr in (0.2, 0.0):
+            a = (dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                           text_col="text", threshold=thr)
+                 .toPandas().sort_values(["id_a", "id_b"])
+                 .reset_index(drop=True))
+            b = (dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                           text_col="text", threshold=thr,
+                                           persist=True)
+                 .toPandas().sort_values(["id_a", "id_b"])
+                 .reset_index(drop=True))
+            pd.testing.assert_frame_equal(a, b)
+        spark.catalog.clearCache()
+
     def test_minhash_clusters_transitive(self, spark):
         """Label propagation must close transitively: doc A near-dups B, B
         near-dups C, but A and C share no band bucket — all three must land
