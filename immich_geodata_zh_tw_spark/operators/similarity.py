@@ -304,6 +304,81 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
             .filter(F.col("rank") <= k).drop("rank"))
 
 
+def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.95,
+                   block_size: int = 1024) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, then inside each
+    cluster drop every item whose cosine similarity to a LOWER-ID item of
+    the same cluster is ≥ ``threshold``.
+
+    The min-id dominance rule (an item survives iff no smaller-id item in
+    its cell is ≥ threshold-similar) is this repo's house representative
+    convention (same as :func:`dedup.exact_dedup`) — deterministic,
+    order-free, and expressible in plain SQL, so the operator is exactly
+    DuckDB-oracle-checkable; the paper's keep-farthest-from-centroid
+    variant is a one-line change to the in-cell ordering.
+
+    Scale shape: :func:`ivf_assign` tags each row with ONE nearest-centroid
+    cell (Arrow argmax against the broadcast centroid matrix — the corpus
+    is never replicated), then a single shuffle on the cell id feeds a
+    grouped Arrow kernel.  Pairwise work is O(Σ cell²) BY DESIGN — the
+    quantizer granularity is the knob (SemDeDup itself uses 50 k clusters
+    on 5 B docs); pick ``k_centroids ≈ corpus / target_cell_size`` so each
+    cell fits one task, and the kernel's ``block_size``-row matmul chunks
+    bound peak memory at block × cell instead of cell².  Nothing here is
+    quadratic in the corpus, and the only wide payload (the embedding)
+    crosses the wire exactly once, in the one cell shuffle.
+
+    Output, one row per input row: ``(id, cell_id, kept, dup_of,
+    dup_sim)`` where ``dup_of`` = the smallest same-cell id at/above the
+    threshold (null for survivors) and ``dup_sim`` = the cosine to it,
+    rounded to 9 dp like every cos_sim in this module.
+    """
+    tau = float(threshold)
+
+    tagged = ivf_assign(corpus, centroids, vec_col=vec_col)
+    out_schema = (f"{id_col} long, cell_id int, kept boolean, "
+                  f"dup_of long, dup_sim double")
+
+    def kernel(pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        dup_sim = np.full(n, np.nan)
+        for s in range(0, n, block_size):
+            e = min(s + block_size, n)
+            sims = np.round(xn[s:e] @ xn[:e].T, 9)
+            # strictly-prior mask: column j is a candidate for row i iff
+            # j < i (ids ascending ⇒ smaller id); within-block rows see
+            # their in-block predecessors too
+            prior = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            hits = (sims >= tau) & prior
+            any_hit = hits.any(axis=1)
+            first = hits.argmax(axis=1)  # ids sorted ⇒ first hit == min id
+            rows = np.nonzero(any_hit)[0]
+            dup_of[s + rows] = ids[first[rows]]
+            dup_sim[s + rows] = sims[rows, first[rows]]
+        return pd.DataFrame({
+            id_col: ids,
+            "cell_id": np.full(n, pdf["__cid"].iloc[0], dtype=np.int32),
+            "kept": dup_of < 0,
+            "dup_of": pd.array([None if d < 0 else int(d) for d in dup_of],
+                               dtype="Int64"),
+            "dup_sim": [None if d < 0 else float(sm)
+                        for d, sm in zip(dup_of, dup_sim)],
+        })
+
+    return tagged.groupBy("__cid").applyInPandas(kernel, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the 100-TB memory-side companion of IVF
 # ---------------------------------------------------------------------------

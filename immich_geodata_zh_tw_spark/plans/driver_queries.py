@@ -2164,10 +2164,24 @@ _ND_N_PLANES, _ND_N_TABLES, _ND_THRESHOLD = 14, 4, 0.99
 _ND_DUP_EPS, _ND_DECOY_EPS = 0.08, 1.5
 
 
+_SD_K = 8  # semdedup coarse cells: strided-row centroids, _IVF_STRIDE trick
+
+
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: LSH bucket-collision candidates
-    (linear, never all-pairs) + exact cosine ≥ threshold.  Literal
-    hyperplanes + deterministic corpus augmentation ⇒ exact DuckDB oracle."""
+    """Embedding near-dup compound, two branches over ONE deterministically
+    augmented corpus (base ∪ planted near-dups ∪ decoys):
+
+    * ``pairs`` — LSH bucket-collision candidates (linear, never all-pairs)
+      + exact cosine ≥ threshold (literal hyperplanes ⇒ exact oracle);
+    * ``semdedup`` — SemDeDup-style semantic dedup (Abbas et al. 2023,
+      arXiv:2303.09540; ``similarity.semantic_dedup``): one nearest-cell
+      assignment per row against strided-row centroids (the ``_IVF_STRIDE``
+      trick makes the quantizer SQL-replicable), then per-cell min-id
+      dominance at the same cosine threshold — per-row keep/drop verdicts
+      with the dup target and similarity, vs the pair branch's edge list.
+    """
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
@@ -2182,10 +2196,29 @@ def q_embed_neardup(spark, sf_dir):
     corpus = (base
               .unionByName(perturbed(0, 1_000_000, _ND_DUP_EPS))
               .unionByName(perturbed(5, 2_000_000, _ND_DECOY_EPS)))
-    return similarity.embedding_neardup_pairs(
+    pairs = similarity.embedding_neardup_pairs(
         corpus, id_col="vec_id", vec_col="v", dim=64,
         n_planes=_ND_N_PLANES, n_tables=_ND_N_TABLES,
         threshold=_ND_THRESHOLD)
+    cent_rows = (e.filter((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
+                          & (F.col("vec_id") < _IVF_OFF + _IVF_STRIDE * _SD_K))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = np.asarray([list(r["embedding"]) for r in cent_rows],
+                       dtype=np.float64)
+    sem = similarity.semantic_dedup(corpus, cents, id_col="vec_id",
+                                    vec_col="v", threshold=_ND_THRESHOLD)
+    null_l = F.lit(None).cast("long")
+    b1 = pairs.select(F.lit("pairs").alias("op"),
+                      F.col("id_a"), F.col("id_b"), F.col("cos_sim"),
+                      null_l.alias("cell_id"),
+                      F.lit(None).cast("boolean").alias("kept"))
+    b2 = sem.select(F.lit("semdedup").alias("op"),
+                    F.col("vec_id").alias("id_a"),
+                    F.col("dup_of").alias("id_b"),
+                    F.col("dup_sim").alias("cos_sim"),
+                    F.col("cell_id").cast("long").alias("cell_id"),
+                    F.col("kept"))
+    return b1.unionByName(b2)
 
 
 def _sql_embed_neardup() -> str:
@@ -2202,6 +2235,8 @@ def _sql_embed_neardup() -> str:
                 f"list_transform(v, x -> x + CAST({eps!r} AS DOUBLE) * x * x)"
                 f" AS v FROM base WHERE vec_id % 10 = {mod_rem}")
 
+    cos_cc = _COS_DUCK.format(a="corpus.v", b="cents.v")
+    cos_ab = _COS_DUCK.format(a="ca.v", b="cb.v")
     return f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (
@@ -2212,12 +2247,38 @@ bands AS ({bands}),
 id_pairs AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
   FROM bands l JOIN bands r ON l.tbl = r.tbl AND l.sig = r.sig
-  WHERE l.vec_id < r.vec_id)
-SELECT id_a, id_b, cos_sim FROM (
+  WHERE l.vec_id < r.vec_id),
+c0 AS (
+  SELECT vec_id, v FROM base
+  WHERE vec_id % {_IVF_STRIDE} = {_IVF_OFF}
+    AND vec_id < {_IVF_OFF + _IVF_STRIDE * _SD_K}),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM c0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT corpus.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cos_cc} DESC, cents.cid ASC) AS rn
+    FROM corpus CROSS JOIN cents) WHERE rn = 1),
+sd_hit AS (
+  SELECT vec_id, dup_of, dup_sim FROM (
+    SELECT b.vec_id, a.vec_id AS dup_of, round({cos_ab}, 9) AS dup_sim,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY a.vec_id ASC) AS rn
+    FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN corpus ca ON ca.vec_id = a.vec_id
+    JOIN corpus cb ON cb.vec_id = b.vec_id
+    WHERE round({cos_ab}, 9) >= {_ND_THRESHOLD!r}) WHERE rn = 1)
+SELECT 'pairs' AS op, id_a, id_b, cos_sim, CAST(NULL AS BIGINT) AS cell_id,
+       CAST(NULL AS BOOLEAN) AS kept FROM (
   SELECT p.id_a, p.id_b, round({cos}, 9) AS cos_sim
   FROM id_pairs p JOIN corpus va ON va.vec_id = p.id_a
   JOIN corpus vb ON vb.vec_id = p.id_b)
 WHERE cos_sim >= {_ND_THRESHOLD!r}
+UNION ALL
+SELECT 'semdedup' AS op, asg.vec_id AS id_a, h.dup_of AS id_b,
+       h.dup_sim AS cos_sim, CAST(asg.cid AS BIGINT) AS cell_id,
+       h.dup_of IS NULL AS kept
+FROM assign asg LEFT JOIN sd_hit h ON h.vec_id = asg.vec_id
 """
 
 

@@ -254,3 +254,79 @@ class TestProductQuantization:
             mine = (got[got["q_id"] == ids[qi]].sort_values("rank")
                     ["vec_id"].tolist())
             assert mine == want, (qi, mine, want)
+
+
+class TestSemanticDedup:
+    def _run(self, spark, embeddings, **kw):
+        """Corpus = embeddings + planted scaled copies (cosine-identical,
+        ids +10^6) — scaling preserves direction so each copy must land in
+        its original's cell and be dropped in favor of the original."""
+        import numpy as np
+
+        from immich_geodata_zh_tw_spark.operators import similarity as sim
+
+        corpus = embeddings.select("vec_id", "embedding").unionByName(
+            embeddings.filter(F.col("vec_id") % 5 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.expr("transform(embedding, x -> x * CAST(1.7 AS FLOAT))")
+                .alias("embedding")))
+        rows = (embeddings.orderBy("vec_id").limit(64)
+                .select("embedding").collect())
+        cents = sim.kmeans_centroids(
+            np.asarray([list(r[0]) for r in rows], dtype=np.float64), k=8)
+        return sim.semantic_dedup(corpus, cents, **kw).toPandas()
+
+    def test_hand_computed_small_cell(self, spark):
+        """Three near-identical vectors + one orthogonal in a forced single
+        cell: min id survives, later copies point at it, orthogonal kept."""
+        import numpy as np
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import similarity as sim
+
+        base = np.zeros(8); base[0] = 1.0
+        near = base + 0.001; near2 = base + 0.002
+        orth = np.zeros(8); orth[1] = 1.0
+        df = spark.createDataFrame(pd.DataFrame({
+            "vec_id": [10, 20, 30, 40],
+            "embedding": [base.tolist(), near.tolist(), near2.tolist(),
+                          orth.tolist()],
+        }))
+        cents = np.ones((1, 8))  # one cell
+        out = (sim.semantic_dedup(df, cents, threshold=0.99)
+               .toPandas().set_index("vec_id").sort_index())
+        assert out.loc[10, "kept"] and out.loc[40, "kept"]
+        assert not out.loc[20, "kept"] and out.loc[20, "dup_of"] == 10
+        assert not out.loc[30, "kept"] and out.loc[30, "dup_of"] == 10
+        assert out.loc[30, "dup_sim"] > 0.999
+        assert pd.isna(out.loc[10, "dup_of"])
+
+    def test_block_and_partition_invariance(self, spark, embeddings):
+        """The chunked kernel must give identical results at any block size,
+        and the cell shuffle at any input partitioning."""
+        a = (self._run(spark, embeddings, threshold=0.9, block_size=3)
+             .sort_values("vec_id").reset_index(drop=True))
+        b = (self._run(spark, embeddings.repartition(13), threshold=0.9,
+                       block_size=1024)
+             .sort_values("vec_id").reset_index(drop=True))
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+        assert (~a["kept"]).sum() > 0  # corpus has semantic dups to find
+
+    def test_survivor_set_is_dominance_consistent(self, spark, embeddings):
+        """Every dropped row's dup_of must be a smaller SURVIVING-or-dropped
+        id in the SAME cell with sim >= threshold (min-id dominance: the
+        pointed-at id is the cell's first >=-threshold neighbor, so it can
+        itself be dropped only by an even smaller id)."""
+        out = self._run(spark, embeddings, threshold=0.9)
+        by_id = out.set_index("vec_id")
+        dropped = out[~out["kept"]]
+        assert len(dropped) > 0
+        for r in dropped.itertuples():
+            assert r.dup_of < r.vec_id
+            assert by_id.loc[r.dup_of, "cell_id"] == r.cell_id
+            assert r.dup_sim >= 0.9
+        # every planted copy is dropped against its original
+        planted = out[out["vec_id"] >= 1_000_000]
+        assert len(planted) > 0 and not planted["kept"].any()
+        assert (planted["dup_of"] == planted["vec_id"] - 1_000_000).all()
