@@ -36,3 +36,83 @@ def flagship(spark, pages_path: str):
         spark, spark.read.parquet(pages_path),
         polygons.admin_polygons_pdf(village_grid=5),
         cities.cities_pdf(village_grid=5))
+
+
+def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
+                      unit: str, metric: str, warmup: bool = True,
+                      extra: dict | None = None) -> dict:
+    """Shared N vs 4N-cores scaling harness (the north-rule protocol).
+
+    One copy of the protocol for every scaled job — flagship
+    (``bench/scaling.py``) and dedup family (``bench/scaling_dedup.py``)
+    — so protocol fixes (full-size warm-up, min-of-2 reps,
+    materialize-at-4N-before-either-leg) can't drift between them.
+
+    ``materialize(spark) -> path`` writes the corpus once at full width
+    (a low-core writer would cap every reader's scan parallelism);
+    ``build_job(spark, path) -> DataFrame`` declares the measured plan.
+    Each leg runs in its own session: full-size warm-up (JIT/codegen/
+    Python workers/broadcasts), cache drop, then min of 2 timed reps —
+    steady-state throughput, the quantity a long production job sees.
+
+    Every leg records its own host sys/steal fractions (identical runs of
+    the dedup job measured 20.7 s vs 83.1 s across noise windows on this
+    sandbox) — an efficiency number whose legs show unequal noise fracs
+    must be re-measured, not read as a scaling property of the plan.
+    """
+    import time
+
+    from immich_geodata_zh_tw_spark.session import get_spark
+
+    def cpu_ticks():
+        try:
+            with open("/proc/stat") as fh:
+                p = fh.readline().split()
+            vals = [int(x) for x in p[1:9]]
+            return vals[2], vals[7], sum(vals)  # sys, steal, total
+        except OSError:
+            return None
+
+    spark = get_spark(app_name="scaling-materialize", parallelism=cpus_4n)
+    try:
+        path = materialize(spark)
+    finally:
+        spark.stop()
+
+    def run_once(cpus: int) -> tuple[float, dict]:
+        spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
+                          shuffle_partitions=max(cpus, 8))
+        t_start = cpu_ticks()
+        try:
+            if warmup:
+                build_job(spark, path).count()
+                spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build_job(spark, path).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            t_end = cpu_ticks()
+            noise = {}
+            if t_start and t_end:
+                dt = max(t_end[2] - t_start[2], 1)
+                noise = {"host_sys_frac": round((t_end[0] - t_start[0]) / dt, 3),
+                         "host_steal_frac": round((t_end[1] - t_start[1]) / dt, 3)}
+            return best, noise
+        finally:
+            spark.stop()
+
+    cpus_n = max(cpus_4n // 4, 1)
+    results = {}
+    for label, cpus in (("N", cpus_n), ("4N", cpus_4n)):
+        sec, noise = run_once(cpus)
+        results[label] = {"cpus": cpus, "sec": round(sec, 3),
+                          f"{unit}_per_sec": round(n_items / sec, 1), **noise}
+    rate = f"{unit}_per_sec"
+    eff = results["4N"][rate] / (4.0 * results["N"][rate])
+    out = {"metric": metric, "value": round(eff, 3), "unit": "ratio",
+           f"n_{unit}": n_items, "runs": results}
+    if extra:
+        out.update(extra)
+    return out

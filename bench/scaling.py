@@ -4,45 +4,23 @@ A real N→4N-executor cluster is unavailable in this sandbox, so per the driver
 instructions we run the identical flagship job on the same input at two local
 parallelism levels (local[N] and local[4N]) and report throughput at both plus
 ``eff = (pages/sec @ 4N) / (4 × pages/sec @ N)``.
+
+The measurement protocol itself (materialize-at-4N, per-leg sessions,
+full-size warm-up, min-of-2 reps) lives in ONE place —
+``bench.common.two_level_scaling`` — shared with the dedup-family scaling
+module so protocol fixes cannot drift between the scaled jobs.
 """
 
 from __future__ import annotations
 
 import os
-import time
-
-
-def _run_once(cpus: int, n_pages: int, *, warmup: bool = True) -> float:
-    """Steady-state flagship wall time at ``cpus``: run the full job once to
-    warm JIT/codegen/Python workers/broadcasts, drop the plan-identity cache
-    (so no data is silently reused), then time a second full run — a
-    1000-executor production job runs for hours, so steady-state throughput
-    is the quantity the north-rule scales."""
-    from immich_geodata_zh_tw_spark.session import get_spark
-
-    from .common import flagship, materialize_pages
-
-    spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
-                      shuffle_partitions=max(cpus, 8))
-    try:
-        pages_path = materialize_pages(spark, n_pages)
-        if warmup:
-            flagship(spark, pages_path).count()
-            spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):  # min of 2 reps — single-machine variance is real
-            t0 = time.perf_counter()
-            flagship(spark, pages_path).count()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        return best
-    finally:
-        spark.stop()
 
 
 def run_scaling(sf_dir: str, cpus_4n: int, *, n_pages: int | None = None,
                 warmup: bool = True) -> dict:
     from immich_geodata_zh_tw_spark.session import get_spark
+
+    from .common import flagship, materialize_pages, two_level_scaling
 
     if n_pages is None:
         n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "0")) or None
@@ -55,28 +33,17 @@ def run_scaling(sf_dir: str, cpus_4n: int, *, n_pages: int | None = None,
         finally:
             spark.stop()
 
-    # materialize the pages parquet ONCE at full width before either timed
-    # leg — otherwise the N-leg session pays the whole 72M-page synthesis
-    # on N cores (measured ~35 min at local[4]) before its first rep
-    spark = get_spark(app_name="scaling-materialize", parallelism=cpus_4n)
-    try:
-        from .common import materialize_pages
+    return two_level_scaling(
+        cpus_4n=cpus_4n, n_items=n_pages,
+        materialize=lambda spark: materialize_pages(spark, n_pages),
+        build_job=flagship,
+        unit="pages", metric="scaling_efficiency_n_to_4n", warmup=warmup)
 
-        materialize_pages(spark, n_pages)
-    finally:
-        spark.stop()
 
-    cpus_n = max(cpus_4n // 4, 1)
-    results = {}
-    for label, cpus in (("N", cpus_n), ("4N", cpus_4n)):
-        sec = _run_once(cpus, n_pages, warmup=warmup)
-        results[label] = {"cpus": cpus, "sec": round(sec, 3),
-                          "pages_per_sec": round(n_pages / sec, 1)}
-    eff = results["4N"]["pages_per_sec"] / (4.0 * results["N"]["pages_per_sec"])
-    return {
-        "metric": "scaling_efficiency_n_to_4n",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "n_pages": n_pages,
-        "runs": results,
-    }
+if __name__ == "__main__":
+    import json
+    import sys
+
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run_scaling(sf_dir, cpus)))

@@ -2,14 +2,15 @@
 
 The north-rule scaling protocol (``bench/scaling.py``) covers the flagship
 reverse-geocode job; this module applies the identical N vs 4N-cores
-protocol to the training-data side's representative heavy operator — the
-two-stage near-dup pipeline (``ngram_jaccard_pairs``: fused minhash+shingle
-Arrow kernel → LSH band self-join → exact-Jaccard scoring joins) — so the
-LLM-pipeline operators carry their own measured scaling efficiency instead
-of inheriting the flagship's.
+protocol (shared harness: ``bench.common.two_level_scaling``) to the
+training-data side's representative heavy operator — the two-stage near-dup
+pipeline (``ngram_jaccard_pairs``: fused minhash+shingle Arrow kernel →
+LSH band self-join → exact-Jaccard scoring joins) — so the LLM-pipeline
+operators carry their own measured scaling efficiency instead of
+inheriting the flagship's.
 
 Corpus: deterministic synthetic documents (no external data, per the
-driver's input rule) — ``n_words`` pseudo-words drawn from a doc-seeded
+driver's input rule) — ``_N_WORDS`` pseudo-words drawn from a doc-seeded
 xxhash chain over a bounded vocabulary, with every 10th doc a near-dup of
 its predecessor (one word resampled) so the LSH stage does real candidate
 work.  Synthesis is pure Spark SQL (sequence/transform/xxhash64/conv): no
@@ -21,12 +22,12 @@ parallelism is not capped by the writer (same rationale as
 from __future__ import annotations
 
 import os
-import time
 
 DOCS_CACHE = os.environ.get("SPARK_GRAFT_DOCS_CACHE", "/tmp/spark_graft_docs")
 
 #: near-dup pair rate ~1/10; vocabulary 36^3 stems keeps shingle diversity
-#: high enough that band buckets stay small (no quadratic blow-up)
+#: high enough that band buckets stay small (no quadratic blow-up —
+#: measured max bucket 73 / p99.9 bucket 4 at 400 k docs)
 _N_WORDS = 40
 
 
@@ -62,55 +63,20 @@ def _job(spark, docs_path: str):
                                      threshold=0.5)
 
 
-def _run_once(cpus: int, docs_path: str, *, warmup: bool = True) -> float:
-    from immich_geodata_zh_tw_spark.session import get_spark
-
-    spark = get_spark(app_name=f"scaling-dedup-{cpus}", parallelism=cpus,
-                      shuffle_partitions=max(cpus, 8))
-    try:
-        if warmup:
-            _job(spark, docs_path).count()
-            spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _job(spark, docs_path).count()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        return best
-    finally:
-        spark.stop()
-
-
 def run_scaling(cpus_4n: int, *, n_docs: int | None = None,
                 warmup: bool = True) -> dict:
-    from immich_geodata_zh_tw_spark.session import get_spark
+    from .common import two_level_scaling
 
     if n_docs is None:
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "0")) or 400_000
 
-    spark = get_spark(app_name="scaling-dedup-materialize",
-                      parallelism=cpus_4n)
-    try:
-        docs_path = materialize_docs(spark, n_docs)
-    finally:
-        spark.stop()
-
-    cpus_n = max(cpus_4n // 4, 1)
-    results = {}
-    for label, cpus in (("N", cpus_n), ("4N", cpus_4n)):
-        sec = _run_once(cpus, docs_path, warmup=warmup)
-        results[label] = {"cpus": cpus, "sec": round(sec, 3),
-                          "docs_per_sec": round(n_docs / sec, 1)}
-    eff = results["4N"]["docs_per_sec"] / (4.0 * results["N"]["docs_per_sec"])
-    return {
-        "metric": "dedup_scaling_efficiency_n_to_4n",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "n_docs": n_docs,
-        "job": "ngram_jaccard_pairs(threshold=0.5)",
-        "runs": results,
-    }
+    return two_level_scaling(
+        cpus_4n=cpus_4n, n_items=n_docs,
+        materialize=lambda spark: materialize_docs(spark, n_docs),
+        build_job=_job,
+        unit="docs", metric="dedup_scaling_efficiency_n_to_4n",
+        warmup=warmup,
+        extra={"job": "ngram_jaccard_pairs(threshold=0.5)"})
 
 
 if __name__ == "__main__":

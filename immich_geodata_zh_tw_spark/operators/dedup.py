@@ -226,13 +226,28 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         w = Window.partitionBy("band_idx", "sig").orderBy(F.col(id_col).asc())
         bands = (bands.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= max_bucket_size).drop("__rn"))
-    return _pairs_from_bands(bands, id_col=id_col)
+    return _pairs_from_bands(bands, id_col=id_col, source=df)
 
 
-def _pairs_from_bands(bands: DataFrame, *, id_col: str) -> DataFrame:
-    """(id, band_idx, sig) rows → distinct candidate (id_a, id_b), a < b."""
+def _pairs_from_bands(bands: DataFrame, *, id_col: str,
+                      source: DataFrame) -> DataFrame:
+    """(id, band_idx, sig) rows → distinct candidate (id_a, id_b), a < b.
+
+    The build side is corpus-sized but sits BEHIND an ArrowEvalPython
+    node, so Catalyst's size estimate is the (pre-fan-out) scan estimate
+    of ``source`` — at 400 k docs that guessed the 1.6 M-row frame under
+    the auto-broadcast threshold and planned a BROADCAST self-join, whose
+    single-threaded hashed-relation build serialized the whole stage
+    (caught by ``bench/scaling_dedup.py``; at real scale it is a driver
+    OOM).  :func:`_stats.hint_if_large` corrects the estimate with the
+    band fan-out and forces the partitioned hash join the uniform
+    (band, sig) key wants — while a genuinely small corpus keeps the
+    fast broadcast path.
+    """
+    from ._stats import hint_if_large
+
     left = bands.alias("l")
-    right = bands.alias("r")
+    right = hint_if_large(bands, source, fanout=2.0).alias("r")
     return (left.join(right, ["band_idx", "sig"])
             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id_a"),
@@ -388,7 +403,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
     cluster where the corpus scan + md5 dominates (~1.3 KB/doc cached,
     linear).  Locally it's a LOSS (measured +2 s at sf0.1: cache write +
     InMemory scans cost more than two ~1 s kernel re-runs), hence default
-    False.
+    False.  Lifecycle: the cached frame is internal, so the caller can't
+    ``unpersist`` it — its memory side is LRU-evictable, but the disk side
+    lives until ``spark.catalog.clearCache()``; a long-lived session
+    issuing many persisted calls should clear between them.
 
     The explicit round-robin ``repartition`` on the pair stream is
     load-balancing, not correctness: AQE coalesces shuffle partitions by
@@ -408,15 +426,31 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
     if persist:
         from pyspark.storagelevel import StorageLevel
         hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # posexplode_OUTER + key repartition for the same load-bearing reasons
+    # documented on _bands_frame: plain explode makes Catalyst infer a
+    # size(arr) > 0 pre-Generate filter that re-evaluates the Python UDF a
+    # second time per row — the exact extra corpus pass this fusion removes
     bands = (hashed.select(id_col, F.posexplode_outer("__bands")
                            .alias("band_idx", "sig"))
              .filter(F.col("sig").isNotNull())
              .repartition("band_idx", "sig"))
-    pairs = (_pairs_from_bands(bands, id_col=id_col)
+    pairs = (_pairs_from_bands(bands, id_col=id_col, source=df)
              .repartition(df.sparkSession.sparkContext.defaultParallelism))
-    sh = (hashed.select(id_col, F.size("__hs").alias("__n"),
-                        F.explode_outer("__hs").alias("h"))
-          .filter(F.col("h").isNotNull()))
+    # scale-safe join sides everywhere sh rides a join: sh is |corpus| ×
+    # ~150 narrow rows behind the Arrow kernel, so Catalyst's size
+    # estimate (the pre-fan-out scan size) can fall under the
+    # auto-broadcast threshold and plan a BROADCAST of the exploded
+    # corpus — a single-threaded build that serialized the scoring stage
+    # at 400 k docs (bench/scaling_dedup.py) and is a driver OOM at real
+    # scale; hint_if_large re-decides from the SOURCE estimate × the
+    # hash fan-out, keeping the broadcast fast path for small corpora
+    from ._stats import hint_if_large
+
+    sh = hint_if_large(
+        (hashed.select(id_col, F.size("__hs").alias("__n"),
+                       F.explode_outer("__hs").alias("h"))
+         .filter(F.col("h").isNotNull())),
+        df, fanout=8.0)
     if threshold <= 0.0:
         # an LSH band collision without any shared shingle is possible in
         # principle; only a zero threshold keeps those jaccard-0 pairs, and
@@ -432,8 +466,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         inter = (pairs.join(inter, ["id_a", "id_b"], "left")
                  .select("id_a", "id_b",
                          F.coalesce("__i", F.lit(0)).alias("__i")))
-        sizes = hashed.filter(F.col("__hs").isNotNull()).select(
-            F.col(id_col), F.size("__hs").alias("n"))
+        sizes = hint_if_large(  # corpus-sized, same estimate hazard
+            hashed.filter(F.col("__hs").isNotNull())
+            .select(F.col(id_col), F.size("__hs").alias("n")),
+            df, fanout=1.0)
         scored = (inter
                   .join(sizes.select(F.col(id_col).alias("id_a"),
                                      F.col("n").alias("__na")), "id_a")

@@ -250,7 +250,17 @@ def lsh_scored_pairs(corpus: DataFrame, *, id_col: str = "vec_id",
         [hyperplanes(n_planes, dim, seed=1234 + 7 * t) for t in range(n_tables)])
     tagged = corpus.select(
         id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"))
-    l, r = tagged.alias("l"), tagged.alias("r")
+    # scale-safe build side: tagged is corpus-sized behind an
+    # ArrowEvalPython node, so Catalyst's size estimate is the pre-fan-out
+    # scan size — left uncorrected the bucket self-join auto-broadcasts
+    # the whole tagged corpus once the scan estimate dips under the
+    # threshold (single-threaded build locally, driver OOM at scale; same
+    # hazard caught at 400 k docs for the minhash band join, see
+    # dedup._pairs_from_bands); small corpora keep the broadcast fast path
+    from ._stats import hint_if_large
+
+    l, r = tagged.alias("l"), hint_if_large(tagged, corpus,
+                                            fanout=2.0).alias("r")
     id_pairs = (l.join(r, ["tbl", "sig"])
                 .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
                 .select(F.col(f"l.{id_col}").alias("id_a"),
@@ -334,7 +344,12 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
     Output, one row per input row: ``(id, cell_id, kept, dup_of,
     dup_sim)`` where ``dup_of`` = the smallest same-cell id at/above the
     threshold (null for survivors) and ``dup_sim`` = the cosine to it,
-    rounded to 9 dp like every cos_sim in this module.
+    rounded to 9 dp like every cos_sim in this module.  The kernel rounds
+    half-AWAY-from-zero (scaled floor(|x|·10⁹ + ½)) to match the
+    DuckDB/JVM ``round`` convention the oracles compare against — NOT
+    numpy's banker's rounding; the residual parity exposure is the same
+    ~1-ulp band every cos_sim column in this module already carries
+    (BLAS-ordered sums vs the oracle's sequential dot/norm formula).
     """
     tau = float(threshold)
 
@@ -355,7 +370,8 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
         dup_sim = np.full(n, np.nan)
         for s in range(0, n, block_size):
             e = min(s + block_size, n)
-            sims = np.round(xn[s:e] @ xn[:e].T, 9)
+            raw = xn[s:e] @ xn[:e].T
+            sims = np.copysign(np.floor(np.abs(raw) * 1e9 + 0.5) / 1e9, raw)
             # strictly-prior mask: column j is a candidate for row i iff
             # j < i (ids ascending ⇒ smaller id); within-block rows see
             # their in-block predecessors too

@@ -267,3 +267,51 @@ class TestCurationPlanQuality:
         assert "pmod" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestScaleSafeJoinSides:
+    def test_jaccard_join_strategy_follows_corpus_size(self, spark):
+        """UDF-derived fan-out frames (shingle explode, band sigs, LSH
+        tags) carry the PRE-fan-out scan estimate, so the operator — not
+        Catalyst — must decide broadcast vs partitioned join from the
+        source estimate × fan-out (operators/_stats.hint_if_large).  Under
+        the threshold the fast broadcast path must survive; over it the
+        plan must use ShuffledHashJoin — specifically NOT SortMergeJoin,
+        which is what Spark would pick on its own once broadcast is ruled
+        out, proving the hint (not just the threshold) steered the plan."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                        text_col="text", threshold=0.2)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            out = dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                            text_col="text", threshold=0.2)
+            plan = _plan(out)
+            assert "BroadcastHashJoin" not in plan, plan
+            assert "ShuffledHashJoin" in plan, plan
+            assert "SortMergeJoin" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_lsh_pair_join_strategy_follows_corpus_size(self, spark):
+        """Same contract for the embedding LSH bucket self-join."""
+        from immich_geodata_zh_tw_spark.operators import similarity
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        mk = lambda: similarity.lsh_scored_pairs(
+            e, id_col="vec_id", vec_col="embedding", dim=64)
+        assert "BroadcastHashJoin" in _plan(mk()), _plan(mk())
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            plan = _plan(mk())
+            assert "ShuffledHashJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
