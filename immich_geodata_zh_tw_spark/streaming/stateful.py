@@ -12,7 +12,11 @@ counterparts of the batch operators the driver queries already verify:
   ``applyInPandasWithState`` (Arrow-batched, same no-row-at-a-time rule as
   everything else): sessions close after ``gap_sec`` of event-time silence
   or on processing-time timeout, emitting one row per closed session — the
-  streaming twin of the batch ``sessionize`` query.
+  streaming twin of the batch ``sessionize`` query;
+* :func:`streaming_neardup_flags` — per-band-signature MinHash-LSH state
+  with event-time TTL eviction: the streaming twin of the batch near-dup
+  pipeline (horizon near-dedup of lightly-edited recrawls), rolled up per
+  doc by :func:`neardup_verdicts` inside ``foreachBatch``.
 """
 
 from __future__ import annotations
@@ -23,8 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (IntegerType, LongType, StructField, StructType,
-                               TimestampType, StringType)
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StructField, StructType, TimestampType,
+                               StringType)
 
 
 def windowed_page_counts(stream: DataFrame, *, ts_col: str = "warc_ts",
@@ -209,3 +214,159 @@ def streaming_host_budget(stream: DataFrame, *, cap: int,
                 stateStructType=BUDGET_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+NEARDUP_OUTPUT = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("band_idx", IntegerType()),
+    StructField("sig", StringType()),
+    StructField("first_id", LongType()),
+    StructField("collided", BooleanType()),
+])
+
+NEARDUP_STATE = StructType([
+    StructField("first_id", LongType()),
+    StructField("last_epoch_ms", LongType()),
+])
+
+
+def _neardup_fn(horizon_ms: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        band_idx, sig = key
+        if state.hasTimedOut:
+            # watermark passed last-seen + horizon: forget this signature —
+            # the eviction that keeps state bounded by the horizon window
+            state.remove()
+            return
+        # a group's micro-batch arrives as several Arrow chunks in no
+        # guaranteed order (same hazard as _budget_fn): collect, then one
+        # stable (ts, doc_id) sort fixes the first-arrival winner
+        # deterministically.  Bucket populations are band-hash bucket
+        # sizes — the same dimension-bounded quantity the batch LSH join
+        # shuffles per (band, sig) key — so the concat is small by the
+        # same argument, not corpus-sized.
+        parts = [pdf[["doc_id", "ts"]] for pdf in pdfs]
+        rows = (pd.concat(parts).sort_values(["ts", "doc_id"], kind="mergesort")
+                if parts else None)
+        if rows is None or not len(rows):
+            return
+        first_id, last_ms = state.get if state.exists else (None, None)
+        ms = rows["ts"].astype("int64") // 1_000_000
+        ids = rows["doc_id"].astype("int64")
+        if first_id is None:
+            # head row registers the signature; everything after it in
+            # (ts, doc_id) order collides with it — vectorized: only the
+            # head is non-collided
+            first_id = int(ids.iloc[0])
+            collided = [False] + [True] * (len(rows) - 1)
+        else:
+            collided = [True] * len(rows)
+        last_ms = max(int(ms.max()), last_ms or 0)
+        state.update((int(first_id), int(last_ms)))
+        # event-time TTL: must stay ahead of the current watermark or the
+        # state store rejects the timestamp (a signature last seen before
+        # watermark - horizon would otherwise set a timeout in the past)
+        state.setTimeoutTimestamp(max(last_ms + horizon_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({
+            "doc_id": ids.tolist(),
+            "ts": rows["ts"].tolist(),
+            "band_idx": [int(band_idx)] * len(rows),
+            "sig": [sig] * len(rows),
+            "first_id": [int(first_id)] * len(rows),
+            "collided": collided,
+        })
+    return fn
+
+
+def streaming_neardup_flags(stream: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", ts_col: str = "ts",
+                            watermark: str = "1 hour",
+                            horizon: str = "24 hours",
+                            n_bands: int = 4, shingle: int = 5) -> DataFrame:
+    """Streaming NEAR-dup suppression flags — the streaming twin of the
+    batch MinHash-LSH pipeline (``dedup.minhash_candidate_pairs``), the way
+    :func:`streaming_exact_dedup` twins ``doc_exact_dedup``: a freshly
+    crawled page whose MinHash BAND signature was already seen within the
+    ``horizon`` is flagged as a near-dup of the first doc that registered
+    that signature (recrawl/boilerplate suppression of lightly-edited
+    pages, which exact hashing misses).
+
+    Shape: the SAME Arrow signature kernel as batch
+    (``dedup.minhash_bands_udf`` — bit-identical signatures, so batch and
+    streaming agree on what collides) → posexplode to (band_idx, sig) →
+    per-signature ``applyInPandasWithState``.  One state row per DISTINCT
+    band signature seen within the horizon, holding only (first_id,
+    last_seen_ms) — 16 bytes; an event-time timeout EVICTS a signature
+    once the watermark passes last-seen + ``horizon``, so state is bounded
+    by (distinct-signature ingest rate × horizon), never by crawl history —
+    same boundedness argument as :func:`streaming_exact_dedup`.  Eviction
+    fires in the first batch after expiry in which the signature receives
+    no data (flatMapGroupsWithState timeout semantics); a recrawl landing
+    in that exact batch still collides — conservative in the safe
+    direction (an extra flag, never a missed eviction keeping state
+    unbounded, since arrivals re-arm the TTL anyway).
+
+    Output: one row per (doc, band): ``collided`` = this band's signature
+    was registered by an earlier doc (within-batch earliness = (ts, id)
+    order, deterministic); ``first_id`` = the registering doc.  All of a
+    doc's bands ride the same micro-batch (they derive from one input
+    row), so the per-doc verdict is complete within every batch — roll up
+    with :func:`neardup_verdicts` inside ``foreachBatch`` (chaining a
+    second stateful/agg stage after ``applyInPandasWithState`` in one
+    streaming query is unsupported; ``foreachBatch`` is the engine's
+    standard composition point, streaming/pipeline.py).  Docs with null
+    text produce no band rows (no dedup signal — the caller passes them
+    through as kept).  Like the batch LSH clustering, a flagged doc still
+    registers its OWN fresh signatures, so chains of successive edits
+    collapse onto the earliest doc transitively.
+    """
+    from ..operators.dedup import minhash_bands_udf
+
+    horizon_ms = _interval_ms(horizon)
+    bands = (stream
+             .withWatermark(ts_col, watermark)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.col(ts_col).alias("ts"),
+                     minhash_bands_udf(n_bands=n_bands, shingle=shingle)(
+                         F.col(text_col)).alias("__bands"))
+             .select("doc_id", "ts",
+                     F.posexplode_outer("__bands").alias("band_idx", "sig"))
+             .filter(F.col("sig").isNotNull()))
+    return (bands
+            .groupBy("band_idx", "sig")
+            .applyInPandasWithState(
+                _neardup_fn(horizon_ms),
+                outputStructType=NEARDUP_OUTPUT,
+                stateStructType=NEARDUP_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def neardup_verdicts(band_flags: DataFrame, *,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc rollup of :func:`streaming_neardup_flags` output (a plain
+    batch aggregation — run it inside ``foreachBatch``, where every doc's
+    band rows are complete): ``kept`` = no band collided; ``dup_of`` = the
+    smallest registering doc id over the collided bands (deterministic
+    tie-break, same min-id convention as the batch dedup family)."""
+    return (band_flags
+            .groupBy(F.col(id_col))
+            .agg(F.max("collided").alias("__dup"),
+                 F.min(F.when(F.col("collided"),
+                              F.col("first_id"))).alias("dup_of"))
+            .select(id_col, (~F.col("__dup")).alias("kept"), "dup_of"))
+
+
+def _interval_ms(interval: str) -> int:
+    """'24 hours' / '90 minutes' / '10 seconds' → milliseconds (the tiny
+    subset of interval syntax these operators accept)."""
+    qty, unit = interval.split()
+    mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
+            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000}
+    if unit not in mult:
+        raise ValueError(f"unsupported interval unit: {interval!r}")
+    return int(qty) * mult[unit]

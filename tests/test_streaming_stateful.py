@@ -256,3 +256,125 @@ class TestStreamingHostBudget:
             assert got["doc_id"].tolist() == [107, 106, 105]
         finally:
             spark.conf.set(key, old)
+
+
+NEARDUP_DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("text", StringType()),
+])
+
+# deterministic fixture pair: X2 is X with ONE word changed — shares 3 of 4
+# MinHash band signatures with X (verified against the shared kernel), so it
+# collides through the LSH state while Y shares 0 bands with either
+_TXT_X = ("the quick brown fox jumps over the lazy dog while the crawler "
+          "fetches the same page again and again for testing")
+_TXT_X2 = ("the quick brown fox jumps over the lazy cat while the crawler "
+           "fetches the same page again and again for testing")
+_TXT_Y = ("completely different content about geospatial reverse geocoding "
+          "engines running on very large sparse clusters")
+_TXT_W = ("a third unrelated page used only to advance the event clock and "
+          "let expired signature state fire its timeout")
+
+
+class TestStreamingNeardup:
+    def _run(self, spark, inp, out, ckpt):
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            streaming_neardup_flags
+
+        stream = (spark.readStream.schema(NEARDUP_DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        q = (streaming_neardup_flags(stream, watermark="1 hour",
+                                     horizon="2 hours")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    @staticmethod
+    def _write(spark, path, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        (spark.createDataFrame(pdf, schema=NEARDUP_DOCS_SCHEMA).coalesce(1)
+         .write.mode("append").parquet(path))
+
+    def test_neardup_flagged_within_horizon_evicted_after(self, spark,
+                                                          tmp_path):
+        """Full life cycle: a one-word-edited recrawl is flagged (near-dup,
+        exact hashing would miss it), state persists across micro-batches,
+        and a signature silent past the horizon is EVICTED so a much later
+        recrawl re-registers fresh."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            neardup_verdicts
+
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        # batch 1: original X, near-dup X2 (flag, dup_of=1), distinct Y,
+        # null text (no signal — produces no band rows at all)
+        self._write(spark, inp, [
+            (1, "2026-01-01 10:00:00", _TXT_X),
+            (2, "2026-01-01 10:05:00", _TXT_X2),
+            (3, "2026-01-01 10:10:00", _TXT_Y),
+            (8, "2026-01-01 10:11:00", None),
+        ])
+        self._run(spark, inp, out, ckpt)
+        # batch 2: exact recrawl of X within horizon (flag) + a doc 10 h
+        # later that advances the watermark far past every X/Y signature's
+        # last-seen + horizon
+        self._write(spark, inp, [
+            (4, "2026-01-01 10:30:00", _TXT_X),
+            (5, "2026-01-01 20:00:00", _TXT_Y[::-1]),
+        ])
+        self._run(spark, inp, out, ckpt)
+        # batch 3: signature-silent batch — expired (band, sig) groups get
+        # no data here, so their event-time timeouts fire and evict
+        self._write(spark, inp, [(9, "2026-01-01 20:10:00", _TXT_W)])
+        self._run(spark, inp, out, ckpt)
+        # batch 4: X returns AFTER eviction — registers fresh (kept), and
+        # an immediate same-batch recrawl collides with doc 6, not doc 1
+        self._write(spark, inp, [
+            (6, "2026-01-01 20:30:00", _TXT_X),
+            (7, "2026-01-01 20:35:00", _TXT_X),
+        ])
+        self._run(spark, inp, out, ckpt)
+
+        flags = spark.read.parquet(out)
+        got = (neardup_verdicts(flags).toPandas()
+               .sort_values("doc_id").set_index("doc_id"))
+        assert got.index.tolist() == [1, 2, 3, 4, 5, 6, 7, 9]  # no doc 8
+        assert bool(got.loc[1, "kept"]) and pd.isna(got.loc[1, "dup_of"])
+        assert not bool(got.loc[2, "kept"]) and got.loc[2, "dup_of"] == 1
+        assert bool(got.loc[3, "kept"])
+        assert not bool(got.loc[4, "kept"]) and got.loc[4, "dup_of"] == 1
+        assert bool(got.loc[5, "kept"])
+        # post-eviction: X re-registered by doc 6; doc 7 collides with 6
+        assert bool(got.loc[6, "kept"]) and pd.isna(got.loc[6, "dup_of"])
+        assert not bool(got.loc[7, "kept"]) and got.loc[7, "dup_of"] == 6
+        assert bool(got.loc[9, "kept"])
+
+    def test_first_arrival_deterministic_across_arrow_chunks(self, spark,
+                                                             tmp_path):
+        """Same chunk-order hazard as the host-budget admission: the
+        registering doc must be the (ts, doc_id)-earliest across ALL Arrow
+        chunks of the micro-batch, not the first chunk's head."""
+        from immich_geodata_zh_tw_spark.streaming.stateful import \
+            neardup_verdicts
+
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "2")
+            # 6 exact copies, LATEST ts first in write order; doc 105 (ts
+            # 10:20) is the (ts, id)-earliest and must win every band
+            rows = [(100 + i, f"2026-01-01 10:{25 - i:02d}:00", _TXT_X)
+                    for i in range(6)]
+            self._write(spark, inp, rows)
+            self._run(spark, inp, out, ckpt)
+            got = (neardup_verdicts(spark.read.parquet(out)).toPandas()
+                   .sort_values("doc_id").set_index("doc_id"))
+            assert bool(got.loc[105, "kept"])
+            for d in (100, 101, 102, 103, 104):
+                assert not bool(got.loc[d, "kept"])
+                assert got.loc[d, "dup_of"] == 105
+        finally:
+            spark.conf.set(key, old)
