@@ -317,18 +317,27 @@ def lsh_bucket_topk(corpus: DataFrame, *, id_col: str = "vec_id",
 def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.95,
-                   block_size: int = 1024) -> DataFrame:
+                   block_size: int = 1024,
+                   keep: str = "min_id") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then inside each
-    cluster drop every item whose cosine similarity to a LOWER-ID item of
-    the same cluster is ≥ ``threshold``.
+    cluster drop every item dominated by a higher-priority item of the
+    same cluster at cosine ≥ ``threshold``.
 
-    The min-id dominance rule (an item survives iff no smaller-id item in
-    its cell is ≥ threshold-similar) is this repo's house representative
-    convention (same as :func:`dedup.exact_dedup`) — deterministic,
-    order-free, and expressible in plain SQL, so the operator is exactly
-    DuckDB-oracle-checkable; the paper's keep-farthest-from-centroid
-    variant is a one-line change to the in-cell ordering.
+    ``keep`` picks the in-cell priority order — the only thing the two
+    policies differ in:
+
+    * ``"min_id"`` (default) — an item survives iff no SMALLER-ID item in
+      its cell is ≥ threshold-similar: this repo's house representative
+      convention (same as :func:`dedup.exact_dedup`) — deterministic,
+      order-free, and expressible in plain SQL, so the operator is
+      exactly DuckDB-oracle-checkable (the ``embed_neardup`` driver row);
+    * ``"far_centroid"`` — the paper's own policy: among near-dups the
+      item FARTHEST from its cell centroid wins (keeps the outer shell of
+      each semantic cluster — the diversity-preserving choice), priority
+      = centroid-cosine ascending with id-ascending tie-break (centroid
+      cosine rounded to 9 dp first, so the ordering never hinges on
+      sub-rounding float noise).
 
     Scale shape: :func:`ivf_assign` tags each row with ONE nearest-centroid
     cell (Arrow argmax against the broadcast centroid matrix — the corpus
@@ -342,8 +351,10 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
     crosses the wire exactly once, in the one cell shuffle.
 
     Output, one row per input row: ``(id, cell_id, kept, dup_of,
-    dup_sim)`` where ``dup_of`` = the smallest same-cell id at/above the
-    threshold (null for survivors) and ``dup_sim`` = the cosine to it,
+    dup_sim)`` where ``dup_of`` = the highest-priority same-cell item
+    at/above the threshold (the smallest id under ``min_id``; the
+    centroid-farthest under ``far_centroid``; null for survivors) and
+    ``dup_sim`` = the cosine to it,
     rounded to 9 dp like every cos_sim in this module.  The kernel rounds
     half-AWAY-from-zero (scaled floor(|x|·10⁹ + ½)) to match the
     DuckDB/JVM ``round`` convention the oracles compare against — NOT
@@ -352,6 +363,10 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
     (BLAS-ordered sums vs the oracle's sequential dot/norm formula).
     """
     tau = float(threshold)
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_centroid': {keep!r}")
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
     tagged = ivf_assign(corpus, centroids, vec_col=vec_col)
     out_schema = (f"{id_col} long, cell_id int, kept boolean, "
@@ -361,10 +376,19 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
         import pandas as pd
 
         ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if keep == "min_id":
+            order = np.argsort(ids, kind="stable")
+        else:
+            # paper policy: centroid-cosine ASC (farthest first), id ASC
+            # tie-break; 9-dp rounding before ordering keeps the priority
+            # deterministic against sub-rounding float noise
+            cs = xn @ cn[int(pdf["__cid"].iloc[0])]
+            cs = np.copysign(np.floor(np.abs(cs) * 1e9 + 0.5) / 1e9, cs)
+            order = np.lexsort((ids, cs))
+        ids = ids[order]
+        xn = xn[order]
         n = len(ids)
         dup_of = np.full(n, -1, dtype=np.int64)
         dup_sim = np.full(n, np.nan)
@@ -373,12 +397,15 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
             raw = xn[s:e] @ xn[:e].T
             sims = np.copysign(np.floor(np.abs(raw) * 1e9 + 0.5) / 1e9, raw)
             # strictly-prior mask: column j is a candidate for row i iff
-            # j < i (ids ascending ⇒ smaller id); within-block rows see
-            # their in-block predecessors too
+            # j precedes i in priority order (min_id: ids ascending ⇒
+            # smaller id; far_centroid: farther from centroid); within-
+            # block rows see their in-block predecessors too
             prior = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             hits = (sims >= tau) & prior
             any_hit = hits.any(axis=1)
-            first = hits.argmax(axis=1)  # ids sorted ⇒ first hit == min id
+            # priority-ordered columns ⇒ first hit == highest-priority
+            # dominator (min id / centroid-farthest)
+            first = hits.argmax(axis=1)
             rows = np.nonzero(any_hit)[0]
             dup_of[s + rows] = ids[first[rows]]
             dup_sim[s + rows] = sims[rows, first[rows]]

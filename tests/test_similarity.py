@@ -301,6 +301,44 @@ class TestSemanticDedup:
         assert out.loc[30, "dup_sim"] > 0.999
         assert pd.isna(out.loc[10, "dup_of"])
 
+    def test_far_centroid_policy_keeps_cluster_shell(self, spark):
+        """keep='far_centroid' (the SemDeDup paper's own policy) must keep
+        the near-dup FARTHEST from the cell centroid — the diversity-
+        preserving choice — where min_id keeps the smallest id; items below
+        the threshold survive under both."""
+        import numpy as np
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import similarity as sim
+
+        # ids ascending = centroid-closeness descending, so the two
+        # policies pick OPPOSITE winners: v1 (id 1) hugs the centroid,
+        # v3 (id 3) sits farthest while still ≥ tau to both others
+        c = np.zeros(8); c[0] = 1.0
+        vs = {i: (c + 0.004 * i * np.eye(8)[1]).tolist() for i in (1, 2, 3)}
+        orth = np.zeros(8); orth[1] = 1.0
+        df = spark.createDataFrame(pd.DataFrame({
+            "vec_id": [1, 2, 3, 9],
+            "embedding": [vs[1], vs[2], vs[3], orth.tolist()],
+        }))
+        cents = c.reshape(1, 8)
+
+        far = (sim.semantic_dedup(df, cents, threshold=0.99,
+                                  keep="far_centroid")
+               .toPandas().set_index("vec_id").sort_index())
+        assert far.loc[3, "kept"] and pd.isna(far.loc[3, "dup_of"])
+        assert not far.loc[1, "kept"] and far.loc[1, "dup_of"] == 3
+        assert not far.loc[2, "kept"] and far.loc[2, "dup_of"] == 3
+        assert far.loc[9, "kept"]  # below threshold to everything
+
+        near = (sim.semantic_dedup(df, cents, threshold=0.99)
+                .toPandas().set_index("vec_id").sort_index())
+        assert near.loc[1, "kept"]
+        assert near.loc[2, "dup_of"] == 1 and near.loc[3, "dup_of"] == 1
+
+        with pytest.raises(ValueError, match="keep"):
+            sim.semantic_dedup(df, cents, keep="random")
+
     def test_block_and_partition_invariance(self, spark, embeddings):
         """The chunked kernel must give identical results at any block size,
         and the cell shuffle at any input partitioning."""
