@@ -220,12 +220,16 @@ def repetition_metrics(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def mixture_weights(df: DataFrame, *, group_col: str = "source",
-                    text_col: str = "text") -> DataFrame:
-    """Per-domain token counts and sampling weights ∝ sqrt(tokens) — the
-    temperature-reweighting shape multi-domain pretraining recipes use
-    (mT5/XLM-R α-sampling; α = 0.5 here because IEEE ``sqrt`` is correctly
-    rounded in both engines, so the DuckDB oracle comparison stays exact —
-    an arbitrary α via ``pow`` can differ in the last ulp between runtimes).
+                    text_col: str = "text",
+                    alpha: float = 0.5) -> DataFrame:
+    """Per-domain token counts and sampling weights ∝ tokens^``alpha`` —
+    the temperature-reweighting shape multi-domain pretraining recipes use
+    (mT5/XLM-R α-sampling: α = 1 is proportional, α → 0 flattens toward
+    uniform, α = 0.5 is the common middle).  The DEFAULT α = 0.5 computes
+    via IEEE ``sqrt``, which is correctly rounded in both engines, so the
+    DuckDB oracle comparison stays exact; any other α goes through ``pow``,
+    which may differ in the last ulp between runtimes — fine for use, just
+    not held to the exact-hash oracle bar (the driver row pins α = 0.5).
 
     One hash aggregation over the corpus (map-side partial sums; only one
     row per domain shuffles), then a window over the handful of domain rows
@@ -251,8 +255,10 @@ def mixture_weights(df: DataFrame, *, group_col: str = "source",
            .agg(F.sum(F.expr(token_count_sql(text_col))).alias("n_tokens"),
                 F.count(F.lit(1)).alias("n_docs")))
     from pyspark.sql import Window
-    qsqrt = F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6, 0) \
-        .cast("bigint")
+    n_dbl = F.col("n_tokens").cast("double")
+    mass = (F.sqrt(n_dbl) if alpha == 0.5
+            else F.pow(n_dbl, F.lit(float(alpha))))
+    qsqrt = F.round(mass * 1e6, 0).cast("bigint")
     total = F.sum(qsqrt).over(Window.partitionBy())
     return per.select(
         group_col, "n_tokens", "n_docs",

@@ -573,6 +573,38 @@ class TestMixtureWeightsDeterminism:
         # weights are a proper distribution at 6-dp grain
         assert abs(results[0]["weight"].sum() - 1.0) < 5e-6
 
+    def test_alpha_temperature(self, spark):
+        """α generalization: α=1 is token-proportional, α=0 is uniform,
+        and the explicit α=0.5 matches the sqrt default bit-for-bit."""
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        pdf = pd.DataFrame({
+            "doc_id": range(60),
+            "source": ["a"] * 30 + ["b"] * 20 + ["c"] * 10,
+            "text": ["w " * (4 if i < 30 else 9 if i < 50 else 16)
+                     for i in range(60)],
+        })
+        df = spark.createDataFrame(pdf)
+
+        def w(alpha):
+            out = (textstats.mixture_weights(df, group_col="source",
+                                             alpha=alpha)
+                   .toPandas().set_index("source").sort_index())
+            return out
+
+        prop = w(1.0)
+        tot = prop["n_tokens"].sum()
+        for s in "abc":
+            assert abs(prop.loc[s, "weight"]
+                       - prop.loc[s, "n_tokens"] / tot) < 2e-6
+        flat = w(0.0)
+        assert (abs(flat["weight"] - 1 / 3) < 2e-6).all()
+        pd.testing.assert_frame_equal(
+            w(0.5), (textstats.mixture_weights(df, group_col="source")
+                     .toPandas().set_index("source").sort_index()))
+
 
 class TestBoundedBoundarySample:
     def test_fraction_bounded_by_target(self):
