@@ -30,7 +30,8 @@ from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.types import (BinaryType, StringType, StructField, StructType,
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType,
                                TimestampType)
 
 PAGES_SCHEMA = StructType([
@@ -70,6 +71,56 @@ def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
         out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+NEARDUP_DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("text", StringType()),
+])
+
+
+def incremental_neardup(spark: SparkSession, *, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        available_now: bool = True,
+                        **neardup_kw):
+    """Deployable end-to-end incremental near-dedup: file stream →
+    :func:`~.stateful.streaming_neardup_flags` (per-band-signature LSH
+    state, event-time-TTL evicted) → per-doc ``neardup_verdicts`` rollup +
+    idempotent ``batch_id``-scoped parquet sink inside ``foreachBatch``.
+
+    Composition notes: the stateful flags stage lives in the streaming
+    query (its state rides this checkpoint); the rollup is a PLAIN batch
+    aggregation inside ``foreachBatch``, exact per micro-batch because all
+    of a doc's band rows share its batch.  Sink idempotency, output
+    lineage scoping and ``Trigger.AvailableNow`` resumability are the same
+    contract as :func:`incremental_reverse_geocode` (module docstring).
+
+    Returns the StreamingQuery.  Extra kwargs (``horizon``, ``watermark``,
+    ``n_bands``, ``shingle``…) pass through to the flags operator.
+    """
+    from .stateful import neardup_verdicts, streaming_neardup_flags
+
+    if not (Path(checkpoint_path) / "offsets").exists():
+        shutil.rmtree(output_path, ignore_errors=True)
+
+    stream = (spark.readStream
+              .schema(NEARDUP_DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(input_path))
+    flags = streaming_neardup_flags(stream, **neardup_kw)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        out = neardup_verdicts(batch_df)
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}")
+
+    writer = (flags.writeStream
               .foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint_path))
     if available_now:
