@@ -488,6 +488,103 @@ def _fake_feature(buf: bytes) -> np.ndarray:
     return ((seeds >> np.uint64(11)).astype(np.float64) / float(1 << 53)).astype(np.float32)
 
 
+def _overlap_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Area-average resampling weights: ``W[i, j]`` = fraction of output
+    cell ``i``'s source interval covered by input cell ``j`` (rows sum to
+    1).  Exact box filtering at ANY ratio — non-integer downsamples get
+    fractional edge weights instead of nearest-neighbor aliasing, and
+    upsampling degrades gracefully to fractional-edge interpolation.
+    Pure closed-form numpy: deterministic everywhere, no codec libs."""
+    edges = np.linspace(0.0, float(n_in), n_out + 1)
+    j = np.arange(n_in, dtype=np.float64)
+    lo = np.maximum(edges[:-1, None], j[None, :])
+    hi = np.minimum(edges[1:, None], j[None, :] + 1.0)
+    w = np.clip(hi - lo, 0.0, None)
+    return w / (edges[1:] - edges[:-1])[:, None]
+
+
+def resize_pixels(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resize of an (h, w, c) or (h, w) pixel array —
+    the thumbnail/downsample kernel of the multimodal pipeline (float64
+    accumulation, float32 out in 0-255 scale)."""
+    arr = px.astype(np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    wh = _overlap_weights(arr.shape[0], out_h)
+    ww = _overlap_weights(arr.shape[1], out_w)
+    out = np.einsum("oh,hwc,pw->opc", wh, arr, ww, optimize=True)
+    return out.astype(np.float32)
+
+
+RESIZED_SCHEMA = ("url string, format string, src_w int, src_h int, "
+                  "thumb_w int, thumb_h int, real_decode boolean, "
+                  "thumb array<float>")
+
+
+def _decode_any_pixels(buf: bytes) -> tuple[str, np.ndarray] | None:
+    """(format, pixels) via the real decoders: BMP/PNG/GIF/JPEG images, or
+    the first sampled frame of an MJPEG-AVI video."""
+    for fmt, fn in (("bmp", decode_bmp_pixels), ("png", decode_png_pixels),
+                    ("gif", decode_gif_pixels)):
+        px = fn(buf)
+        if px is not None:
+            return fmt, px
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+        px = decode_jpeg_pixels(buf)
+        if px is not None:
+            return "jpeg", px
+    frames = decode_avi_mjpeg_frames(buf, max_frames=1)
+    if frames:
+        return "avi", frames[0]
+    return None
+
+
+def resize_media_batches(out_h: int, out_w: int):
+    """``mapInPandas`` kernel factory: media rows → area-average thumbnails
+    (flattened RGB float rows, ≤ out_h × out_w × 3 values each — the batch
+    output is thumbnails only, never source pixels, so a 100-TB image
+    table maps to a bounded-width thumbnail table with zero shuffle).
+    Rows whose bytes no real decoder handles emit a null thumb with
+    ``real_decode=false`` — no fake pixels."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "format", "src_w", "src_h",
+                                   "thumb_w", "thumb_h", "real_decode",
+                                   "thumb")}
+            for url, content in zip(pdf["url"], pdf["content"]):
+                buf = bytes(content)
+                decoded = _decode_any_pixels(buf)
+                out["url"].append(url)
+                if decoded is None:
+                    out["format"].append(None)
+                    out["src_w"].append(None)
+                    out["src_h"].append(None)
+                    out["thumb_w"].append(None)
+                    out["thumb_h"].append(None)
+                    out["real_decode"].append(False)
+                    out["thumb"].append(None)
+                    continue
+                fmt, px = decoded
+                th = resize_pixels(px, out_h, out_w)
+                out["format"].append(fmt)
+                out["src_w"].append(int(px.shape[1]))
+                out["src_h"].append(int(px.shape[0]))
+                out["thumb_w"].append(out_w)
+                out["thumb_h"].append(out_h)
+                out["real_decode"].append(True)
+                out["thumb"].append(th.reshape(-1))
+            yield pd.DataFrame(out)
+    return kernel
+
+
+def resize_media(media_df, *, out_h: int = 8, out_w: int = 8):
+    """Spark plan: media table → thumbnail table (column-pruned scan; one
+    Arrow pass, no shuffle — partition layout passes through)."""
+    return media_df.select("url", "content").mapInPandas(
+        resize_media_batches(out_h, out_w), schema=RESIZED_SCHEMA)
+
+
 def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` kernel: media rows → typed metadata + feature vector.
 

@@ -253,3 +253,59 @@ class TestSparkPlumbing:
         out = similarity.brute_force_topk(corpus, queries, k=1).toPandas()
         assert len(out) == 5
         assert (out["cos_sim"] <= 1.000001).all()
+
+
+class TestResize:
+    def test_exact_box_average_integer_factor(self):
+        """4×4 → 2×2 with an integer factor is the plain mean of each
+        2×2 block."""
+        import numpy as np
+
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        th = mm.resize_pixels(px, 2, 2)
+        assert th.shape == (2, 2, 3)
+        for oi in range(2):
+            for oj in range(2):
+                block = px[2 * oi:2 * oi + 2, 2 * oj:2 * oj + 2, :]
+                want = block.astype(np.float64).mean(axis=(0, 1))
+                assert np.allclose(th[oi, oj], want)
+
+    def test_fractional_factor_preserves_mass(self):
+        """Non-integer ratio (5 → 2): area weights partition the source
+        exactly, so the global mean is preserved (no aliasing drop-out) and
+        weights rows sum to 1."""
+        import numpy as np
+
+        w = mm._overlap_weights(5, 2)
+        assert np.allclose(w.sum(axis=1), 1.0)
+        px = (np.arange(75, dtype=np.float64).reshape(5, 5, 3) * 3.1) % 251
+        th = mm.resize_pixels(px, 2, 2)
+        assert np.allclose(th.mean(axis=(0, 1)),
+                           px.mean(axis=(0, 1)), atol=1e-4)
+
+    def test_identity_and_grayscale(self):
+        import numpy as np
+
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)  # grayscale 2-D
+        th = mm.resize_pixels(px, 3, 4)
+        assert th.shape == (3, 4, 1)
+        assert np.allclose(th[:, :, 0], px)
+
+    def test_spark_thumbnail_plan(self, spark):
+        """resize_media over the synthetic media table: every really-
+        decodable row (images + MJPEG-AVI first frame) gets a thumbnail of
+        exactly out_h×out_w×3 floats; undecodable rows carry null thumbs,
+        and the kernel is deterministic."""
+        out = mm.resize_media(mm.media_df(spark, 60), out_h=4,
+                              out_w=6).toPandas().sort_values("url")
+        real = out[out["real_decode"]]
+        assert len(real) > 0
+        assert set(real["format"]) <= {"bmp", "png", "gif", "jpeg", "avi"}
+        assert all(len(t) == 4 * 6 * 3 for t in real["thumb"])
+        assert (real["thumb_w"] == 6).all() and (real["thumb_h"] == 4).all()
+        fake = out[~out["real_decode"]]
+        assert all(t is None for t in fake["thumb"])
+        again = mm.resize_media(mm.media_df(spark, 60), out_h=4,
+                                out_w=6).toPandas().sort_values("url")
+        for a, b in zip(out["thumb"], again["thumb"]):
+            assert (a is None and b is None) or (a == b).all()
