@@ -521,9 +521,13 @@ RESIZED_SCHEMA = ("url string, format string, src_w int, src_h int, "
                   "thumb array<float>")
 
 
-def _decode_any_pixels(buf: bytes) -> tuple[str, np.ndarray] | None:
-    """(format, pixels) via the real decoders: BMP/PNG/GIF/JPEG images, or
-    the first sampled frame of an MJPEG-AVI video."""
+def _decode_any_pixels(buf: bytes, *, include_video: bool = True
+                       ) -> tuple[str, np.ndarray] | None:
+    """(format, pixels) via the real decoders — the ONE copy of the
+    decoder cascade (``decode_media_batches``'s image branch and the
+    thumbnail kernel both dispatch through here, so a new decoder or a
+    fallback-order fix lands in both): BMP/PNG/GIF/JPEG images, plus —
+    with ``include_video`` — the first sampled frame of an MJPEG-AVI."""
     for fmt, fn in (("bmp", decode_bmp_pixels), ("png", decode_png_pixels),
                     ("gif", decode_gif_pixels)):
         px = fn(buf)
@@ -534,9 +538,10 @@ def _decode_any_pixels(buf: bytes) -> tuple[str, np.ndarray] | None:
         px = decode_jpeg_pixels(buf)
         if px is not None:
             return "jpeg", px
-    frames = decode_avi_mjpeg_frames(buf, max_frames=1)
-    if frames:
-        return "avi", frames[0]
+    if include_video:
+        frames = decode_avi_mjpeg_frames(buf, max_frames=1)
+        if frames:
+            return "avi", frames[0]
     return None
 
 
@@ -602,18 +607,9 @@ def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             fmt, w, h, rate, dur = None, None, None, None, None
             real, feature = False, None
             if mtype == "image":
-                px = decode_bmp_pixels(buf)
-                if px is None:
-                    px = decode_png_pixels(buf)
-                if px is None:
-                    px = decode_gif_pixels(buf)
-                if px is None and buf[:2] == b"\xff\xd8":
-                    from .jpeg import decode_jpeg_pixels
-                    px = decode_jpeg_pixels(buf)
-                if px is not None:
-                    fmt = ("png" if buf[:4] == b"\x89PNG"[:4]
-                           else "gif" if buf[:3] == b"GIF"
-                           else "jpeg" if buf[:2] == b"\xff\xd8" else "bmp")
+                decoded_px = _decode_any_pixels(buf, include_video=False)
+                if decoded_px is not None:
+                    fmt, px = decoded_px
                     w, h = px.shape[1], px.shape[0]
                     real, feature = True, image_feature(px)
                 else:

@@ -365,8 +365,12 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
     tau = float(threshold)
     if keep not in ("min_id", "far_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_centroid': {keep!r}")
-    cn = centroids / np.maximum(
+    # only the far_centroid priority needs centroid cosines — keep the
+    # normalized matrix out of the min_id closure (at SemDeDup scale the
+    # k×d float64 copy is real per-task serialization weight)
+    cn = (centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        if keep == "far_centroid" else None)
 
     tagged = ivf_assign(corpus, centroids, vec_col=vec_col)
     out_schema = (f"{id_col} long, cell_id int, kept boolean, "

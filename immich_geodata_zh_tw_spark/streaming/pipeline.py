@@ -43,6 +43,48 @@ PAGES_SCHEMA = StructType([
 ])
 
 
+def _run_incremental(spark: SparkSession, *, schema: StructType,
+                     input_path: str, output_path: str, checkpoint_path: str,
+                     batch_transform, available_now: bool,
+                     stream_transform=None):
+    """ONE copy of the incremental-pipeline contract shared by every
+    composed pipeline in this module — fresh-checkpoint output-lineage
+    scoping (module docstring; round-2 VERDICT item 10), the file-stream
+    reader, the idempotent ``batch_id``-scoped overwrite sink, and the
+    ``Trigger.AvailableNow`` wiring — so a fix to any part of the contract
+    cannot drift between pipelines.
+
+    ``stream_transform`` (optional) maps the raw stream DataFrame to the
+    streaming query to run (e.g. a stateful stage whose state rides this
+    checkpoint); ``batch_transform(batch_df)`` maps each micro-batch to
+    the rows written under ``output_path/batch_id=N``.
+    """
+    # fresh checkpoint (no committed offsets) ⇒ no prior output of THIS
+    # lineage can exist — clear orphans from any earlier lineage so reads
+    # never mix runs
+    if not (Path(checkpoint_path) / "offsets").exists():
+        shutil.rmtree(output_path, ignore_errors=True)
+
+    stream = (spark.readStream
+              .schema(schema)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(input_path))
+    if stream_transform is not None:
+        stream = stream_transform(stream)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        out = batch_transform(batch_df)
+        # idempotent per-batch sink: retried batches overwrite, never append
+        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
                                 output_path: str, checkpoint_path: str,
                                 polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame,
@@ -54,28 +96,12 @@ def incremental_reverse_geocode(spark: SparkSession, *, input_path: str,
     """
     from ..plans.reverse_geocode import reverse_geocode_pages
 
-    # fresh checkpoint (no committed offsets) ⇒ no prior output of THIS
-    # lineage can exist — clear orphans from any earlier lineage so reads
-    # never mix runs (module docstring; round-2 VERDICT item 10)
-    if not (Path(checkpoint_path) / "offsets").exists():
-        shutil.rmtree(output_path, ignore_errors=True)
-
-    stream = (spark.readStream
-              .schema(PAGES_SCHEMA)
-              .option("maxFilesPerTrigger", 64)
-              .parquet(input_path))
-
-    def process_batch(batch_df, batch_id: int) -> None:
-        out = reverse_geocode_pages(spark, batch_df, polys_pdf, cities_pdf)
-        # idempotent per-batch sink: retried batches overwrite, never append
-        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
-
-    writer = (stream.writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint_path))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_incremental(
+        spark, schema=PAGES_SCHEMA, input_path=input_path,
+        output_path=output_path, checkpoint_path=checkpoint_path,
+        batch_transform=lambda bdf: reverse_geocode_pages(
+            spark, bdf, polys_pdf, cities_pdf),
+        available_now=available_now)
 
 
 NEARDUP_DOCS_SCHEMA = StructType([
@@ -101,28 +127,18 @@ def incremental_neardup(spark: SparkSession, *, input_path: str,
     lineage scoping and ``Trigger.AvailableNow`` resumability are the same
     contract as :func:`incremental_reverse_geocode` (module docstring).
 
+    Every input doc appears in the output exactly once per arrival —
+    null-text docs ride the flags operator's stateless pass-through branch
+    and come out ``kept=true`` (never silently dropped).
+
     Returns the StreamingQuery.  Extra kwargs (``horizon``, ``watermark``,
     ``n_bands``, ``shingle``…) pass through to the flags operator.
     """
     from .stateful import neardup_verdicts, streaming_neardup_flags
 
-    if not (Path(checkpoint_path) / "offsets").exists():
-        shutil.rmtree(output_path, ignore_errors=True)
-
-    stream = (spark.readStream
-              .schema(NEARDUP_DOCS_SCHEMA)
-              .option("maxFilesPerTrigger", 64)
-              .parquet(input_path))
-    flags = streaming_neardup_flags(stream, **neardup_kw)
-
-    def process_batch(batch_df, batch_id: int) -> None:
-        out = neardup_verdicts(batch_df)
-        out.write.mode("overwrite").parquet(
-            f"{output_path}/batch_id={batch_id}")
-
-    writer = (flags.writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint_path))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_incremental(
+        spark, schema=NEARDUP_DOCS_SCHEMA, input_path=input_path,
+        output_path=output_path, checkpoint_path=checkpoint_path,
+        stream_transform=lambda s: streaming_neardup_flags(s, **neardup_kw),
+        batch_transform=neardup_verdicts,
+        available_now=available_now)

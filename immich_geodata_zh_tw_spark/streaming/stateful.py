@@ -317,32 +317,65 @@ def streaming_neardup_flags(stream: DataFrame, *, id_col: str = "doc_id",
     with :func:`neardup_verdicts` inside ``foreachBatch`` (chaining a
     second stateful/agg stage after ``applyInPandasWithState`` in one
     streaming query is unsupported; ``foreachBatch`` is the engine's
-    standard composition point, streaming/pipeline.py).  Docs with null
-    text produce no band rows (no dedup signal — the caller passes them
-    through as kept).  Like the batch LSH clustering, a flagged doc still
-    registers its OWN fresh signatures, so chains of successive edits
-    collapse onto the earliest doc transitively.
+    standard composition point, streaming/pipeline.py).  Docs with NULL
+    text have no dedup signal: they bypass the stateful stage on a
+    stateless union branch as ``collided=false`` rows with null
+    band_idx/sig, so the per-doc rollup still emits them as kept (a
+    composed pipeline must never silently drop documents).  A flagged doc
+    still registers its OWN fresh signatures, so each successive edit in
+    a chain is flagged too — but ``first_id`` points ONE hop back (the
+    registering doc of the collided signature), not to the chain root;
+    the authoritative connected-component collapse is the batch
+    clustering operator (``dedup.neardup_cluster_labels``), run
+    downstream.
+
+    Event-time contract: the TTL compares the rows' epoch against Spark's
+    UTC watermark clock, so the session timezone MUST be UTC (the session
+    factory pins ``spark.sql.session.timeZone=UTC``; a non-UTC session
+    would skew eviction by the zone offset) — enforced here.
     """
     from ..operators.dedup import minhash_bands_udf
 
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"streaming_neardup_flags requires spark.sql.session.timeZone="
+            f"UTC (got {tz!r}): applyInPandasWithState delivers session-"
+            f"zone wall times while the eviction watermark is UTC epoch")
     horizon_ms = _interval_ms(horizon)
-    bands = (stream
-             .withWatermark(ts_col, watermark)
-             .select(F.col(id_col).alias("doc_id"),
-                     F.col(ts_col).alias("ts"),
-                     minhash_bands_udf(n_bands=n_bands, shingle=shingle)(
-                         F.col(text_col)).alias("__bands"))
+    wm = stream.withWatermark(ts_col, watermark)
+    # posexplode_OUTER + null-sig filter on purpose — plain explode makes
+    # Catalyst infer a size(arr) > 0 pre-Generate filter that re-evaluates
+    # the Python UDF a second time per row (measured; see the batch twin
+    # dedup._bands_frame).  The kernel emits None only for null TEXT,
+    # never null elements, so the null-band rows the outer variant adds
+    # are exactly the null-text docs, dropped here and re-emitted kept on
+    # the stateless branch below.
+    bands = (wm.select(F.col(id_col).alias("doc_id"),
+                       F.col(ts_col).alias("ts"),
+                       minhash_bands_udf(n_bands=n_bands, shingle=shingle)(
+                           F.col(text_col)).alias("__bands"))
              .select("doc_id", "ts",
                      F.posexplode_outer("__bands").alias("band_idx", "sig"))
              .filter(F.col("sig").isNotNull()))
-    return (bands
-            .groupBy("band_idx", "sig")
-            .applyInPandasWithState(
-                _neardup_fn(horizon_ms),
-                outputStructType=NEARDUP_OUTPUT,
-                stateStructType=NEARDUP_STATE,
-                outputMode="append",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    flagged = (bands
+               .groupBy("band_idx", "sig")
+               .applyInPandasWithState(
+                   _neardup_fn(horizon_ms),
+                   outputStructType=NEARDUP_OUTPUT,
+                   stateStructType=NEARDUP_STATE,
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    # stateless pass-through for null-text docs (no UDF re-run: the kernel
+    # returns null bands exactly when text is null)
+    passthrough = (wm.filter(F.col(text_col).isNull())
+                   .select(F.col(id_col).alias("doc_id"),
+                           F.col(ts_col).alias("ts"),
+                           F.lit(None).cast("int").alias("band_idx"),
+                           F.lit(None).cast("string").alias("sig"),
+                           F.lit(None).cast("long").alias("first_id"),
+                           F.lit(False).alias("collided")))
+    return flagged.unionByName(passthrough)
 
 
 def neardup_verdicts(band_flags: DataFrame, *,

@@ -213,14 +213,12 @@ class TestIncrementalNeardup:
         from immich_geodata_zh_tw_spark.streaming.pipeline import (
             NEARDUP_DOCS_SCHEMA, incremental_neardup)
 
+        from conftest import (NEARDUP_TXT_X as x, NEARDUP_TXT_X2 as x2,
+                              NEARDUP_TXT_Y as y)
+
         inp = str(tmp_path / "in")
         outp = str(tmp_path / "out")
         ckpt = str(tmp_path / "ckpt")
-        x = ("the quick brown fox jumps over the lazy dog while the crawler "
-             "fetches the same page again and again for testing")
-        x2 = x.replace("dog", "cat")  # shares 3 of 4 band signatures
-        y = ("completely different content about geospatial reverse "
-             "geocoding engines running on very large sparse clusters")
 
         def write(rows):
             pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
@@ -229,12 +227,16 @@ class TestIncrementalNeardup:
              .coalesce(1).write.mode("append").parquet(inp))
 
         write([(1, "2026-01-01 10:00:00", x),
-               (3, "2026-01-01 10:10:00", y)])
+               (3, "2026-01-01 10:10:00", y),
+               (7, "2026-01-01 10:11:00", None)])
         q = incremental_neardup(spark, input_path=inp, output_path=outp,
                                 checkpoint_path=ckpt, horizon="24 hours")
         q.awaitTermination(120)
         got1 = spark.read.parquet(outp).toPandas().set_index("doc_id")
         assert bool(got1.loc[1, "kept"]) and bool(got1.loc[3, "kept"])
+        # null-text docs must come through the DEPLOYED pipeline as kept,
+        # not be silently dropped by the band explode
+        assert bool(got1.loc[7, "kept"])
 
         # restart with one new file: the edited recrawl is flagged against
         # doc 1 via state carried in the checkpoint; old batches not redone
@@ -244,5 +246,5 @@ class TestIncrementalNeardup:
         q2.awaitTermination(120)
         got2 = (spark.read.parquet(outp).toPandas()
                 .sort_values("doc_id").set_index("doc_id"))
-        assert got2.index.tolist() == [1, 2, 3]
+        assert got2.index.tolist() == [1, 2, 3, 7]
         assert not bool(got2.loc[2, "kept"]) and got2.loc[2, "dup_of"] == 1

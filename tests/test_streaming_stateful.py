@@ -258,21 +258,10 @@ class TestStreamingHostBudget:
             spark.conf.set(key, old)
 
 
-NEARDUP_DOCS_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("ts", TimestampType()),
-    StructField("text", StringType()),
-])
+from conftest import (NEARDUP_TXT_X as _TXT_X, NEARDUP_TXT_X2 as _TXT_X2,
+                      NEARDUP_TXT_Y as _TXT_Y)
+from immich_geodata_zh_tw_spark.streaming.pipeline import NEARDUP_DOCS_SCHEMA
 
-# deterministic fixture pair: X2 is X with ONE word changed — shares 3 of 4
-# MinHash band signatures with X (verified against the shared kernel), so it
-# collides through the LSH state while Y shares 0 bands with either
-_TXT_X = ("the quick brown fox jumps over the lazy dog while the crawler "
-          "fetches the same page again and again for testing")
-_TXT_X2 = ("the quick brown fox jumps over the lazy cat while the crawler "
-           "fetches the same page again and again for testing")
-_TXT_Y = ("completely different content about geospatial reverse geocoding "
-          "engines running on very large sparse clusters")
 _TXT_W = ("a third unrelated page used only to advance the event clock and "
           "let expired signature state fire its timeout")
 
@@ -309,7 +298,7 @@ class TestStreamingNeardup:
 
         inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
         # batch 1: original X, near-dup X2 (flag, dup_of=1), distinct Y,
-        # null text (no signal — produces no band rows at all)
+        # null text (no signal — rides the stateless pass-through as kept)
         self._write(spark, inp, [
             (1, "2026-01-01 10:00:00", _TXT_X),
             (2, "2026-01-01 10:05:00", _TXT_X2),
@@ -340,7 +329,10 @@ class TestStreamingNeardup:
         flags = spark.read.parquet(out)
         got = (neardup_verdicts(flags).toPandas()
                .sort_values("doc_id").set_index("doc_id"))
-        assert got.index.tolist() == [1, 2, 3, 4, 5, 6, 7, 9]  # no doc 8
+        assert got.index.tolist() == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+        # null-text doc: no dedup signal, emitted kept via the stateless
+        # pass-through branch (a pipeline must never silently drop docs)
+        assert bool(got.loc[8, "kept"]) and pd.isna(got.loc[8, "dup_of"])
         assert bool(got.loc[1, "kept"]) and pd.isna(got.loc[1, "dup_of"])
         assert not bool(got.loc[2, "kept"]) and got.loc[2, "dup_of"] == 1
         assert bool(got.loc[3, "kept"])
