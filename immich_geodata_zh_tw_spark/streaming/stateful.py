@@ -326,8 +326,7 @@ def streaming_neardup_flags(stream: DataFrame, *, id_col: str = "doc_id",
     a chain is flagged too — but ``first_id`` points ONE hop back (the
     registering doc of the collided signature), not to the chain root;
     the authoritative connected-component collapse is the batch
-    clustering operator (``dedup.neardup_cluster_labels``), run
-    downstream.
+    clustering operator (``dedup.minhash_clusters``), run downstream.
 
     Event-time contract: the TTL compares the rows' epoch against Spark's
     UTC watermark clock, so the session timezone MUST be UTC (the session
