@@ -2178,7 +2178,12 @@ def q_embed_neardup(spark, sf_dir):
       assignment per row against strided-row centroids (the ``_IVF_STRIDE``
       trick makes the quantizer SQL-replicable), then per-cell min-id
       dominance at the same cosine threshold — per-row keep/drop verdicts
-      with the dup target and similarity, vs the pair branch's edge list.
+      with the dup target and similarity, vs the pair branch's edge list;
+    * ``semdedup_far`` — the SAME dedup under the paper's own
+      keep-farthest-from-centroid policy (``keep='far_centroid'``):
+      priority = 9-dp-rounded centroid cosine ASC with id tie-break, so
+      the survivors are each semantic cluster's outer shell — both policy
+      code paths are hash-checked against the one SQL spec family.
     """
     import numpy as np
 
@@ -2207,18 +2212,25 @@ def q_embed_neardup(spark, sf_dir):
                        dtype=np.float64)
     sem = similarity.semantic_dedup(corpus, cents, id_col="vec_id",
                                     vec_col="v", threshold=_ND_THRESHOLD)
+    sem_far = similarity.semantic_dedup(corpus, cents, id_col="vec_id",
+                                        vec_col="v", threshold=_ND_THRESHOLD,
+                                        keep="far_centroid")
     null_l = F.lit(None).cast("long")
     b1 = pairs.select(F.lit("pairs").alias("op"),
                       F.col("id_a"), F.col("id_b"), F.col("cos_sim"),
                       null_l.alias("cell_id"),
                       F.lit(None).cast("boolean").alias("kept"))
-    b2 = sem.select(F.lit("semdedup").alias("op"),
-                    F.col("vec_id").alias("id_a"),
-                    F.col("dup_of").alias("id_b"),
-                    F.col("dup_sim").alias("cos_sim"),
-                    F.col("cell_id").cast("long").alias("cell_id"),
-                    F.col("kept"))
-    return b1.unionByName(b2)
+
+    def sem_branch(df, op):
+        return df.select(F.lit(op).alias("op"),
+                         F.col("vec_id").alias("id_a"),
+                         F.col("dup_of").alias("id_b"),
+                         F.col("dup_sim").alias("cos_sim"),
+                         F.col("cell_id").cast("long").alias("cell_id"),
+                         F.col("kept"))
+
+    return (b1.unionByName(sem_branch(sem, "semdedup"))
+            .unionByName(sem_branch(sem_far, "semdedup_far")))
 
 
 def _sql_embed_neardup() -> str:
@@ -2237,6 +2249,7 @@ def _sql_embed_neardup() -> str:
 
     cos_cc = _COS_DUCK.format(a="corpus.v", b="cents.v")
     cos_ab = _COS_DUCK.format(a="ca.v", b="cb.v")
+    cos_pri = cos_cc  # priority cosine: row against its ASSIGNED centroid
     return f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (
@@ -2267,6 +2280,23 @@ sd_hit AS (
     FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
     JOIN corpus ca ON ca.vec_id = a.vec_id
     JOIN corpus cb ON cb.vec_id = b.vec_id
+    WHERE round({cos_ab}, 9) >= {_ND_THRESHOLD!r}) WHERE rn = 1),
+pri AS (
+  SELECT a.vec_id, a.cid, round({cos_pri}, 9) AS cs
+  FROM assign a JOIN corpus ON corpus.vec_id = a.vec_id
+  JOIN cents ON cents.cid = a.cid),
+sd_far_hit AS (
+  -- far-centroid dominance: a dominates b iff a precedes b in priority
+  -- order (centroid-cosine ASC, id ASC) and they are >= tau similar;
+  -- dup_of = the FIRST dominator in that order (the outermost one)
+  SELECT vec_id, dup_of, dup_sim FROM (
+    SELECT pb.vec_id, pa.vec_id AS dup_of, round({cos_ab}, 9) AS dup_sim,
+           row_number() OVER (PARTITION BY pb.vec_id
+                              ORDER BY pa.cs ASC, pa.vec_id ASC) AS rn
+    FROM pri pa JOIN pri pb ON pa.cid = pb.cid
+      AND (pa.cs < pb.cs OR (pa.cs = pb.cs AND pa.vec_id < pb.vec_id))
+    JOIN corpus ca ON ca.vec_id = pa.vec_id
+    JOIN corpus cb ON cb.vec_id = pb.vec_id
     WHERE round({cos_ab}, 9) >= {_ND_THRESHOLD!r}) WHERE rn = 1)
 SELECT 'pairs' AS op, id_a, id_b, cos_sim, CAST(NULL AS BIGINT) AS cell_id,
        CAST(NULL AS BOOLEAN) AS kept FROM (
@@ -2279,6 +2309,11 @@ SELECT 'semdedup' AS op, asg.vec_id AS id_a, h.dup_of AS id_b,
        h.dup_sim AS cos_sim, CAST(asg.cid AS BIGINT) AS cell_id,
        h.dup_of IS NULL AS kept
 FROM assign asg LEFT JOIN sd_hit h ON h.vec_id = asg.vec_id
+UNION ALL
+SELECT 'semdedup_far' AS op, asg.vec_id AS id_a, h.dup_of AS id_b,
+       h.dup_sim AS cos_sim, CAST(asg.cid AS BIGINT) AS cell_id,
+       h.dup_of IS NULL AS kept
+FROM assign asg LEFT JOIN sd_far_hit h ON h.vec_id = asg.vec_id
 """
 
 
