@@ -370,3 +370,29 @@ class TestStreamingNeardup:
                 assert got.loc[d, "dup_of"] == 105
         finally:
             spark.conf.set(key, old)
+
+
+def test_neardup_rejects_non_utc_session(spark, tmp_path):
+    """The event-time TTL mixes kernel wall-times with the UTC watermark
+    clock, so a non-UTC session must be rejected up front (a silent skew
+    would mis-time eviction by the zone offset)."""
+    import pytest
+
+    from immich_geodata_zh_tw_spark.streaming.stateful import \
+        streaming_neardup_flags
+
+    inp = str(tmp_path / "in")
+    pd.DataFrame({"doc_id": [1], "ts": [pd.Timestamp("2026-01-01")],
+                  "text": ["x"]}).pipe(
+        lambda p: spark.createDataFrame(p, schema=NEARDUP_DOCS_SCHEMA)
+        .write.mode("append").parquet(inp))
+    stream = spark.readStream.schema(NEARDUP_DOCS_SCHEMA).parquet(inp)
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/Los_Angeles")
+        with pytest.raises(ValueError, match="timeZone"):
+            streaming_neardup_flags(stream)
+    finally:
+        spark.conf.set(key, old)
+    streaming_neardup_flags(stream)  # UTC restored: constructs fine
