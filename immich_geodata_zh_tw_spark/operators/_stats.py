@@ -14,9 +14,17 @@ fan-out multiplier (how many bytes of join-side rows one source byte
 becomes, hashed-relation overhead included).  Under the session's
 broadcast threshold the frame is left unhinted (broadcast stays the
 fast path for genuinely small corpora — measured +2.2 s on the sf0.1
-jaccard bench row when force-hinted); over it, ``shuffle_hash`` forces
-the partitioned hash join the uniform keys want.  Unknown stats or an
-unparsable threshold fail toward the hint — the scale-safe side.
+jaccard bench row when force-hinted); over it, ``merge`` forces
+SORT-MERGE — the only strategy that is spillable on BOTH sides.  The
+first version of this hint used ``shuffle_hash`` there; a 1.6 M-doc
+stress run killed it with ``Can't acquire 268435456 bytes memory to
+build hash relation``: the per-partition hashed-relation build is
+non-spillable, and the true build width of an exploded hash frame runs
+~30× the compressed scan estimate (snappy text compresses far better
+than fixed-width hash rows), so no static estimate can safely budget
+it.  Sort-merge costs a sort per side but cannot OOM at any corpus
+size — the 100-TB-first trade.  Unknown stats or an unparsable
+threshold fail toward the hint — the scale-safe side.
 """
 
 from __future__ import annotations
@@ -48,8 +56,9 @@ def estimated_bytes(df: DataFrame) -> int | None:
 def hint_if_large(derived: DataFrame, source: DataFrame, *,
                   fanout: float) -> DataFrame:
     """``derived`` (a fan-out frame computed from ``source`` behind a
-    Python UDF) gets a ``shuffle_hash`` hint unless ``source``'s estimate
-    × ``fanout`` fits under the session broadcast threshold."""
+    Python UDF) gets a spill-safe ``merge`` hint unless ``source``'s
+    estimate × ``fanout`` fits under the session broadcast threshold
+    (module docstring: why merge and not shuffle_hash)."""
     try:
         raw = source.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold")
@@ -60,4 +69,4 @@ def hint_if_large(derived: DataFrame, source: DataFrame, *,
     if thr is not None and thr > 0 and est is not None \
             and est * fanout <= thr:
         return derived
-    return derived.hint("shuffle_hash")
+    return derived.hint("merge")

@@ -240,7 +240,7 @@ def _pairs_from_bands(bands: DataFrame, *, id_col: str,
     single-threaded hashed-relation build serialized the whole stage
     (caught by ``bench/scaling_dedup.py``; at real scale it is a driver
     OOM).  :func:`_stats.hint_if_large` corrects the estimate with the
-    band fan-out and forces the partitioned hash join the uniform
+    band fan-out and forces the spill-safe sort-merge join the uniform
     (band, sig) key wants — while a genuinely small corpus keeps the
     fast broadcast path.
     """

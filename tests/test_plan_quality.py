@@ -275,10 +275,12 @@ class TestScaleSafeJoinSides:
         tags) carry the PRE-fan-out scan estimate, so the operator — not
         Catalyst — must decide broadcast vs partitioned join from the
         source estimate × fan-out (operators/_stats.hint_if_large).  Under
-        the threshold the fast broadcast path must survive; over it the
-        plan must use ShuffledHashJoin — specifically NOT SortMergeJoin,
-        which is what Spark would pick on its own once broadcast is ruled
-        out, proving the hint (not just the threshold) steered the plan."""
+        the threshold the fast broadcast path must survive; over it every
+        join touching the fan-out frame must be SortMergeJoin — the only
+        spillable-both-sides strategy (a shuffle_hash build is
+        non-spillable and died with 'Can't acquire memory to build hash
+        relation' in a 1.6 M-doc stress run) — and, critically, NO
+        BroadcastHashJoin of a corpus-derived frame may survive."""
         from immich_geodata_zh_tw_spark.operators import dedup
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -295,8 +297,8 @@ class TestScaleSafeJoinSides:
                                             text_col="text", threshold=0.2)
             plan = _plan(out)
             assert "BroadcastHashJoin" not in plan, plan
-            assert "ShuffledHashJoin" in plan, plan
-            assert "SortMergeJoin" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert "ShuffledHashJoin" not in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -312,6 +314,7 @@ class TestScaleSafeJoinSides:
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
             plan = _plan(mk())
-            assert "ShuffledHashJoin" in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert "BroadcastHashJoin" not in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
