@@ -332,6 +332,12 @@ def streaming_neardup_flags(stream: DataFrame, *, id_col: str = "doc_id",
     UTC watermark clock, so the session timezone MUST be UTC (the session
     factory pins ``spark.sql.session.timeZone=UTC``; a non-UTC session
     would skew eviction by the zone offset) — enforced here.
+
+    State-store sizing: the default HDFS-backed provider keeps every live
+    signature in executor MEMORY; at crawl scale set
+    ``spark.sql.streaming.stateStore.providerClass`` to Spark's built-in
+    ``RocksDBStateStoreProvider`` (disk-backed, bounded memory) — the
+    operator is provider-agnostic and is tested under both.
     """
     from ..operators.dedup import minhash_bands_udf
 
