@@ -8,7 +8,11 @@ This sandbox ships no Iceberg runtime jars, so the reader resolves in order:
    catalog — partition pruning, snapshot isolation, hidden-partition
    transforms all come from the table format);
 2. explicit ``format='iceberg'`` path load;
-3. parquet directory fallback (what the sandbox tests/bench use) — same
+3. **jar-less Iceberg metadata walk** (``sources/iceberg_lite`` — pure
+   Python over the table's own metadata JSON + Avro manifests): a real
+   Iceberg table layout reads snapshot-consistently even with no Iceberg
+   runtime on the classpath (this sandbox);
+4. parquet directory fallback (what the sandbox tests/bench use) — same
    schema, same downstream plan.
 
 **Partition spec (production note).**  The 10^12-row table should be
@@ -42,13 +46,21 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Resolve the pages table from an Iceberg table name, an Iceberg path,
     or a parquet directory — whichever the environment provides."""
+    import os
+
     if not ("/" in source or source.endswith(".parquet")):
         df = spark.read.table(source)  # catalog table (Iceberg in prod)
     else:
         try:
             df = spark.read.format("iceberg").load(source)
-        except Exception:  # no Iceberg jars — sandbox fallback
-            df = spark.read.parquet(source)
+        except Exception:  # no Iceberg jars
+            if os.path.isdir(os.path.join(source, "metadata")):
+                # real Iceberg layout, no runtime: pure-Python metadata walk
+                from .iceberg_lite import read_iceberg_table
+
+                df = read_iceberg_table(spark, source)
+            else:
+                df = spark.read.parquet(source)  # plain-parquet fallback
     missing = [c for c in PAGES_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(f"pages source {source!r} lacks columns {missing}")
