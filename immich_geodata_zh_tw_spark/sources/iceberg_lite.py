@@ -113,9 +113,15 @@ def _select_snapshot(meta: dict, snapshot_id: int | None) -> dict:
 
 
 def data_files(table_path: str, *, snapshot_id: int | None = None,
-               meta: dict | None = None) -> list[str]:
+               meta: dict | None = None,
+               path_filter=None) -> list[str]:
     """Parquet data-file paths of one snapshot (spec walk, see module
-    docstring).  Raises ``NotImplementedError`` on merge-on-read deletes."""
+    docstring).  Raises ``NotImplementedError`` on merge-on-read deletes.
+
+    ``path_filter(path) -> bool`` drops files by path BEFORE the scan —
+    the caller-side stand-in for Iceberg partition pruning (partition
+    values are encoded in the data paths by every Iceberg writer layout,
+    e.g. ``.../warc_ts_day=2026-01-01/...``)."""
     meta = meta or load_table_metadata(table_path)
     location = meta.get("location")
     snap = _select_snapshot(meta, snapshot_id)
@@ -145,17 +151,23 @@ def data_files(table_path: str, *, snapshot_id: int | None = None,
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r} unsupported")
-            files.append(_remap(df["file_path"], table_path, location))
+            path = _remap(df["file_path"], table_path, location)
+            if path_filter is not None and not path_filter(path):
+                continue
+            files.append(path)
     return files
 
 
 def read_iceberg_table(spark: SparkSession, table_path: str, *,
-                       snapshot_id: int | None = None) -> DataFrame:
+                       snapshot_id: int | None = None,
+                       path_filter=None) -> DataFrame:
     """Read an Iceberg table path without Iceberg jars (module docstring).
 
     ``snapshot_id`` selects an older snapshot — time travel, same
-    semantics as Iceberg's ``VERSION AS OF``."""
-    files = data_files(table_path, snapshot_id=snapshot_id)
+    semantics as Iceberg's ``VERSION AS OF``; ``path_filter`` see
+    :func:`data_files`."""
+    files = data_files(table_path, snapshot_id=snapshot_id,
+                       path_filter=path_filter)
     if not files:
         raise ValueError(f"iceberg snapshot of {table_path!r} has no "
                          f"data files")

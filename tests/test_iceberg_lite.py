@@ -240,6 +240,16 @@ class TestIcebergLite:
         with pytest.raises(NotImplementedError, match="merge-on-read"):
             iceberg_lite.data_files(str(root))
 
+    def test_path_filter_prunes_files_before_scan(self, spark, tmp_path):
+        """Caller-side partition pruning: the filter sees final local
+        paths and drops files before Spark ever lists them."""
+        root = tmp_path / "tbl"
+        _build_table(spark, root)
+        df = iceberg_lite.read_iceberg_table(
+            spark, str(root), path_filter=lambda p: p.endswith("f1.parquet"))
+        assert sorted(r.url for r in df.select("url").collect()) == \
+            ["u1", "u2"]
+
     def test_relocated_table_paths_remap(self, spark, tmp_path):
         """Manifests keep the author-time absolute location; a MOVED table
         dir must still read (the remap rule)."""
