@@ -96,23 +96,33 @@ def _meta_version(name: str) -> tuple:
     return (int(m.group(1)) if m else -1, name)
 
 
-def _select_snapshot(meta: dict, snapshot_id: int | None) -> dict:
+def _select_snapshot(meta: dict, snapshot_id: int | None,
+                     as_of_timestamp_ms: int | None = None) -> dict:
     snaps = meta.get("snapshots") or []
     if not snaps:
         raise ValueError("iceberg table has no snapshots (empty table)")
-    if snapshot_id is None:
-        cur = meta.get("current-snapshot-id")
+    if snapshot_id is not None:
         for s in snaps:
-            if s.get("snapshot-id") == cur:
+            if s.get("snapshot-id") == snapshot_id:
                 return s
-        return snaps[-1]
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    if as_of_timestamp_ms is not None:
+        # TIMESTAMP AS OF: the latest snapshot committed at or before t
+        eligible = [s for s in snaps
+                    if s.get("timestamp-ms", 0) <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms}")
+        return max(eligible, key=lambda s: s.get("timestamp-ms", 0))
+    cur = meta.get("current-snapshot-id")
     for s in snaps:
-        if s.get("snapshot-id") == snapshot_id:
+        if s.get("snapshot-id") == cur:
             return s
-    raise ValueError(f"snapshot {snapshot_id} not found")
+    return snaps[-1]
 
 
 def data_files(table_path: str, *, snapshot_id: int | None = None,
+               as_of_timestamp_ms: int | None = None,
                meta: dict | None = None,
                path_filter=None) -> list[str]:
     """Parquet data-file paths of one snapshot (spec walk, see module
@@ -124,7 +134,7 @@ def data_files(table_path: str, *, snapshot_id: int | None = None,
     e.g. ``.../warc_ts_day=2026-01-01/...``)."""
     meta = meta or load_table_metadata(table_path)
     location = meta.get("location")
-    snap = _select_snapshot(meta, snapshot_id)
+    snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
 
     if "manifest-list" in snap:  # v2 (and late-v1) layout
         mlist_path = _remap(snap["manifest-list"], table_path, location)
@@ -160,13 +170,16 @@ def data_files(table_path: str, *, snapshot_id: int | None = None,
 
 def read_iceberg_table(spark: SparkSession, table_path: str, *,
                        snapshot_id: int | None = None,
+                       as_of_timestamp_ms: int | None = None,
                        path_filter=None) -> DataFrame:
     """Read an Iceberg table path without Iceberg jars (module docstring).
 
-    ``snapshot_id`` selects an older snapshot — time travel, same
-    semantics as Iceberg's ``VERSION AS OF``; ``path_filter`` see
+    ``snapshot_id`` selects an older snapshot (Iceberg ``VERSION AS OF``);
+    ``as_of_timestamp_ms`` the latest snapshot committed at or before the
+    epoch-ms instant (``TIMESTAMP AS OF``); ``path_filter`` see
     :func:`data_files`."""
     files = data_files(table_path, snapshot_id=snapshot_id,
+                       as_of_timestamp_ms=as_of_timestamp_ms,
                        path_filter=path_filter)
     if not files:
         raise ValueError(f"iceberg snapshot of {table_path!r} has no "

@@ -192,9 +192,11 @@ def _build_table(spark, root: Path):
                                                     "fields": []}]}
 
     s1 = {"snapshot-id": 1, "sequence-number": 1,
+          "timestamp-ms": 1_700_000_000_000,
           "manifest-list": f"file://{ml1}",
           "summary": {"operation": "append"}}
     s2 = {"snapshot-id": 2, "sequence-number": 2,
+          "timestamp-ms": 1_700_000_600_000,
           "manifest-list": f"file://{ml2}",
           "summary": {"operation": "append"}}
     (root / "metadata/v1.metadata.json").write_text(
@@ -239,6 +241,19 @@ class TestIcebergLite:
             [_manifest_row(root / "metadata/m2.avro", content=1, snap=2)])
         with pytest.raises(NotImplementedError, match="merge-on-read"):
             iceberg_lite.data_files(str(root))
+
+    def test_timestamp_as_of_travel(self, spark, tmp_path):
+        """TIMESTAMP AS OF: an instant between the two commits reads the
+        first snapshot; before the first commit is an error."""
+        root = tmp_path / "tbl"
+        _build_table(spark, root)
+        df = iceberg_lite.read_iceberg_table(
+            spark, str(root), as_of_timestamp_ms=1_700_000_300_000)
+        assert sorted(r.url for r in df.select("url").collect()) == \
+            ["u1", "u2"]
+        with pytest.raises(ValueError, match="no snapshot at or before"):
+            iceberg_lite.data_files(str(root),
+                                    as_of_timestamp_ms=1_600_000_000_000)
 
     def test_path_filter_prunes_files_before_scan(self, spark, tmp_path):
         """Caller-side partition pruning: the filter sees final local
