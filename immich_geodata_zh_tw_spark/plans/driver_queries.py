@@ -2334,9 +2334,35 @@ FROM assign asg LEFT JOIN sd_far_hit h ON h.vec_id = asg.vec_id
 # disagree on double rendering, numbers hash-match).
 
 
+def q_iceberg_roundtrip(spark, sf_dir):
+    """S5 driver evidence: an events subset round-trips through a REAL
+    Iceberg table layout — engine-written parquet data files + spec-shaped
+    metadata JSON / Avro manifests (``sources/iceberg_lite.bootstrap_table``)
+    — then comes back through the JAR-LESS metadata walk
+    (``read_iceberg_table``: version-hint → snapshot → Avro manifest list →
+    manifests → file list) and is aggregated.  The oracle aggregates the
+    SOURCE rows directly, so a hash match proves the whole layout
+    round-trip is lossless.  The bootstrap write is a per-call tempdir
+    (driver queries stay side-effect-free toward the shared sf_dir)."""
+    import tempfile
+
+    from ..sources import iceberg_lite
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 5 == 0)
+          .select("event_id", "event_type", "user_id"))
+    root = tempfile.mkdtemp(prefix="spark_graft_icefix_") + "/tbl"
+    iceberg_lite.bootstrap_table(ev, root)
+    back = iceberg_lite.read_iceberg_table(spark, root)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("user_id").alias("sum_user")))
+
+
 def q_scalar_misc_compound(spark, sf_dir):
     """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
-    U1+W3 union-dedup ∪ F12 multi-name collapse, one union-typed result
+    U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip,
+    one union-typed result
     (schema: op, key_num, key_str, val_num, val_str)."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
@@ -2368,7 +2394,13 @@ def q_scalar_misc_compound(spark, sf_dir):
         F.col("n_nationkey").cast("long").alias("key_num"),
         null_s.alias("key_str"), null_l.alias("val_num"),
         F.col("collapsed_name").alias("val_str"))
-    return b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b5)
+    b6 = q_iceberg_roundtrip(spark, sf_dir).select(
+        F.lit("iceberg_roundtrip").alias("op"),
+        F.col("sum_user").cast("long").alias("key_num"),
+        F.col("event_type").alias("key_str"),
+        F.col("n").alias("val_num"), null_s.alias("val_str"))
+    return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
+            .unionByName(b5).unionByName(b6))
 
 
 SQL_SCALAR_MISC_COMPOUND = f"""
@@ -2395,6 +2427,14 @@ UNION ALL
 SELECT 'multi_name_collapse', CAST(n_nationkey AS BIGINT), NULL, NULL,
        collapsed_name
 FROM ({SQL_MULTI_NAME_COLLAPSE})
+UNION ALL
+-- iceberg_roundtrip: the Spark side aggregates the SAME rows after a
+-- write→metadata→jar-less-read round trip through a real Iceberg layout;
+-- a hash match proves the round trip lossless.  CAST: DuckDB sum(BIGINT)
+-- is HUGEINT (the round-4 artifact class).
+SELECT 'iceberg_roundtrip', CAST(sum(user_id) AS BIGINT), event_type,
+       count(*), NULL
+FROM events WHERE event_id % 5 = 0 GROUP BY event_type
 """
 
 

@@ -168,6 +168,98 @@ def data_files(table_path: str, *, snapshot_id: int | None = None,
     return files
 
 
+#: spec-shaped Avro schemas for the bootstrap writer below (the subset of
+#: manifest-entry / manifest-file fields every reader needs; the embedded
+#: writer schema makes any spec-compliant reader — including this module's
+#: own — decode them)
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ]}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+
+
+def bootstrap_table(df: DataFrame, table_path: str) -> str:
+    """Write ``df`` as a SINGLE-SNAPSHOT Iceberg-layout table (data
+    parquet + Avro manifest + manifest list + metadata JSON +
+    version-hint) that :func:`read_iceberg_table` — or any Iceberg
+    reader — can open.
+
+    Scope: a deterministic BOOTSTRAP for tests/dev fixtures and driver
+    round-trip evidence, NOT a transactional writer — no commit protocol,
+    no appends, no stats; production writes belong to a real Iceberg
+    runtime.  Returns ``table_path``.
+    """
+    import glob
+    import shutil
+
+    root = Path(table_path)
+    data_dir, meta_dir = root / "data", root / "metadata"
+    if root.exists():
+        shutil.rmtree(root)
+    data_dir.mkdir(parents=True)
+    meta_dir.mkdir()
+    stage = str(root / "_stage")
+    df.write.mode("overwrite").parquet(stage)
+    files = []
+    for i, part in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+        dst = data_dir / f"f{i}.parquet"
+        os.replace(part, dst)
+        files.append(dst)
+    shutil.rmtree(stage)
+
+    entries = [{"status": 1, "snapshot_id": 1, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {"content": 0, "file_path": f"file://{p}",
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": 0,
+                              "file_size_in_bytes": p.stat().st_size}}
+               for p in files]
+    manifest = meta_dir / "m0.avro"
+    avro_lite.write_container(str(manifest), MANIFEST_ENTRY_SCHEMA, entries)
+    mlist = meta_dir / "snap-1.avro"
+    avro_lite.write_container(
+        str(mlist), MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": f"file://{manifest}",
+          "manifest_length": manifest.stat().st_size,
+          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+          "min_sequence_number": 1, "added_snapshot_id": 1}])
+    (meta_dir / "v1.metadata.json").write_text(json.dumps({
+        "format-version": 2, "table-uuid": "bootstrap",
+        "location": f"file://{root}", "last-sequence-number": 1,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0,
+                       "manifest-list": f"file://{mlist}",
+                       "summary": {"operation": "append"}}],
+        "schemas": [], "partition-specs": [{"spec-id": 0, "fields": []}]}))
+    (meta_dir / "version-hint.text").write_text("1")
+    return table_path
+
+
 def read_iceberg_table(spark: SparkSession, table_path: str, *,
                        snapshot_id: int | None = None,
                        as_of_timestamp_ms: int | None = None,
