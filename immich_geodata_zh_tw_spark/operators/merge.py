@@ -42,11 +42,19 @@ def marker_join(df: DataFrame, dup_keys: list[str], *,
                 flag_col: str = "has_dup") -> DataFrame:
     """Flag rows whose key combination occurs more than once
     (reference japan.py:281-307: group-count → left join lit(True) →
-    fill_null(False))."""
+    fill_null(False)).
+
+    No forced broadcast of ``dups`` — it is a data-dependent aggregate
+    that can be corpus-scale on a dup-heavy table (forcing it was the
+    same driver-OOM class as the shuffle_hash hazard fixed in
+    ``_stats.hint_if_large``).  AQE's runtime join selection broadcasts
+    it anyway whenever its ACTUAL size is small (the reference's
+    dimension-table case), from measured shuffle statistics instead of a
+    guess — small stays fast, huge stays safe."""
     dups = (df.groupBy(*dup_keys).agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > 1)
             .select(*dup_keys, F.lit(True).alias(flag_col)))
-    return (df.join(F.broadcast(dups), dup_keys, "left")
+    return (df.join(dups, dup_keys, "left")
             .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False))))
 
 

@@ -287,9 +287,16 @@ def sequence_pack(df: DataFrame, *, id_col: str = "doc_id",
        #buckets × #domains tiny rows shuffle — are turned into running
        offsets by a window over those TINY rows (per domain that window
        orders #buckets rows, never data);
-    3. offsets broadcast-join back; the intra-bucket cumsum window runs per
-       (domain, bucket) — parallelism = #buckets per domain, each task a
-       bounded slice.
+    3. offsets join back — NOT force-broadcast: offsets is a
+       data-dependent aggregate (≤ #domains × #buckets rows, unbounded in
+       the domain count — per-HOST packing of a web crawl makes it
+       corpus-scale), so the strategy is left to AQE's runtime join
+       selection, which broadcasts from MEASURED size when the frame is
+       actually tiny (the usual mixture case) and keeps a spill-safe
+       shuffle join when it is not (same hazard class as
+       ``_stats.hint_if_large``'s docstring); the intra-bucket cumsum
+       window runs per (domain, bucket) — parallelism = #buckets per
+       domain, each task a bounded slice.
 
     All arithmetic is exact integer (sums of token counts), so any bucket
     granularity yields bit-identical cumsums — the DuckDB oracle states the
@@ -318,7 +325,7 @@ def sequence_pack(df: DataFrame, *, id_col: str = "doc_id",
            .rowsBetween(Window.unboundedPreceding, -1))
     local_start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
     tok_start = (local_start + F.col("__off")).alias("tok_start")
-    packed = (toks.join(F.broadcast(offsets), [group_col, "__b"])
+    packed = (toks.join(offsets, [group_col, "__b"])
               .select(group_col, id_col, "n_tokens", tok_start))
     # integer DIV (not float floor-div): exact at any stream length
     return packed.select(
