@@ -275,3 +275,53 @@ class TestIcebergLite:
         shutil.move(str(src), str(moved))
         df = iceberg_lite.read_iceberg_table(spark, str(moved))
         assert df.count() == 3
+
+
+class TestAvroProperties:
+    """Hypothesis round-trip fuzz: random values against a fixed deep
+    schema (strings incl. non-ASCII, bytes, bounded/unbounded ints,
+    doubles, optionals, nested arrays/maps) survive write→read exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _vals = st.fixed_dictionaries({
+        "s": st.text(max_size=40),
+        "l": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "b": st.binary(max_size=20),
+        "opt": st.one_of(st.none(),
+                         st.integers(min_value=-(2 ** 31),
+                                     max_value=2 ** 31)),
+        "arr": st.lists(st.integers(min_value=-10 ** 9, max_value=10 ** 9),
+                        max_size=8),
+        "mp": st.dictionaries(st.text(min_size=1, max_size=8),
+                              st.text(max_size=8), max_size=5),
+    })
+
+    SCHEMA = {
+        "type": "record", "name": "fuzz", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "mp", "type": {"type": "map", "values": "string"}},
+        ]}
+
+    @given(st.lists(_vals, max_size=20))
+    @settings(max_examples=80, deadline=None)
+    def test_round_trip(self, rows):
+        import io as _io
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            avro_lite.write_container(path, self.SCHEMA, rows)
+            _, got = avro_lite.read_container(path)
+            assert got == rows
+        finally:
+            os.unlink(path)
