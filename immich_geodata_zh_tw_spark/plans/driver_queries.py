@@ -2342,8 +2342,11 @@ def q_iceberg_roundtrip(spark, sf_dir):
     (``read_iceberg_table``: version-hint → snapshot → Avro manifest list →
     manifests → file list) and is aggregated.  The oracle aggregates the
     SOURCE rows directly, so a hash match proves the whole layout
-    round-trip is lossless.  The bootstrap write is a per-call tempdir
-    (driver queries stay side-effect-free toward the shared sf_dir)."""
+    round-trip is lossless.  The bootstrap writes a DETERMINISTIC per-sf
+    scratch dir (rebuilt in place on every call — no tempdir litter
+    across repeated parity/driver runs; driver queries stay
+    side-effect-free toward the shared sf_dir)."""
+    import hashlib
     import tempfile
 
     from ..sources import iceberg_lite
@@ -2351,7 +2354,8 @@ def q_iceberg_roundtrip(spark, sf_dir):
     ev = (_t(spark, sf_dir, "events")
           .filter(F.col("event_id") % 5 == 0)
           .select("event_id", "event_type", "user_id"))
-    root = tempfile.mkdtemp(prefix="spark_graft_icefix_") + "/tbl"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{tempfile.gettempdir()}/spark_graft_icefix_{tag}/tbl"
     iceberg_lite.bootstrap_table(ev, root)
     back = iceberg_lite.read_iceberg_table(spark, root)
     return (back.groupBy("event_type")
