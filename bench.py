@@ -27,21 +27,7 @@ from bench.common import materialize_pages  # noqa: E402
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _cpu_sys_total() -> tuple[int, int, int] | None:
-    """(system-ish jiffies, steal jiffies, total jiffies) from /proc/stat
-    line 1 — host-wide, so it sees the sandbox's documented noise storms
-    even when another process (or, for steal, a CO-TENANT VM on the
-    hypervisor) causes them.  Steal is tracked separately: this sandbox is
-    a firecracker guest and hypervisor co-tenancy inflates wall time with
-    near-zero guest sys time — the one noise mode sys-frac alone misses."""
-    try:
-        with open("/proc/stat") as fh:
-            vals = [int(v) for v in fh.readline().split()[1:]]
-        sys_t = vals[2] + vals[5] + vals[6]  # system+irq+softirq
-        steal = vals[7] if len(vals) > 7 else 0
-        return sys_t, steal, sum(vals)
-    except Exception:
-        return None
+from bench.common import cpu_sys_steal_total as _cpu_sys_total  # noqa: E402
 
 
 def _calm_anchor(sf: float) -> float | None:

@@ -7,6 +7,25 @@ import os
 PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_pages")
 
 
+def cpu_sys_steal_total() -> tuple[int, int, int] | None:
+    """(system-ish jiffies, steal jiffies, total jiffies) from /proc/stat
+    line 1 — host-wide, so it sees the sandbox's documented noise storms
+    even when another process (or, for steal, a CO-TENANT VM on the
+    hypervisor) causes them.  ONE definition shared by bench.py's noise
+    record and the scaling legs' per-leg fracs: both emit the same
+    ``host_sys_frac`` key, so they must count the same jiffy classes
+    (system+irq+softirq — softirq-heavy windows are one of the documented
+    storm modes) or a stormy scaling leg reads as calm."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(v) for v in fh.readline().split()[1:]]
+        sys_t = vals[2] + vals[5] + vals[6]  # system+irq+softirq
+        steal = vals[7] if len(vals) > 7 else 0
+        return sys_t, steal, sum(vals)
+    except Exception:
+        return None
+
+
 def materialize_pages(spark, n_pages: int) -> str:
     """Write the deterministic pages table to parquet once (outside timing) —
     the timed pipeline reads parquet, matching the real Iceberg-scan workload
@@ -64,14 +83,7 @@ def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
 
     from immich_geodata_zh_tw_spark.session import get_spark
 
-    def cpu_ticks():
-        try:
-            with open("/proc/stat") as fh:
-                p = fh.readline().split()
-            vals = [int(x) for x in p[1:9]]
-            return vals[2], vals[7], sum(vals)  # sys, steal, total
-        except OSError:
-            return None
+    cpu_ticks = cpu_sys_steal_total
 
     spark = get_spark(app_name="scaling-materialize", parallelism=cpus_4n)
     try:

@@ -258,7 +258,14 @@ def mixture_weights(df: DataFrame, *, group_col: str = "source",
     n_dbl = F.col("n_tokens").cast("double")
     mass = (F.sqrt(n_dbl) if alpha == 0.5
             else F.pow(n_dbl, F.lit(float(alpha))))
-    qsqrt = F.round(mass * 1e6, 0).cast("bigint")
+    # DECIMAL(38,0), not BIGINT: at α near 1 a 10^13-token domain puts
+    # mass×10⁶ past 2^53 (and several such domains past Long.MaxValue in
+    # the window sum) — the bigint cast would silently clamp.  Decimal
+    # sums are exact and associative at any magnitude this side of 38
+    # digits, so the order-free-normalizer property holds for EVERY α,
+    # and for the oracle-checked α=0.5 range the values are bit-identical
+    # to the previous bigint form.
+    qsqrt = F.round(mass * 1e6, 0).cast("decimal(38,0)")
     total = F.sum(qsqrt).over(Window.partitionBy())
     return per.select(
         group_col, "n_tokens", "n_docs",

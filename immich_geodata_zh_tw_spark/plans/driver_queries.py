@@ -2342,11 +2342,16 @@ def q_iceberg_roundtrip(spark, sf_dir):
     (``read_iceberg_table``: version-hint → snapshot → Avro manifest list →
     manifests → file list) and is aggregated.  The oracle aggregates the
     SOURCE rows directly, so a hash match proves the whole layout
-    round-trip is lossless.  The bootstrap writes a DETERMINISTIC per-sf
-    scratch dir (rebuilt in place on every call — no tempdir litter
-    across repeated parity/driver runs; driver queries stay
-    side-effect-free toward the shared sf_dir)."""
+    round-trip is lossless.  The fixture is BUILD-ONCE per sf_dir with an
+    atomic rename publish: the events table is static, so an existing
+    complete layout is reused (plan construction costs no write job on
+    re-runs) and two concurrent first-builders race benignly — each
+    builds in a private dir and only one rename wins; nobody ever scans
+    a half-deleted table (driver queries stay side-effect-free toward
+    the shared sf_dir)."""
     import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ..sources import iceberg_lite
@@ -2356,7 +2361,14 @@ def q_iceberg_roundtrip(spark, sf_dir):
           .select("event_id", "event_type", "user_id"))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     root = f"{tempfile.gettempdir()}/spark_graft_icefix_{tag}/tbl"
-    iceberg_lite.bootstrap_table(ev, root)
+    if not os.path.exists(f"{root}/metadata/version-hint.text"):
+        stage = f"{root}.build.{os.getpid()}"
+        iceberg_lite.bootstrap_table(ev, stage)
+        try:
+            os.makedirs(os.path.dirname(root), exist_ok=True)
+            os.rename(stage, root)  # atomic publish; loser keeps existing
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     back = iceberg_lite.read_iceberg_table(spark, root)
     return (back.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),

@@ -231,6 +231,27 @@ def read_container(path_or_bytes) -> tuple[Schema, list]:
 # encode (fixture/writer side)
 # ---------------------------------------------------------------------------
 
+def _union_matches(branch: dict, value) -> bool:
+    t = branch["type"]
+    if value is None:
+        return t == "null"
+    if isinstance(value, bool):
+        return t == "boolean"
+    if isinstance(value, int):
+        return t in ("int", "long")
+    if isinstance(value, float):
+        return t in ("float", "double")
+    if isinstance(value, str):
+        return t == "string" or (t == "enum" and value in branch["symbols"])
+    if isinstance(value, (bytes, bytearray)):
+        return t == "bytes" or (t == "fixed" and len(value) == branch["size"])
+    if isinstance(value, list):
+        return t == "array"
+    if isinstance(value, dict):
+        return t in ("record", "map")
+    return False
+
+
 def _encode(node, schema: Schema, value, out: bytearray) -> None:
     node = schema._deref(node)
     t = node["type"]
@@ -257,16 +278,17 @@ def _encode(node, schema: Schema, value, out: bytearray) -> None:
         assert len(value) == node["size"]
         out += bytes(value)
     elif t == "union":
-        # branch selection by value shape: None → null branch, else the
-        # first non-null branch (covers the optional-field ["null", X]
-        # unions Iceberg metadata uses throughout)
+        # branch selection by PYTHON TYPE of the value — an unchecked
+        # "first non-null branch" would silently corrupt multi-branch
+        # unions (e.g. 5 written through a string branch as five NULs);
+        # no matching branch is a loud error, not wrong bytes
         branches = node["branches"]
-        if value is None:
-            idx = next(i for i, b in enumerate(branches)
-                       if schema._deref(b)["type"] == "null")
-        else:
-            idx = next(i for i, b in enumerate(branches)
-                       if schema._deref(b)["type"] != "null")
+        idx = next((i for i, b in enumerate(branches)
+                    if _union_matches(schema._deref(b), value)), None)
+        if idx is None:
+            raise ValueError(
+                f"no union branch of {[schema._deref(b)['type'] for b in branches]} "
+                f"matches value {value!r}")
         out += zigzag_encode(idx)
         _encode(branches[idx], schema, value, out)
     elif t == "array":

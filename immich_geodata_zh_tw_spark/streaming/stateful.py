@@ -400,11 +400,16 @@ def neardup_verdicts(band_flags: DataFrame, *,
 
 def _interval_ms(interval: str) -> int:
     """'24 hours' / '90 minutes' / '10 seconds' → milliseconds (the tiny
-    subset of interval syntax these operators accept)."""
-    qty, unit = interval.split()
+    subset of interval syntax the ``horizon`` parameter accepts —
+    compound forms like '1 day 12 hours' are rejected with a usable
+    message, unlike a bare unpacking error)."""
+    parts = interval.split()
     mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
             "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
             "day": 86_400_000, "days": 86_400_000}
-    if unit not in mult:
-        raise ValueError(f"unsupported interval unit: {interval!r}")
-    return int(qty) * mult[unit]
+    if len(parts) != 2 or parts[1] not in mult or not parts[0].isdigit():
+        raise ValueError(
+            f"horizon must be '<n> <unit>' with unit in {sorted(set(mult))}"
+            f" (got {interval!r}; compound intervals are not supported "
+            f"here — pass a single quantity)")
+    return int(parts[0]) * mult[parts[1]]

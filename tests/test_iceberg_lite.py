@@ -100,34 +100,11 @@ class TestAvroContainer:
             assert got == rows, codec
 
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "file_sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "partition", "type": {
-                    "type": "record", "name": "r102", "fields": []}},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
-            ]}},
-    ]}
-
-MANIFEST_FILE_SCHEMA = {
-    "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-    ]}
+# the PRODUCT's spec-shaped manifest schemas: the fixtures must exchange
+# exactly what bootstrap_table/the reader exchange, so a schema change
+# there flows into these tests instead of drifting past a stale copy
+MANIFEST_ENTRY_SCHEMA = iceberg_lite.MANIFEST_ENTRY_SCHEMA
+MANIFEST_FILE_SCHEMA = iceberg_lite.MANIFEST_FILE_SCHEMA
 
 
 def _entry(status, path, rows, content=0):
