@@ -15,6 +15,36 @@ from tempfile import gettempdir
 from pyspark.sql import SparkSession
 
 
+def _parse_mem_mb(text: str) -> int:
+    """'16g' / '512m' → MiB (the two suffixes this repo's knobs use)."""
+    text = text.strip().lower()
+    if text.endswith("g"):
+        return int(float(text[:-1]) * 1024)
+    if text.endswith("m"):
+        return int(float(text[:-1]))
+    return int(int(text) / (1024 * 1024))  # bare bytes
+
+
+def _advisory_partition_mb(mem_mb: int, cores: int) -> int:
+    """Spill-safe AQE advisory partition size for this process shape.
+
+    A reduce task in a join+aggregate stage holds several memory consumers
+    at once (two SMJ sort buffers, a partial-agg map, the shuffle writer),
+    each sized by the partition's input, with UnsafeRow expansion ~2-3×
+    over the compressed shuffle bytes — so the safe advisory size is a
+    small fraction of the per-core execution pool (0.6 × heap / cores).
+    Spark's 64 MiB default assumes the production ~2-8 GiB-per-core shape;
+    at this sandbox's 16 GiB / 32 cores (300 MiB per core) it is the
+    measured OOM cliff: a 6.4 M-doc ngram_jaccard_pairs died with
+    SPILL_OUT_OF_MEMORY / UNABLE_TO_ACQUIRE at 64 MiB-advisory partitions
+    and ran clean at 16 MiB (BENCH/BASELINE.md round-5 stress notes).
+    pool_per_core/10 reproduces both data points with headroom and leaves
+    production shapes on the Spark default (capped at 64 MiB).
+    """
+    pool_per_core_mb = (mem_mb * 6) // (10 * max(cores, 1))
+    return min(64, max(16, pool_per_core_mb // 10))
+
+
 def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
               parallelism: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -22,6 +52,18 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism, 4)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    advisory_mb = os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_MB",
+        str(_advisory_partition_mb(_parse_mem_mb(driver_mem), parallelism)))
+    # reduce-side width must be bounded by DATA/advisory, not by the core
+    # count: with the default (initialPartitionNum = shuffle.partitions) a
+    # 100 GB shuffle on 32 cores gets 3 GB partitions no matter what the
+    # advisory says, and the sort+agg stage OOMs.  Starting wide costs
+    # nothing at small scale — AQE coalesces back down to advisory-sized
+    # partitions — and keeps per-task input flat as the corpus grows.
+    initial_partitions = os.environ.get(
+        "SPARK_GRAFT_INIT_PARTITIONS", str(max(32 * parallelism, 1024)))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{parallelism}]")
@@ -29,13 +71,17 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                initial_partitions)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                f"{advisory_mb}m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 16g measured best AND tightest for the flagship on this box
         # (8g: 6.0-10.4 s across identical reps — GC-bound; 24g: fast best
         # case but a 27 s full-GC outlier; 16g: 4.6-5.4 s consistently)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -65,3 +65,32 @@ class TestPartitionPruning:
         assert files_scanned < all_files / 3  # only 2 of 10 bands read
         assert narrow.count() == sum(1 for i in range(1000)
                                      if 24 <= 20.0 + (i % 40) * 0.25 < 26)
+
+
+class TestScaleSafeSessionDefaults:
+    """Round-5 6.4M-doc stress findings (BENCH/BASELINE.md): the reduce
+    side must be sized by data/advisory, not cores, and the advisory must
+    respect per-core execution memory — otherwise join+agg stages OOM at
+    ~8× the committed scaling-run corpus."""
+
+    def test_advisory_formula_reproduces_measured_cliff(self):
+        from immich_geodata_zh_tw_spark.session import _advisory_partition_mb
+
+        # sandbox shape (16g/32 cores): 64m advisory was the measured OOM
+        # cliff, 16m ran clean — the derived value must land in (16, 64)
+        derived = _advisory_partition_mb(16 * 1024, 32)
+        assert 16 <= derived < 64
+        # production-ish shapes (≥2g per core) stay on the Spark default
+        assert _advisory_partition_mb(64 * 1024, 8) == 64
+        assert _advisory_partition_mb(4 * 1024, 1) == 64
+        # floor: never below the measured-safe 16m
+        assert _advisory_partition_mb(1024, 32) == 16
+
+    def test_session_starts_wide_and_advisory_bound(self, spark):
+        init = int(spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
+        # wide enough that a 100 GB shuffle at 64m advisory (~1600
+        # partitions) is not cores-bound at any parallelism this repo uses
+        assert init >= 1024
+        adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        assert adv.endswith("m") and 16 <= int(adv[:-1]) <= 64
