@@ -33,10 +33,9 @@ def japan_admin2_rules(df: DataFrame, *, pref: str = "N03_001",
     R4 gun town/village:               admin_2 = muni (gun-prefixed on dup)
     R5 gun only:                       admin_2 = gun
     """
-    d = (df
-         .withColumn("__gun", normalize_null_tokens(F.col(gun)))
-         .withColumn("__muni", normalize_null_tokens(F.col(muni)))
-         .withColumn("__ward", normalize_null_tokens(F.col(ward))))
+    d = df.withColumns({"__gun": normalize_null_tokens(F.col(gun)),
+                        "__muni": normalize_null_tokens(F.col(muni)),
+                        "__ward": normalize_null_tokens(F.col(ward))})
     is_city = F.col("__muni").isNotNull() & F.col("__muni").endswith("市")
     has_ward = F.col("__ward").isNotNull()
     has_gun = F.col("__gun").isNotNull() & F.col("__gun").endswith("郡")
@@ -65,9 +64,9 @@ def korea_split_city_district(df: DataFrame, *, col: str = "sggnm",
     city = F.regexp_extract(F.col(col), KR_CITY_DISTRICT_RE, 1)
     district = F.regexp_extract(F.col(col), KR_CITY_DISTRICT_RE, 2)
     matched = city != ""
-    return (df
-            .withColumn(city_out, F.when(matched, city).otherwise(F.col(col)))
-            .withColumn(district_out, F.when(matched, district)))
+    return df.withColumns(
+        {city_out: F.when(matched, city).otherwise(F.col(col)),
+         district_out: F.when(matched, district)})
 
 
 def sejong_normalize(df: DataFrame, *, sido: str = "sidonm",
@@ -84,17 +83,15 @@ def sejong_normalize(df: DataFrame, *, sido: str = "sidonm",
     """
     is_dong = (F.col(sgg).endswith("읍") | F.col(sgg).endswith("면")
                | F.col(sgg).endswith("동"))
-    # materialize the mask BEFORE rewriting sggnm — the promoted admin_3
-    # usually ends in 동, so re-evaluating the mask after the first
-    # withColumn would see the new sggnm and skip clearing admin_3
-    d = df.withColumn("__sejong", (F.col(sido) == sejong) & ~is_dong)
-    return (d
-            .withColumn(sgg, F.when(F.col("__sejong"), F.col(admin3))
-                        .otherwise(F.col(sgg)))
-            .withColumn(admin3, F.when(F.col("__sejong"),
-                                       F.lit(None).cast("string"))
-                        .otherwise(F.col(admin3)))
-            .drop("__sejong"))
+    # one withColumns: both exprs bind to the ORIGINAL sggnm, which is what
+    # the mask must see — the promoted admin_3 usually ends in 동, so a
+    # sequential second withColumn re-evaluating the mask against the new
+    # sggnm would skip clearing admin_3
+    mask = (F.col(sido) == sejong) & ~is_dong
+    return df.withColumns(
+        {sgg: F.when(mask, F.col(admin3)).otherwise(F.col(sgg)),
+         admin3: F.when(mask, F.lit(None).cast("string"))
+                 .otherwise(F.col(admin3))})
 
 
 def korea_admin3_strip(df: DataFrame, *, adm_nm: str = "adm_nm",

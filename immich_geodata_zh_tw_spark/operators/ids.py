@@ -39,6 +39,45 @@ def _bounded_sample_fraction(n_rows: int, sample_target: int) -> float:
     return min(1.0, sample_target / n_rows) if n_rows else 1.0
 
 
+def _sql_lit(v, dt) -> str | None:
+    """SQL literal text for ``CAST(v AS dt)``, or None if the Python type
+    has no safe text form (caller falls back to per-column ``F.lit``).
+
+    Exists so the boundary table below is ONE parsed expression instead of
+    ~n_buckets × |sort_cols| × 3 Py4J round-trips: profiling the release
+    pipeline showed plan CONSTRUCTION (driver-side socket waits) at 3.6 s
+    vs 2.6 s execution, with the per-literal ``F.lit().cast().alias()``
+    chain the single largest contributor (~1.3 s).
+    """
+    import datetime
+    import decimal
+    import math
+
+    t = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {t})"
+    if isinstance(v, bool):
+        return f"CAST({'true' if v else 'false'} AS {t})"
+    if isinstance(v, (int, decimal.Decimal)):
+        return f"CAST({v} AS {t})"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return f"CAST('NaN' AS {t})"
+        if math.isinf(v):
+            return f"CAST('{'' if v > 0 else '-'}Infinity' AS {t})"
+        # string→double cast: exact for repr() round-trip, no decimal-literal
+        # precision detour
+        return f"CAST('{v!r}' AS {t})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {t})"
+    if isinstance(v, datetime.datetime):
+        return f"CAST(TIMESTAMP '{v.isoformat(sep=' ')}' AS {t})"
+    if isinstance(v, datetime.date):
+        return f"CAST(DATE '{v.isoformat()}' AS {t})"
+    return None
+
+
 def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
                             out_col: str = "seq_id",
                             buckets: int | None = None,
@@ -117,12 +156,38 @@ def sequential_ids_scalable(df: DataFrame, sort_cols: list[str], *, base: int,
         return F.struct(*[F.lit(v).cast(fields[c]).alias(c)
                           for v, c in zip(values, sort_cols)])
 
-    b_rows = [F.struct(F.lit(pid).alias("__pid"),
-                       lit_struct(cuts[pid - 1] if pid > 0 else None).alias("lo"),
-                       lit_struct(cuts[pid] if pid < len(cuts) else None).alias("hi"))
-              for pid in range(len(cuts) + 1)]
+    def struct_sql(values) -> str | None:
+        if values is None:
+            return f"CAST(NULL AS {struct_type})"
+        parts = []
+        for v, c in zip(values, sort_cols):
+            lit = _sql_lit(v, fields[c])
+            if lit is None:
+                return None
+            parts.append(f"'{c}', {lit}")
+        return "named_struct(" + ", ".join(parts) + ")"
+
+    # Build the whole boundary array as ONE expression string (a single
+    # parse + constant-fold JVM-side) — the per-literal Column-algebra form
+    # costs hundreds of driver↔JVM round-trips and dominated the release
+    # pipeline's plan-construction time.  Falls back to the Column form for
+    # value types _sql_lit can't render (binary, arrays, …).
+    row_sqls: list[str | None] = [
+        (lambda lo, hi: None if lo is None or hi is None else
+         f"named_struct('__pid', {pid}, 'lo', {lo}, 'hi', {hi})")(
+            struct_sql(cuts[pid - 1] if pid > 0 else None),
+            struct_sql(cuts[pid] if pid < len(cuts) else None))
+        for pid in range(len(cuts) + 1)]
+    if all(r is not None for r in row_sqls):
+        b_arr = F.expr("array(" + ", ".join(row_sqls) + ")")
+    else:
+        b_arr = F.array(*[
+            F.struct(F.lit(pid).alias("__pid"),
+                     lit_struct(cuts[pid - 1] if pid > 0 else None).alias("lo"),
+                     lit_struct(cuts[pid] if pid < len(cuts) else None).alias("hi"))
+            for pid in range(len(cuts) + 1)])
     bdf = (spark.range(1)
-           .select(F.explode(F.array(*b_rows)).alias("b"))
+           .select(F.explode(b_arr).alias("b"))
            .select("b.__pid", "b.lo", "b.hi"))
 
     key = F.struct(*[F.col(c) for c in sort_cols])
@@ -160,8 +225,16 @@ def dense_rank_codes(df: DataFrame, name_col: str, *, prefix: str,
          ).orderBy(name_col)
     rank = F.dense_rank().over(w)
     if width is None:
-        total = df.select(name_col).distinct().count()
-        width = len(str(total))
+        # width = len(str(global distinct count)) as a SUBPLAN, not a
+        # driver-side count() job: the extra global window is over the same
+        # dimension-sized frame the rank window already single-partitions,
+        # and it removes one fixed-latency driver action per call (two per
+        # release run — measured in the release-pipeline construction
+        # profile).
+        total = F.size(F.collect_set(name_col).over(Window.partitionBy()))
+        pad_w = F.length(total.cast("string"))
+    else:
+        pad_w = F.lit(width)
     return df.withColumn(
         out_col, F.concat(F.lit(prefix), F.lit("."),
-                          F.lpad(rank.cast("string"), width, "0")))
+                          F.lpad(rank.cast("string"), pad_w, F.lit("0"))))

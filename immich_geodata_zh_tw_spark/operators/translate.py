@@ -64,8 +64,10 @@ def translate_admin1(admin1: DataFrame, alternate: DataFrame, *,
     new_name = (F.when(nr.isNull() | (nr == ""), F.col(name_col))
                 .when(zh.is_chinese(nr) & (pair["t2s"] == nr), pair["s2t"])
                 .otherwise(nr))
-    return (j.withColumn(name_col, new_name)
-            .withColumn("asciiname", F.col(name_col))
+    # one withColumns (one plan re-analysis, not two); asciiname gets the
+    # same expression OBJECT, so Catalyst's Python-UDF extraction sees one
+    # canonical kernel call, exactly as the sequential column-copy form did
+    return (j.withColumns({name_col: new_name, "asciiname": new_name})
             .drop("__nr"))
 
 

@@ -94,12 +94,15 @@ def convert_to_cities_schema(geodata: DataFrame, *, country_code: str,
       reference's dict lookup);
     * geoname ids allocated sequentially after the full-column sort (W1).
     """
-    g = geodata
-    for c in ("admin_1", "admin_2", "admin_3", "admin_4"):
-        g = g.withColumn(c, normalize_null_tokens(F.col(c)))
+    # single withColumns calls: every withColumn re-analyzes the deepening
+    # plan driver-side (~30 ms each in the release profile); these exprs all
+    # bind to ORIGINAL columns so batching is semantics-preserving
+    g = geodata.withColumns(
+        {c: normalize_null_tokens(F.col(c))
+         for c in ("admin_1", "admin_2", "admin_3", "admin_4")})
     g = (g.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
-         .withColumn("latitude", F.round("latitude", COORD_DECIMAL_PLACES))
-         .withColumn("longitude", F.round("longitude", COORD_DECIMAL_PLACES)))
+         .withColumns({"latitude": F.round("latitude", COORD_DECIMAL_PLACES),
+                       "longitude": F.round("longitude", COORD_DECIMAL_PLACES)}))
     sort_cols = ["country", "admin_1", "admin_2", "admin_3", "admin_4",
                  "latitude", "longitude"]
     g = sequential_ids_scalable(g, sort_cols, base=base_geoname_id,
