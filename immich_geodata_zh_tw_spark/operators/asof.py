@@ -1,0 +1,184 @@
+"""As-of join — match each left row to the newest right row at-or-before it.
+
+The classic time-series join Spark's DataFrame API lacks (pandas
+``merge_asof``, DuckDB ``ASOF JOIN``): for every left row, find the single
+right row with the greatest ``on`` value satisfying ``right.on <= left.on``
+(backward; ``>=`` forward) within the same ``by`` key.  The web-scale
+motivation here is recrawl resolution over Common-Crawl-style pages
+(``url``/``warc_ts``): "the newest snapshot of each url as of T", "the click
+context preceding each error", "the config active when each event fired".
+
+Scale shape
+-----------
+A naive formulation is a range join (``l.by = r.by AND r.on <= l.on`` +
+argmax), which Catalyst executes as a broadcast-nested-loop or an exploding
+theta-join — quadratic per key.  This operator instead materializes the
+union-merge form:
+
+1. tag right rows side=0 / left rows side=1, union on the narrow common
+   shape (right payload folded into ONE nullable struct column);
+2. one shuffle on ``by``, sort within the window by ``(on, side, tie)``;
+3. ``last(payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING →
+   CURRENT ROW gives every left row its newest at-or-before right payload;
+4. keep side=1, unpack the struct, apply the optional tolerance as a pure
+   projection (the backward match is the newest candidate, so if IT misses
+   the tolerance window no candidate makes it — no re-scan needed).
+
+Cost: one shuffle of each side on ``by`` — identical to any equi-join on the
+key — and NO row multiplication (a right row is never duplicated per left
+row).  Equal-``on`` ties are deterministic: right-before-left at the same
+``on`` (inclusive semantics, matching DuckDB's ``l.on >= r.on``), and among
+right rows sharing ``(by, on)`` the greatest ``tie_col`` wins.
+
+Skew: the window partitions by ``by``, so one zipfian key (a mega-host's
+recrawl history) serializes into a single task's sort.  ``bucket_span``
+switches to the two-pass carry form (the same shape as
+``textstats.sequence_pack``): rows are windowed inside bounded
+``(by, floor(on/span))`` buckets, each bucket is reduced to ONE final-payload
+row, a second window over the tiny per-bucket frame cumulates the carry
+across a key's bucket timeline, and bucket-local misses coalesce to the
+carried payload.  No single task ever sorts more than one bucket; results
+are provably bucket-invariant (property-tested in tests/test_asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+_SIDE = "__asof_side"
+_PAY = "__asof_payload"
+_TIE = "__asof_tie"
+_BKT = "__asof_bucket"
+
+
+def _check(left: DataFrame, right: DataFrame, on: str, by: list[str],
+           value_cols: list[str], prefix: str) -> None:
+    for c in [on, *by, *value_cols]:
+        if c not in right.columns:
+            raise ValueError(f"right side lacks column {c!r}")
+    for c in [on, *by]:
+        if c not in left.columns:
+            raise ValueError(f"left side lacks column {c!r}")
+    clash = [prefix + c for c in (on, *value_cols)
+             if prefix + c in left.columns]
+    if clash:
+        raise ValueError(f"output columns {clash} already exist on the left; "
+                         f"pick another prefix")
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              by: list[str] | str, value_cols: list[str] | str,
+              direction: str = "backward", tolerance: float | None = None,
+              tie_col: str | None = None, prefix: str = "r_",
+              bucket_span: float | None = None) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``prefix + on`` (the matched
+    right ``on`` value) and ``prefix + c`` for each payload column — all NULL
+    when no right row qualifies.
+
+    Parameters
+    ----------
+    on : ordering column (timestamp or numeric), present on both sides.
+    by : equi-key column(s).
+    value_cols : right columns carried onto matches.
+    direction : ``backward`` (newest ``r.on <= l.on``) or ``forward``
+        (oldest ``r.on >= l.on``); both inclusive.
+    tolerance : max allowed ``|l.on - r.on|`` — SECONDS when ``on`` is a
+        timestamp, else in ``on``'s own units; matches farther away are
+        nulled out (pure projection — see module docstring step 4).
+    tie_col : numeric column making the winner among right rows sharing
+        ``(by, on)`` deterministic — greatest value wins (backward; least,
+        forward).  Without it, equal-key-equal-``on`` right duplicates make
+        the match nondeterministic (documented, not checked: verifying
+        uniqueness would cost a shuffle).
+    bucket_span : span of the mega-key escape hatch, in the same units as
+        ``tolerance``.  Bounds every window partition to one
+        ``(by, bucket)`` slice; see module docstring.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = ([value_cols] if isinstance(value_cols, str)
+                  else list(value_cols))
+    _check(left, right, on, by, value_cols, prefix)
+
+    on_type = dict(left.dtypes)[on]
+    is_ts = on_type.startswith("timestamp")
+    sign = 1.0 if direction == "backward" else -1.0
+    # tolerance/bucket_span are SECONDS for timestamps; the arithmetic runs
+    # in integer MICROSECONDS (exact — epoch-2024 magnitudes have ~0.5 µs
+    # double ulp, enough to corrupt a sub-µs tolerance as float seconds)
+    unit = 1_000_000.0 if is_ts else 1.0
+
+    def _num(col: Column) -> Column:
+        """``on`` as a number: exact long micros for timestamps (the
+        seconds-truncating unix_timestamp would break sub-second order),
+        double passthrough otherwise.  TIMESTAMP_NTZ has no epoch instant,
+        so it counts wall-clock micros from 1970-01-01T00:00 — tz-free and
+        session-setting-independent (unix_micros would reject it)."""
+        if on_type == "timestamp_ntz":
+            epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            return F.timestamp_diff("MICROSECOND", epoch, col).cast("double")
+        if is_ts:
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
+    payload = F.struct(F.col(on).alias("matched_on"),
+                       *[F.col(c).alias(c) for c in value_cols])
+    r = right.select(*by, F.col(on).alias(on),
+                     payload.alias(_PAY), F.lit(0).alias(_SIDE),
+                     (F.col(tie_col) if tie_col is not None
+                      else F.lit(0)).cast("double").alias(_TIE))
+    l = left.select(*left.columns,
+                    F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),
+                    F.lit(1).alias(_SIDE), F.lit(0.0).alias(_TIE))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # forward = backward over the mirrored timeline; ties flip with it so
+    # "greatest tie wins" stays "the candidate closest in scan order"
+    order_cols = [(F.col(on).asc() if sign > 0 else F.col(on).desc()),
+                  F.col(_SIDE).asc(),
+                  (F.col(_TIE).asc() if sign > 0 else F.col(_TIE).desc())]
+
+    if bucket_span is None:
+        w = (Window.partitionBy(*by).orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = u.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    else:
+        bkt = F.floor(_num(F.col(on)) * F.lit(sign)
+                      / F.lit(float(bucket_span) * unit))
+        ub = u.withColumn(_BKT, bkt)
+        # pass 1: the SAME scan, but windowed inside one (by, bucket) slice
+        wl = (Window.partitionBy(*by, _BKT).orderBy(*order_cols)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = ub.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(wl))
+        # pass 2: one row per (by, bucket) — the payload at the bucket's
+        # scan-order-final row (max_by over the mirrored numeric key tuple)
+        fin_key = F.struct((_num(F.col(on)) * F.lit(sign)).alias("k1"),
+                           F.col(_SIDE).cast("double").alias("k2"),
+                           (F.col(_TIE) * F.lit(sign)).alias("k3"))
+        per_bucket = (local.groupBy(*by, _BKT)
+                      .agg(F.max_by(_PAY, fin_key).alias("__bucket_final")))
+        wc = (Window.partitionBy(*by).orderBy(F.col(_BKT).asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = per_bucket.withColumn(
+            "__carry",
+            F.last("__bucket_final", ignorenulls=True).over(wc)).select(
+            *by, _BKT, "__carry")
+        matched = (local.join(carry, [*by, _BKT], "left")
+                   .withColumn(_PAY, F.coalesce(_PAY, "__carry"))
+                   .drop("__carry", _BKT))
+
+    out = matched.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        gap = (_num(F.col(on)) - _num(F.col(_PAY + ".matched_on"))) \
+            * F.lit(sign)
+        out = out.withColumn(
+            _PAY, F.when(gap <= F.lit(float(tolerance) * unit), F.col(_PAY)))
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col(_PAY + ".matched_on").alias(prefix + on))
+    sel += [F.col(f"{_PAY}.{c}").alias(prefix + c) for c in value_cols]
+    return out.select(*sel)

@@ -702,6 +702,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: as-of tolerance exercised by the driver branch (seconds)
+_ASOF_TOL_S = 1800
+
+
+def _asof_errors_to_clicks(spark, sf_dir, *, tolerance=None):
+    """Shared asof fixture: each 'error' event matched to the newest
+    at-or-before 'click' of the same user (operators/asof.py union-merge
+    form — one shuffle on user_id, no row multiplication)."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error")
+    clk = e.filter(F.col("event_type") == "click")
+    return (asof_join(err, clk, on="ts", by="user_id",
+                      value_cols=["event_id", "value"],
+                      tie_col="event_id", tolerance=tolerance)
+            .select("user_id", F.col("event_id").alias("n"),
+                    F.col("r_event_id").alias("n2"),
+                    F.col("r_value").alias("sum_value")))
+
+
+def q_asof_backward(spark, sf_dir):
+    """As-of join (backward, inclusive): the click context preceding each
+    error — DuckDB's native ASOF LEFT JOIN is the oracle."""
+    return _asof_errors_to_clicks(spark, sf_dir)
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a 30-minute tolerance: stale matches null out as a
+    pure projection over the backward match (the newest candidate missing
+    the window proves no candidate makes it)."""
+    return _asof_errors_to_clicks(spark, sf_dir, tolerance=_ASOF_TOL_S)
+
+
+# DuckDB ASOF LEFT JOIN is inclusive (e.ts >= c.ts picks the greatest
+# qualifying c.ts) — the operator's equal-``on`` right-before-left tie rule
+# matches it by construction.  r_value is carried VERBATIM (no arithmetic),
+# so the doubles are bit-identical across engines and need no rounding.
+SQL_ASOF_BACKWARD = """
+SELECT e.user_id, e.event_id AS n, c.event_id AS n2, c.value AS sum_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+# tolerance as an outer CASE over the backward match: ASOF supports exactly
+# one inequality, but since backward picks the NEWEST candidate, "newest is
+# too old" ⇔ "every candidate is too old" — same trick as the engine's
+SQL_ASOF_TOL = f"""
+SELECT user_id, n,
+       CASE WHEN ok THEN n2 END AS n2,
+       CASE WHEN ok THEN sum_value END AS sum_value
+FROM (
+  SELECT e.user_id, e.event_id AS n, c.event_id AS n2, c.value AS sum_value,
+         c.ts >= e.ts - INTERVAL {_ASOF_TOL_S} SECOND AS ok
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON e.user_id = c.user_id AND e.ts >= c.ts)
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -1017,6 +1078,90 @@ SELECT d.doc_id, coalesce(n, 0) AS n_shared_grams,
        coalesce(n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
 LEFT JOIN hits USING (doc_id)
+"""
+
+
+# deterministic URL fixture, ONE text that parses identically in Spark SQL
+# and DuckDB (the PT_LAT pattern): scheme/www case variance, 2-level and
+# multi-label public suffixes, 0-3-deep paths, tracking-only / mixed /
+# absent query strings, and fragments — every url_normalize rule fires
+_URL_EXPR_SQL = """concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.'
+       ELSE '' END,
+  source,
+  CASE doc_id % 4 WHEN 0 THEN '.example.com.tw' WHEN 1 THEN '.example.org'
+       WHEN 2 THEN '.blog.co.uk' ELSE '.news.sub.example.com' END,
+  CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '/A/b'
+       WHEN 3 THEN '/a/b/c/' ELSE '/index.html' END,
+  CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN concat('?id=', CAST(doc_id AS STRING))
+       WHEN 2 THEN concat('?id=', CAST(doc_id AS STRING), '&utm_source=feed&gclid=g1')
+       WHEN 3 THEN '?utm_campaign=x' WHEN 4 THEN '?fbclid=f&id=9&ref=rss'
+       ELSE '?a=1&b=2' END,
+  CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""
+
+
+def q_url_functions(spark, sf_dir):
+    """URL structure functions over Common-Crawl-style urls
+    (functions/url.py): host, registered domain (public-suffix aware),
+    path depth, canonicalized url — pure JVM parse_url + array algebra,
+    zero UDF, all inside the scan stage's projection."""
+    from ..functions import url as urlfn
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_URL_EXPR_SQL).alias("url"))
+    host = urlfn.url_host(F.col("url"))
+    return u.select(
+        "doc_id", host.alias("host"),
+        urlfn.registered_domain(host).alias("reg_domain"),
+        urlfn.path_depth(F.col("url")).cast("long").alias("path_depth"),
+        urlfn.url_normalize(F.col("url")).alias("url_norm"))
+
+
+# the oracle restates host/path/query extraction with regexes (DuckDB has no
+# parse_url) over the SAME constructed url text, then applies the identical
+# canonicalization rules — an independent statement of the spec, not a copy
+# of the engine's expression tree
+_SQL_URL_CTE = f"""
+uu AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+up AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM uu),
+uc AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|gclid|fbclid|ref)=')), '&') AS cq,
+         CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+              AS BIGINT) AS path_depth,
+         string_split(host, '.') AS hp
+  FROM up),
+ud AS (
+  SELECT doc_id, host, path_depth,
+         CASE WHEN len(hp) <= 1 THEN host
+              WHEN len(hp) >= 3 AND hp[-2] || '.' || hp[-1] IN
+                   ('co.uk','org.uk','ac.uk','gov.uk','com.tw','org.tw',
+                    'edu.tw','gov.tw','net.tw','idv.tw','co.jp','or.jp',
+                    'ne.jp','ac.jp','go.jp','co.kr','or.kr','go.kr','ac.kr',
+                    'com.cn','org.cn','net.cn','gov.cn','edu.cn','com.hk',
+                    'org.hk','com.sg','com.my','com.au','net.au','org.au',
+                    'com.br','com.mx')
+                THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+              ELSE hp[-2] || '.' || hp[-1] END AS reg_domain,
+         concat(scheme, '://', regexp_replace(host, '^www\\.', ''),
+                CASE WHEN path = '/' THEN '' ELSE path END,
+                CASE WHEN cq <> '' THEN concat('?', cq) ELSE '' END)
+           AS url_norm
+  FROM uc)
+"""
+
+SQL_URL_FUNCTIONS = f"""
+WITH {_SQL_URL_CTE}
+SELECT doc_id, host, reg_domain, path_depth, url_norm FROM ud
 """
 
 
@@ -2377,8 +2522,9 @@ def q_iceberg_roundtrip(spark, sf_dir):
 
 def q_scalar_misc_compound(spark, sf_dir):
     """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
-    U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip,
-    one union-typed result
+    U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip ∪
+    URL functions (host/registered-domain/depth/canonical — two exploded
+    rows per doc, ONE scan), one union-typed result
     (schema: op, key_num, key_str, val_num, val_str)."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
@@ -2415,8 +2561,24 @@ def q_scalar_misc_compound(spark, sf_dir):
         F.col("sum_user").cast("long").alias("key_num"),
         F.col("event_type").alias("key_str"),
         F.col("n").alias("val_num"), null_s.alias("val_str"))
+    # two rows per doc via explode — ONE pass over the url projection
+    # (the global_max b3 trick), not two select branches re-planning it
+    b7 = (q_url_functions(spark, sf_dir)
+          .select(F.col("doc_id"), F.explode(F.array(
+              F.struct(F.lit("url_parse").alias("op"),
+                       F.col("host").alias("ks"),
+                       F.col("path_depth").alias("vn"),
+                       F.col("url_norm").alias("vs")),
+              F.struct(F.lit("url_regdomain").alias("op"),
+                       F.col("reg_domain").alias("ks"),
+                       F.lit(None).cast("long").alias("vn"),
+                       F.lit(None).cast("string").alias("vs")))).alias("e"))
+          .select(F.col("e.op").alias("op"), F.col("doc_id").alias("key_num"),
+                  F.col("e.ks").alias("key_str"),
+                  F.col("e.vn").alias("val_num"),
+                  F.col("e.vs").alias("val_str")))
     return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
-            .unionByName(b5).unionByName(b6))
+            .unionByName(b5).unionByName(b6).unionByName(b7))
 
 
 SQL_SCALAR_MISC_COMPOUND = f"""
@@ -2451,6 +2613,12 @@ UNION ALL
 SELECT 'iceberg_roundtrip', CAST(sum(user_id) AS BIGINT), event_type,
        count(*), NULL
 FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+UNION ALL
+SELECT 'url_parse', doc_id, host, path_depth, url_norm
+FROM ({SQL_URL_FUNCTIONS})
+UNION ALL
+SELECT 'url_regdomain', doc_id, reg_domain, NULL, NULL
+FROM ({SQL_URL_FUNCTIONS})
 """
 
 
@@ -2571,8 +2739,10 @@ FROM documents GROUP BY source
 
 
 def q_windows_compound(spark, sf_dir):
-    """Sessionization (lag + gap cumsum) ∪ tumbling 1-hour window agg as one
-    union-typed result (folds sessionize/tumbling_window)."""
+    """Sessionization (lag + gap cumsum) ∪ tumbling 1-hour window agg ∪
+    as-of join (backward + tolerance) as one union-typed result (folds
+    sessionize/tumbling_window/asof_backward/asof_tolerance; each branch is
+    the standalone query's plan)."""
     null_l = F.lit(None).cast("long")
     b1 = q_sessionize(spark, sf_dir).select(
         F.lit("sessionize").alias("op"),
@@ -2585,7 +2755,16 @@ def q_windows_compound(spark, sf_dir):
         F.lit("tumbling_window").alias("op"), null_l.alias("user_id"),
         F.col("window_start").cast("long").alias("window_start"),
         "event_type", F.col("n"), null_l.alias("n2"), F.col("sum_value"))
-    return b1.unionByName(b2)
+
+    def _asof_branch(op, df):
+        return df.select(F.lit(op).alias("op"), "user_id",
+                         null_l.alias("window_start"),
+                         F.lit(None).cast("string").alias("event_type"),
+                         "n", "n2", "sum_value")
+
+    b3 = _asof_branch("asof_backward", q_asof_backward(spark, sf_dir))
+    b4 = _asof_branch("asof_tol", q_asof_tolerance(spark, sf_dir))
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
 
 
 SQL_WINDOWS_COMPOUND = f"""
@@ -2596,6 +2775,12 @@ FROM ({SQL_SESSIONIZE})
 UNION ALL
 SELECT 'tumbling_window', NULL, window_start, event_type, n, NULL, sum_value
 FROM ({SQL_TUMBLING_WINDOW})
+UNION ALL
+SELECT 'asof_backward', user_id, NULL, NULL, n, n2, sum_value
+FROM ({SQL_ASOF_BACKWARD})
+UNION ALL
+SELECT 'asof_tol', user_id, NULL, NULL, n, n2, sum_value
+FROM ({SQL_ASOF_TOL})
 """
 
 

@@ -1,0 +1,178 @@
+"""asof_join (operators/asof.py): semantics vs a brute-force argmax oracle,
+tie / tolerance / direction behavior, bucket-span invariance, plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from immich_geodata_zh_tw_spark.operators.asof import asof_join
+
+
+def _brute(left_rows, right_rows, *, direction="backward", tolerance=None):
+    """Per-left-row argmax reference (key, on, id) — inclusive, greatest
+    tie id wins backward / least forward (scan-order-nearest)."""
+    out = {}
+    for lk, lon, lid in left_rows:
+        best = None
+        for rk, ron, rid, rv in right_rows:
+            if rk != lk:
+                continue
+            if direction == "backward":
+                if ron > lon or (tolerance is not None
+                                 and lon - ron > tolerance):
+                    continue
+                key = (ron, rid)
+                if best is None or key > (best[0], best[1]):
+                    best = (ron, rid, rv)
+            else:
+                if ron < lon or (tolerance is not None
+                                 and ron - lon > tolerance):
+                    continue
+                key = (-ron, -rid)
+                if best is None or key > (-best[0], -best[1]):
+                    best = (ron, rid, rv)
+        out[(lk, lon, lid)] = best
+    return out
+
+
+def _mk(spark, left_rows, right_rows):
+    l = spark.createDataFrame(left_rows, "k int, t double, lid int")
+    r = spark.createDataFrame(right_rows,
+                              "k int, t double, rid int, rv double")
+    return l, r
+
+
+def _run(df):
+    return {(row.k, row.t, row.lid):
+            (None if row.r_t is None else (row.r_t, row.r_rid, row.r_rv))
+            for row in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def fuzz_data():
+    rng = random.Random(20260818)
+    left = [(rng.randrange(5), round(rng.uniform(0, 100), 3), i)
+            for i in range(160)]
+    right = [(rng.randrange(5), round(rng.uniform(0, 100), 3), i,
+              round(rng.uniform(-5, 5), 3)) for i in range(120)]
+    # force inclusive-equality and right-tie cases
+    right += [(left[0][0], left[0][1], 500, 1.0),
+              (left[0][0], left[0][1], 501, 2.0)]
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 7.5])
+def test_matches_brute_force(spark, fuzz_data, direction, tolerance):
+    left, right = fuzz_data
+    l, r = _mk(spark, left, right)
+    got = _run(asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"],
+                         direction=direction, tolerance=tolerance,
+                         tie_col="rid"))
+    want = _brute(left, right, direction=direction, tolerance=tolerance)
+    assert got == want
+
+
+@pytest.mark.parametrize("span", [1.0, 13.0, 1000.0])
+def test_bucket_span_invariance(spark, fuzz_data, span):
+    """The mega-key escape hatch returns row-identical results at any span
+    (1000.0 puts everything in one bucket = degenerate single window)."""
+    left, right = fuzz_data
+    l, r = _mk(spark, left, right)
+    base = _run(asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"],
+                          tie_col="rid"))
+    bucketed = _run(asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"],
+                              tie_col="rid", bucket_span=span))
+    assert bucketed == base
+
+
+def test_bucket_span_forward_and_tolerance(spark, fuzz_data):
+    left, right = fuzz_data
+    l, r = _mk(spark, left, right)
+    for direction in ("backward", "forward"):
+        base = _run(asof_join(l, r, on="t", by="k",
+                              value_cols=["rid", "rv"], tie_col="rid",
+                              direction=direction, tolerance=9.0))
+        bucketed = _run(asof_join(l, r, on="t", by="k",
+                                  value_cols=["rid", "rv"], tie_col="rid",
+                                  direction=direction, tolerance=9.0,
+                                  bucket_span=8.0))
+        assert bucketed == base
+
+
+def test_timestamp_on_column(spark):
+    """Timestamp ordering is microsecond-exact (unix_micros, not the
+    seconds-truncating unix_timestamp) and tolerance is in seconds."""
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000002", 1)],
+        "k int, t string, lid int").withColumn("t", F.to_timestamp("t"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000001", 7, 1.5),
+         (1, "2024-01-01 00:00:10.000003", 8, 2.5)],
+        "k int, t string, rid int, rv double").withColumn(
+        "t", F.to_timestamp("t"))
+    row = asof_join(l, r, on="t", by="k", value_cols=["rid"],
+                    tie_col="rid").collect()[0]
+    assert row.r_rid == 7  # the later row is 1 microsecond in the future
+    row = asof_join(l, r, on="t", by="k", value_cols=["rid"],
+                    tie_col="rid", tolerance=0.0000005).collect()[0]
+    assert row.r_rid is None  # within 0.5 µs there is no candidate
+
+
+def test_timestamp_ntz_on_column(spark):
+    """TIMESTAMP_NTZ (what parquet event tables carry) goes through the
+    tz-free wall-clock micros branch — unix_micros would reject it; the
+    µs tolerance and the bucket carry must both still be exact."""
+    lt = F.col("t").cast("timestamp_ntz")
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000002", 1)],
+        "k int, t string, lid int").withColumn("t", lt)
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000001", 7, 1.5),
+         (1, "2024-01-01 00:00:05.000000", 6, 0.5)],
+        "k int, t string, rid int, rv double").withColumn("t", lt)
+    assert dict(l.dtypes)["t"] == "timestamp_ntz"
+    row = asof_join(l, r, on="t", by="k", value_cols=["rid"],
+                    tie_col="rid").collect()[0]
+    assert row.r_rid == 7
+    row = asof_join(l, r, on="t", by="k", value_cols=["rid"],
+                    tie_col="rid", tolerance=0.0000005).collect()[0]
+    assert row.r_rid is None  # 1 µs gap > 0.5 µs tolerance
+    row = asof_join(l, r, on="t", by="k", value_cols=["rid"],
+                    tie_col="rid", bucket_span=2.0).collect()[0]
+    assert row.r_rid == 7  # bucket form agrees (rid=6 carried, 7 local)
+
+
+def test_no_match_and_missing_key(spark):
+    l, r = _mk(spark, [(1, 5.0, 0), (9, 5.0, 1)], [(1, 6.0, 0, 1.0)])
+    got = _run(asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"]))
+    assert got[(1, 5.0, 0)] is None  # only candidate is in the future
+    assert got[(9, 5.0, 1)] is None  # key absent from right
+
+
+def test_column_validation(spark):
+    l, r = _mk(spark, [(1, 5.0, 0)], [(1, 6.0, 0, 1.0)])
+    with pytest.raises(ValueError, match="right side lacks"):
+        asof_join(l, r, on="t", by="k", value_cols=["nope"])
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(l.withColumn("r_t", F.lit(1)), r, on="t", by="k",
+                  value_cols=["rv"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="t", by="k", value_cols=["rv"],
+                  direction="nearest")
+
+
+def test_plan_shape(spark, fuzz_data):
+    """The union-merge form: NO nested-loop/cartesian join and exactly ONE
+    exchange (the by-key shuffle) — the property that keeps it linear at
+    10^12 rows where the range-join formulation explodes."""
+    left, right = fuzz_data
+    l, r = _mk(spark, left, right)
+    plan = (asof_join(l, r, on="t", by="k", value_cols=["rv"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
