@@ -1,0 +1,150 @@
+"""Lexical retrieval — BM25 / TF-IDF top-k document search over a corpus.
+
+The counterpart to the embedding-side ANN stack (``operators/similarity``):
+web-scale curation needs KEYWORD retrieval too — benchmark-contamination
+audits ("which training docs score highest against this eval question"),
+quality mining ("fetch the docs that best match a seed phrase"), and simple
+corpus search.  The reference's pipeline is pure ETL with no search, so the
+semantics here anchor on the public BM25 definition (Robertson/Sparck Jones;
+the Lucene/Okapi ``k1``/``b`` parameterization) the way the dedup operators
+anchor on the C4/Gopher papers.
+
+Scale shape (the 100 TB plan, in order):
+
+1. the query set explodes to distinct ``(query_id, term)`` rows — WORKLOAD-
+   bounded (a handful of queries × a handful of terms), so it broadcasts;
+2. the corpus explodes to tokens ONCE and is immediately semi-filtered by
+   the broadcast term set — map-side, inside the scan stage, so the only
+   rows that ever shuffle are postings for queried terms (for a 100 TB
+   corpus and a 10-term query that is the decisive pruning step);
+3. term frequencies: one hash aggregate on ``(doc, term)`` — the single
+   corpus-scale shuffle;
+4. document frequencies: a second aggregate over the tf rows, ≤ |terms|
+   result rows — broadcast back (parameter-bounded, allowed under the
+   broadcast policy in ``merge.marker_join``);
+5. corpus stats (N, avgdl) come from ONE row aggregated without any
+   explode (``token_count_sql`` is a pure projection) — the documented
+   bounded one-row ``crossJoin`` pattern (see ``knn.py``);
+6. per-(query, doc) scores sum ORDER-FREE: each term's contribution is
+   rounded to integer micro-points first, so the distributed sum is exact
+   integer arithmetic — bit-identical across partitionings, cluster sizes,
+   and engines (the same normalizer the mixture-weights operator uses);
+7. top-k per query rides the salted two-phase exact rank (local
+   ``(query, salt)`` window cuts, global window only over ≤ k × n_salts
+   survivors) — a stopword query matching half the corpus never funnels
+   one window partition (same hazard/fix as ``sample.domain_cap``).
+
+idf variants: ``lucene`` (default) is ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+— the familiar non-negative BM25+ form; ``rational`` drops the ``ln``
+(monotone in the same ordering for a single-term query and rank-stable in
+practice) so every arithmetic op is IEEE mult/div/add — bit-identical in
+any engine that parses the same expression, which is what the cross-engine
+driver oracle checks (``ln`` differs in the last ulp across libm
+implementations; with micro-rounding that is a ~1e-9 probability per score
+of a hash flip — ``rational`` makes it zero by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count_sql
+
+__all__ = ["bm25_topk", "query_terms", "IDF_FORMS"]
+
+IDF_FORMS = ("lucene", "rational")
+
+
+def query_terms(queries: DataFrame, *, query_id_col: str = "query_id",
+                query_col: str = "query") -> DataFrame:
+    """Distinct ``(query_id, term)`` rows from whitespace-split query text
+    — workload-bounded by construction."""
+    return (queries
+            .select(query_id_col,
+                    F.explode(F.split(F.col(query_col), " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .distinct())
+
+
+def _idf(n_docs: Column, df_t: Column, form: str) -> Column:
+    """BM25 idf over double-cast operands; spelled to parse identically in
+    Spark SQL and DuckDB (the oracle restates this exact expression)."""
+    ratio = ((n_docs.cast("double") - df_t.cast("double") + F.lit(0.5))
+             / (df_t.cast("double") + F.lit(0.5)))
+    if form == "lucene":
+        return F.log(ratio + F.lit(1.0))
+    if form == "rational":
+        return ratio
+    raise ValueError(f"idf must be one of {IDF_FORMS}, got {form!r}")
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, *, k: int,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id", query_col: str = "query",
+              k1: float = 1.2, b: float = 0.75, idf: str = "lucene",
+              n_salts: int = 16) -> DataFrame:
+    """Top-``k`` documents per query by BM25, exact and deterministic.
+
+    Returns ``(query_id, rank, doc_id, score_micro6, n_terms)`` — ``rank``
+    is 1-based by ``(score DESC, doc_id ASC)``; ``score_micro6`` is the
+    order-free integer score (sum over matched terms of the per-term BM25
+    contribution rounded to 1e-6); ``n_terms`` counts matched query terms.
+    Queries whose terms match no document are absent (no match, no row).
+
+    See the module docstring for the seven-step 100 TB plan; parameters
+    ``k1``/``b`` are the standard Okapi knobs, ``idf`` picks the form
+    (``lucene`` default; ``rational`` for cross-engine bit-exactness).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qt = query_terms(queries, query_id_col=query_id_col,
+                     query_col=query_col)
+    terms = qt.select("term").distinct()
+
+    dl = F.expr(token_count_sql(text_col)).cast("double").alias("__dl")
+    # ONE row: exact integer sum of lengths, division spelled explicitly so
+    # the oracle's avgdl is the identical double
+    stats = docs.select(dl).agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("__dl").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__avgdl"))
+
+    toks = (docs.select(F.col(id_col), dl,
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("term"))
+            .filter(F.col("term") != "")
+            # broadcast semi-filter: only queried-term postings survive the
+            # scan stage (workload-bounded broadcast)
+            .join(F.broadcast(terms), "term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    # ≤ |terms| rows — parameter-bounded, broadcast back
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    tfd = F.col("__tf").cast("double")
+    tf_norm = (tfd * F.lit(k1 + 1.0)
+               / (tfd + F.lit(k1) * (F.lit(1.0 - b)
+                                     + F.lit(b) * F.col("__dl")
+                                     / F.col("__avgdl"))))
+    contrib = _idf(F.col("__n_docs"), F.col("__df"), idf) * tf_norm
+    scored = (tf.join(F.broadcast(dft), "term")
+              .join(F.broadcast(qt), "term")
+              .crossJoin(F.broadcast(stats))  # bounded: stats is ONE row
+              .select(query_id_col, id_col,
+                      F.round(contrib * F.lit(1e6)).cast("long")
+                      .alias("__m")))
+    agg = scored.groupBy(query_id_col, id_col).agg(
+        F.sum("__m").alias("score_micro6"),
+        F.count(F.lit(1)).alias("n_terms"))
+
+    order = [F.col("score_micro6").desc(), F.col(id_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w_local = Window.partitionBy(query_id_col, salt).orderBy(*order)
+    survivors = (agg.withColumn("__lrk", F.row_number().over(w_local))
+                 .filter(F.col("__lrk") <= k).drop("__lrk"))
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (survivors
+            .withColumn("rank", F.row_number().over(w_global).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "score_micro6", "n_terms"))

@@ -1165,6 +1165,72 @@ SELECT doc_id, host, reg_domain, path_depth, url_norm FROM ud
 """
 
 
+#: BM25 driver fixture: three queries over the synthetic corpus vocabulary —
+#: two common terms, a guaranteed-miss term (zzzmiss), and a 4-term query
+#: including a stopword-frequency token ('the')
+_BM25_QUERIES = [("q1", "hash join"), ("q2", "vector scan zzzmiss"),
+                 ("q3", "the slow merge sort")]
+_BM25_K = 5
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-k docs per query
+    (operators/retrieval.bm25_topk — broadcast term prefilter inside the
+    scan stage, one (doc, term) shuffle, order-free integer micro-scores,
+    salted exact per-query top-k).  ``idf='rational'`` for the driver
+    branch: every arithmetic op is IEEE mult/div/add, so the DuckDB oracle
+    restating the same expression is bit-identical (ln differs in the last
+    ulp across libm implementations — see the module docstring)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES,
+                              "query_id string, query string")
+    return bm25_topk(docs, q, k=_BM25_K, idf="rational", n_salts=4)
+
+
+_BM25_VALUES = ", ".join(f"('{i}', '{q}')" for i, q in _BM25_QUERIES)
+
+# independent restatement: unnest/string_split explode, IN-subquery term
+# prefilter, the identical double expression (operand order matters — IEEE
+# mult/div/add parse the same → bit-identical), integer micro-score sum
+SQL_BM25_TOPK = f"""
+WITH qraw(query_id, query) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id, term FROM
+       (SELECT query_id, unnest(string_split(query, ' ')) AS term FROM qraw)
+       WHERE term <> ''),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(CAST({textstats.token_count_sql('text')} AS DOUBLE))
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM documents),
+toks AS (SELECT doc_id,
+                CAST({textstats.token_count_sql('text')} AS DOUBLE) AS dl,
+                unnest(string_split(text, ' ')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM toks
+       WHERE term <> '' AND term IN (SELECT term FROM qt) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT q.query_id, t.doc_id,
+    CAST(round(((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * 2.2
+           / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))
+        * 1e6) AS BIGINT) AS m
+  FROM tf t JOIN dft d USING (term) JOIN qt q USING (term)
+  CROSS JOIN stats s),
+agg AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro6,
+               count(*) AS n_terms
+        FROM scored GROUP BY 1, 2),
+rk AS (SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro6 DESC, doc_id) AS BIGINT) AS rank,
+              doc_id, score_micro6, n_terms
+       FROM agg)
+SELECT query_id, rank, doc_id, score_micro6, n_terms
+FROM rk WHERE rank <= {_BM25_K}
+"""
+
+
 def q_doc_mixture_weights(spark, sf_dir):
     """Per-domain token counts + sqrt-temperature sampling weights."""
     d = _t(spark, sf_dir, "documents")
@@ -2524,7 +2590,7 @@ def q_scalar_misc_compound(spark, sf_dir):
     """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
     U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip ∪
     URL functions (host/registered-domain/depth/canonical — two exploded
-    rows per doc, ONE scan), one union-typed result
+    rows per doc, ONE scan) ∪ BM25 lexical top-k, one union-typed result
     (schema: op, key_num, key_str, val_num, val_str)."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
@@ -2577,8 +2643,16 @@ def q_scalar_misc_compound(spark, sf_dir):
                   F.col("e.ks").alias("key_str"),
                   F.col("e.vn").alias("val_num"),
                   F.col("e.vs").alias("val_str")))
+    b8 = q_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("op"),
+        F.col("doc_id").cast("long").alias("key_num"),
+        F.concat("query_id", F.lit("#"), F.col("rank").cast("string"))
+        .alias("key_str"),
+        F.col("score_micro6").alias("val_num"),
+        F.col("n_terms").cast("string").alias("val_str"))
     return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
-            .unionByName(b5).unionByName(b6).unionByName(b7))
+            .unionByName(b5).unionByName(b6).unionByName(b7)
+            .unionByName(b8))
 
 
 SQL_SCALAR_MISC_COMPOUND = f"""
@@ -2619,6 +2693,10 @@ FROM ({SQL_URL_FUNCTIONS})
 UNION ALL
 SELECT 'url_regdomain', doc_id, reg_domain, NULL, NULL
 FROM ({SQL_URL_FUNCTIONS})
+UNION ALL
+SELECT 'bm25', doc_id, concat(query_id, '#', CAST(rank AS VARCHAR)),
+       score_micro6, CAST(n_terms AS VARCHAR)
+FROM ({SQL_BM25_TOPK})
 """
 
 
