@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
-from ..operators import dedup, ids, merge, sample, similarity, textstats, translate
+from ..operators import (dedup, ids, merge, ngram_lm, sample, similarity,
+                         textstats, translate)
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
 from ..operators.pipjoin import pip_join
@@ -921,9 +922,64 @@ FROM kept GROUP BY md5(text)
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition metrics per doc (Rae et al. 2021 §A1.1):
     top-bigram occupancy + duplicate-5-gram fraction, via the explode →
-    (doc, gram) count → per-doc rollup shape (no quadratic step)."""
+    (doc, gram) count → per-doc rollup shape (no quadratic step) — plus
+    the CCNet-style bigram Stupid-Backoff LM score
+    (operators/ngram_lm.py): the model trains on the EVEN-doc_id half and
+    scores every doc, so the held-out half exercises the backoff branches;
+    the integer micro-nat column is order-free exact (ln agreement
+    validated empirically — see the module docstring)."""
     d = _t(spark, sf_dir, "documents")
-    return textstats.repetition_metrics(d)
+    rep = textstats.repetition_metrics(d)
+    model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
+    lm = ngram_lm.lm_score(d, model).drop("lm_ppl")
+    return rep.join(lm, "doc_id", "left")
+
+
+#: DuckDB restatement of lm_train(doc_id % 2 = 0) + lm_score(all docs):
+#: parallel unnests build the (w, prev) pairs zip-aligned, the CASE spells
+#: the identical rational-then-ln expression (operand order matters), and
+#: the micro-nat sum is CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT —
+#: the round-4 artifact class)
+_SQL_LM_CTE = """
+lmtr AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents WHERE doc_id % 2 = 0),
+lmpairs AS (
+  SELECT unnest(a) AS w,
+         unnest(list_transform(generate_series(1, len(a)),
+                i -> CASE WHEN i = 1 THEN NULL ELSE a[i - 1] END)) AS wp
+  FROM lmtr),
+lmc1 AS (SELECT w, count(*) AS c1 FROM lmpairs GROUP BY 1),
+lmc2 AS (SELECT wp, w, count(*) AS c2 FROM lmpairs
+         WHERE wp IS NOT NULL GROUP BY 1, 2),
+lmt AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM lmc1),
+lmsc AS (
+  SELECT doc_id, unnest(a) AS w,
+         unnest(list_transform(generate_series(1, len(a)),
+                i -> CASE WHEN i = 1 THEN NULL ELSE a[i - 1] END)) AS wp
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS a
+        FROM documents)),
+lmp AS (
+  SELECT doc_id,
+         CASE WHEN s.wp IS NULL THEN
+                (CASE WHEN u.c1 IS NOT NULL THEN CAST(u.c1 AS DOUBLE) / t
+                      ELSE 1.0 / t END)
+              WHEN b.c2 IS NOT NULL THEN
+                CAST(b.c2 AS DOUBLE) / CAST(p.c1 AS DOUBLE)
+              WHEN u.c1 IS NOT NULL THEN 0.4 * CAST(u.c1 AS DOUBLE) / t
+              ELSE 0.4 / t END AS pr
+  FROM lmsc s
+  LEFT JOIN lmc1 u ON s.w = u.w
+  LEFT JOIN lmc1 p ON s.wp = p.w
+  LEFT JOIN lmc2 b ON s.wp = b.wp AND s.w = b.w
+  CROSS JOIN lmt),
+lm AS (
+  SELECT doc_id, count(*) AS lm_tokens,
+         CAST(sum(CAST(round(ln(pr) * 1e6) AS BIGINT)) AS BIGINT)
+             AS lm_logprob_micro6
+  FROM lmp GROUP BY 1)
+"""
 
 
 #: CTE body shared by the two repetition oracles (DuckDB list dialect of
@@ -964,8 +1020,11 @@ rep AS (
 """
 
 SQL_DOC_REPETITION = f"""
-WITH {_SQL_REPETITION_CTE}
-SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac FROM rep
+WITH {_SQL_REPETITION_CTE},
+{_SQL_LM_CTE}
+SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac,
+       lm_tokens, lm_logprob_micro6
+FROM rep LEFT JOIN lm USING (doc_id)
 """
 
 #: Gopher-inspired keep thresholds (document-quality gate; the word-count
