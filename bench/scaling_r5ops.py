@@ -1,0 +1,139 @@
+"""Two-parallelism scaling evidence for the round-5 operators.
+
+Applies the identical N vs 4N-cores protocol (shared harness:
+``bench.common.two_level_scaling``) to the three operators added this
+round, so each carries its own measured scaling efficiency instead of
+inheriting the flagship's:
+
+* ``asof``  — ``operators/asof.asof_join`` (union-merge form) over a
+  deterministic synthetic events stream: every 5th row is an "error"
+  (left side), the rest are "clicks" (right side), keyed on a bounded
+  user population so window partitions are realistic recrawl histories.
+* ``bm25``  — ``operators/retrieval.bm25_topk`` over the scaling-dedup
+  corpus (``bench.scaling_dedup.materialize_docs``), with query terms
+  read from doc 0's actual text (one bounded 1-row collect, outside the
+  timed plan construction cost class) so every query term hits the
+  synthetic vocabulary.
+* ``lm``    — ``operators/ngram_lm`` train (even doc_ids) + score (all)
+  over the same corpus: the heaviest of the three (three key joins over
+  every token position against a ~vocab²-row bigram table).
+
+Corpora are pure-SQL deterministic synthesis (no external data), written
+once at full width with a fixed file count (same rationale as
+``bench.common.materialize_pages``).
+"""
+
+from __future__ import annotations
+
+import os
+
+EVENTS_CACHE = os.environ.get("SPARK_GRAFT_EVENTS_CACHE",
+                              "/tmp/spark_graft_events")
+
+_N_USERS = 200_000
+
+
+def _events_sql(n_rows: int) -> str:
+    """Deterministic event stream: bounded user population, xxhash-scrambled
+    numeric event times (the as-of ``on`` axis), every 5th row an error."""
+    return (f"SELECT id AS event_id, id % {_N_USERS} AS user_id, "
+            f"CAST(abs(xxhash64(id)) % 1000000000 AS DOUBLE) AS ts, "
+            f"CASE WHEN id % 5 = 0 THEN 'error' ELSE 'click' END "
+            f"  AS event_type, "
+            f"CAST(id % 997 AS DOUBLE) AS value "
+            f"FROM range({n_rows})")
+
+
+def materialize_events(spark, n_rows: int) -> str:
+    path = f"{EVENTS_CACHE}/events_{n_rows}.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        n_files = max(64, n_rows // 500_000)
+        (spark.sql(_events_sql(n_rows)).repartition(n_files)
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _asof_job(spark, path: str):
+    """NOTE every job here ends in a global aggregate over its COMPUTED
+    columns: the harness forces evaluation with ``.count()``, and a bare
+    count lets Catalyst prune the expensive payload (the as-of window's
+    ``last()`` column, the LM's join results) right out of the plan —
+    measured 0.69 s for 50 M events before this guard, i.e. a scan-only
+    non-measurement."""
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(path)
+    err = e.filter(F.col("event_type") == "error")
+    clk = e.filter(F.col("event_type") == "click")
+    out = asof_join(err, clk, on="ts", by="user_id",
+                    value_cols=["event_id", "value"], tie_col="event_id")
+    return out.agg(F.sum("r_value"), F.count("r_event_id"),
+                   F.count(F.lit(1)))
+
+
+def _bm25_job(spark, path: str):
+    from immich_geodata_zh_tw_spark.operators.retrieval import bm25_topk
+
+    d = spark.read.parquet(path)
+    words = d.filter("doc_id = 0").head().text.split(" ")
+    q = spark.createDataFrame(
+        [("q1", " ".join(words[:2])), ("q2", " ".join(words[2:5])),
+         ("q3", " ".join(words[5:9]))],
+        "query_id string, query string")
+    return bm25_topk(d, q, k=10, n_salts=8)
+
+
+def _lm_job(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators import ngram_lm
+
+    d = spark.read.parquet(path)
+    model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
+    out = ngram_lm.lm_score(d, model)
+    # global agg over the computed columns — see _asof_job's NOTE
+    return out.agg(F.sum("lm_logprob_micro6"), F.sum("lm_tokens"))
+
+
+def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
+                warmup: bool = True) -> dict:
+    from .common import two_level_scaling
+    from .scaling_dedup import materialize_docs
+
+    if job == "asof":
+        n = n_items or int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS",
+                                          "0")) or 50_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_events(s, n),
+            build_job=_asof_job, unit="events",
+            metric="asof_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "asof_join(errors->clicks, by=user_id)"})
+    if job == "bm25":
+        n = n_items or 2_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_docs(s, n),
+            build_job=_bm25_job, unit="docs",
+            metric="bm25_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "bm25_topk(3 queries, k=10)"})
+    if job == "lm":
+        n = n_items or 1_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_docs(s, n),
+            build_job=_lm_job, unit="docs",
+            metric="ngram_lm_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "lm_train(half) + lm_score(all)"})
+    raise ValueError(f"unknown job {job!r} (asof|bm25|lm)")
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    job = sys.argv[1] if len(sys.argv) > 1 else "asof"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(json.dumps(run_scaling(job, cpus)))

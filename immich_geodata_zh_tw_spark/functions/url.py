@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PUBLIC_SUFFIXES_2LEVEL", "TRACKING_PARAM_RE", "url_scheme", "url_host",
-    "strip_www", "url_path", "path_depth", "url_query",
+    "url_port", "strip_www", "url_path", "path_depth", "url_query",
     "strip_tracking_params", "registered_domain", "url_normalize",
 ]
 
@@ -54,13 +54,27 @@ def _c(col) -> Column:
 
 
 def url_scheme(url) -> Column:
-    """Lower-cased scheme ('https')."""
-    return F.lower(F.parse_url(_c(url), F.lit("PROTOCOL")))
+    """Lower-cased scheme ('https').  ``try_parse_url``, not ``parse_url``:
+    under Spark 4's default ANSI mode the non-try form THROWS on a
+    malformed url — one bad row in 10^12 crawl urls would kill the job
+    instead of yielding NULL."""
+    return F.lower(F.try_parse_url(_c(url), F.lit("PROTOCOL")))
 
 
 def url_host(url) -> Column:
-    """Lower-cased hostname, port excluded (Hive HOST semantics)."""
-    return F.lower(F.parse_url(_c(url), F.lit("HOST")))
+    """Lower-cased hostname, port excluded (Hive HOST semantics); NULL for
+    urls java.net.URI cannot parse (e.g. underscore hosts) — callers
+    keying on host/domain should treat NULL as 'unparseable', not group it
+    (a per-domain cap over raw output would lump every bad url into one
+    giant NULL domain)."""
+    return F.lower(F.try_parse_url(_c(url), F.lit("HOST")))
+
+
+def url_port(url) -> Column:
+    """Explicit port as a string ('8080'), '' when absent or unparseable
+    (AUTHORITY minus USERINFO retains only host[:port])."""
+    auth = F.try_parse_url(_c(url), F.lit("AUTHORITY"))
+    return F.coalesce(F.regexp_extract(auth, ":([0-9]+)$", 1), F.lit(""))
 
 
 def strip_www(host) -> Column:
@@ -70,7 +84,7 @@ def strip_www(host) -> Column:
 
 def url_path(url) -> Column:
     """Path component including the leading '/'; '' when absent."""
-    return F.coalesce(F.parse_url(_c(url), F.lit("PATH")), F.lit(""))
+    return F.coalesce(F.try_parse_url(_c(url), F.lit("PATH")), F.lit(""))
 
 
 def path_depth(url) -> Column:
@@ -81,7 +95,7 @@ def path_depth(url) -> Column:
 
 def url_query(url) -> Column:
     """Query string without the '?'; '' when absent."""
-    return F.coalesce(F.parse_url(_c(url), F.lit("QUERY")), F.lit(""))
+    return F.coalesce(F.try_parse_url(_c(url), F.lit("QUERY")), F.lit(""))
 
 
 def strip_tracking_params(url, *, pattern: str = TRACKING_PARAM_RE) -> Column:
@@ -103,7 +117,11 @@ def registered_domain(host, *,
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     is_2level = last2.isin(*suffixes)
     last3 = F.concat_ws(".", F.element_at(parts, -3), last2)
-    return (F.when(n <= 1, _c(host))
+    # explicit NULL-host guard: concat_ws SKIPS null parts, so without it an
+    # unparseable host would silently become the shared '' domain key and
+    # every bad url would collide into one giant group
+    return (F.when(_c(host).isNull(), F.lit(None).cast("string"))
+            .when(n <= 1, _c(host))
             .when(is_2level & (n >= 3), last3)
             .otherwise(last2))
 
@@ -112,12 +130,21 @@ def url_normalize(url, *, tracking_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical form for exact-url dedup / recrawl keying:
     lower-cased scheme and host, 'www.' stripped, fragment dropped,
     tracking params dropped (and the dangling '?' with them), a bare-root
-    '/' path collapsed to ''.  Path case and non-tracking param order are
-    preserved — they are semantic on real servers."""
+    '/' path collapsed to '', the scheme's DEFAULT port dropped (':443'
+    on https, ':80' on http) with any other explicit port kept — two
+    ports serve two resources.  Path case and non-tracking param order
+    are preserved — they are semantic on real servers.  NULL for
+    unparseable urls (concat propagates the NULL host)."""
     url = _c(url)
     path = url_path(url)
     path = F.when(path == "/", F.lit("")).otherwise(path)
     q = strip_tracking_params(url, pattern=tracking_re)
+    scheme = url_scheme(url)
+    port = url_port(url)
+    default = ((scheme == "https") & (port == "443")) | \
+        ((scheme == "http") & (port == "80"))
+    port_part = F.when((port == "") | default, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
     return F.concat(
-        url_scheme(url), F.lit("://"), strip_www(url_host(url)), path,
+        scheme, F.lit("://"), strip_www(url_host(url)), port_part, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))

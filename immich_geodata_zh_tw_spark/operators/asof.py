@@ -55,13 +55,20 @@ _BKT = "__asof_bucket"
 
 
 def _check(left: DataFrame, right: DataFrame, on: str, by: list[str],
-           value_cols: list[str], prefix: str) -> None:
-    for c in [on, *by, *value_cols]:
+           value_cols: list[str], prefix: str,
+           tie_col: str | None) -> None:
+    for c in [on, *by, *value_cols,
+              *([tie_col] if tie_col is not None else [])]:
         if c not in right.columns:
             raise ValueError(f"right side lacks column {c!r}")
     for c in [on, *by]:
         if c not in left.columns:
             raise ValueError(f"left side lacks column {c!r}")
+    if on in value_cols:
+        raise ValueError(f"{on!r} is the `on` column — it is always emitted "
+                         f"as {prefix + on!r}; drop it from value_cols")
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError(f"duplicate value_cols: {value_cols}")
     clash = [prefix + c for c in (on, *value_cols)
              if prefix + c in left.columns]
     if clash:
@@ -103,7 +110,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     by = [by] if isinstance(by, str) else list(by)
     value_cols = ([value_cols] if isinstance(value_cols, str)
                   else list(value_cols))
-    _check(left, right, on, by, value_cols, prefix)
+    _check(left, right, on, by, value_cols, prefix, tie_col)
 
     on_type = dict(left.dtypes)[on]
     is_ts = on_type.startswith("timestamp")
@@ -128,13 +135,22 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
 
     payload = F.struct(F.col(on).alias("matched_on"),
                        *[F.col(c).alias(c) for c in value_cols])
+    # NULL `on` never matches (DuckDB ASOF / pandas merge_asof semantics):
+    # a NULL-ts right row would otherwise sort NULLS-FIRST into the window
+    # scan and act as an "earliest ever" candidate — drop it here; NULL-ts
+    # LEFT rows keep their row but get a NULL payload (guard on `out`)
+    right = right.filter(F.col(on).isNotNull())
+    # _TIE keeps the column's OWN type — a cast to double would collapse
+    # 64-bit ids above 2^53 (snowflake ids) and silently void determinism
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0)
     r = right.select(*by, F.col(on).alias(on),
                      payload.alias(_PAY), F.lit(0).alias(_SIDE),
-                     (F.col(tie_col) if tie_col is not None
-                      else F.lit(0)).cast("double").alias(_TIE))
+                     tie.alias(_TIE))
+    tie_type = r.schema[_TIE].dataType
     l = left.select(*left.columns,
                     F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),
-                    F.lit(1).alias(_SIDE), F.lit(0.0).alias(_TIE))
+                    F.lit(1).alias(_SIDE), F.lit(0).cast(tie_type)
+                    .alias(_TIE))
     u = l.unionByName(r, allowMissingColumns=True)
 
     # forward = backward over the mirrored timeline; ties flip with it so
@@ -157,9 +173,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         local = ub.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(wl))
         # pass 2: one row per (by, bucket) — the payload at the bucket's
         # scan-order-final row (max_by over the mirrored numeric key tuple)
+        # k3 mirrors _TIE without a double multiply (which would re-lose
+        # >2^53 integer tie precision): conditional negation keeps the type
         fin_key = F.struct((_num(F.col(on)) * F.lit(sign)).alias("k1"),
                            F.col(_SIDE).cast("double").alias("k2"),
-                           (F.col(_TIE) * F.lit(sign)).alias("k3"))
+                           (F.col(_TIE) if sign > 0
+                            else -F.col(_TIE)).alias("k3"))
         per_bucket = (local.groupBy(*by, _BKT)
                       .agg(F.max_by(_PAY, fin_key).alias("__bucket_final")))
         wc = (Window.partitionBy(*by).orderBy(F.col(_BKT).asc())
@@ -173,6 +192,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
                    .drop("__carry", _BKT))
 
     out = matched.filter(F.col(_SIDE) == 1)
+    # NULL-`on` left rows keep their row, match nothing (see the right-side
+    # filter above); without this a NULL left row would inherit whatever
+    # payload its NULLS-FIRST/LAST sort position happened to scan past
+    out = out.withColumn(_PAY, F.when(F.col(on).isNotNull(), F.col(_PAY)))
     if tolerance is not None:
         gap = (_num(F.col(on)) - _num(F.col(_PAY + ".matched_on"))) \
             * F.lit(sign)

@@ -1259,11 +1259,13 @@ qt AS (SELECT DISTINCT query_id, term FROM
        (SELECT query_id, unnest(string_split(query, ' ')) AS term FROM qraw)
        WHERE term <> ''),
 stats AS (SELECT count(*) AS n_docs,
-                 CAST(sum(CAST({textstats.token_count_sql('text')} AS DOUBLE))
+                 CAST(sum(CAST(len(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS DOUBLE))
                       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
           FROM documents),
 toks AS (SELECT doc_id,
-                CAST({textstats.token_count_sql('text')} AS DOUBLE) AS dl,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS DOUBLE) AS dl,
                 unnest(string_split(text, ' ')) AS term
          FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM toks

@@ -176,3 +176,49 @@ def test_plan_shape(spark, fuzz_data):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_null_on_never_matches(spark):
+    """NULL `on` semantics (DuckDB ASOF / pandas merge_asof): a NULL-ts
+    right row is never a candidate, a NULL-ts left row keeps its row with
+    a NULL match — in the base, bucketed, forward, and tolerance paths."""
+    l = spark.createDataFrame([(1, 5.0, 0), (1, None, 1)],
+                              "k int, t double, lid int")
+    r = spark.createDataFrame(
+        [(1, None, 9, 7.5), (1, 4.0, 2, 1.0)],
+        "k int, t double, rid int, rv double")
+    for kw in ({}, {"bucket_span": 10.0}, {"direction": "forward"},
+               {"tolerance": 100.0}):
+        got = _run(asof_join(l, r, on="t", by="k",
+                             value_cols=["rid", "rv"], **kw))
+        assert set(got) == {(1, 5.0, 0), (1, None, 1)}
+        assert got[(1, None, 1)] is None  # NULL left matches nothing
+        want = (4.0, 2, 1.0) if "direction" not in kw else None
+        assert got[(1, 5.0, 0)] == want  # NULL right is never a candidate
+
+
+def test_tie_col_keeps_64bit_precision(spark):
+    """tie_col above 2^53 must not collapse under a double cast: greatest
+    id wins among right rows sharing (by, on)."""
+    big = 1 << 60
+    l = spark.createDataFrame([(1, 5.0, 0)], "k int, t double, lid int")
+    r = spark.createDataFrame(
+        [(1, 5.0, big, 1.0), (1, 5.0, big + 1, 2.0)],
+        "k int, t double, rid long, rv double")
+    out = asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"],
+                    tie_col="rid").collect()[0]
+    assert out.r_rid == big + 1
+    # and in the bucketed path
+    out = asof_join(l, r, on="t", by="k", value_cols=["rid", "rv"],
+                    tie_col="rid", bucket_span=10.0).collect()[0]
+    assert out.r_rid == big + 1
+
+
+def test_value_cols_validation(spark):
+    l, r = _mk(spark, [(1, 5.0, 0)], [(1, 4.0, 0, 1.0)])
+    with pytest.raises(ValueError, match="drop it from value_cols"):
+        asof_join(l, r, on="t", by="k", value_cols=["t", "rv"])
+    with pytest.raises(ValueError, match="duplicate value_cols"):
+        asof_join(l, r, on="t", by="k", value_cols=["rv", "rv"])
+    with pytest.raises(ValueError, match="right side lacks"):
+        asof_join(l, r, on="t", by="k", value_cols=["rv"], tie_col="nope")

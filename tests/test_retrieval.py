@@ -31,7 +31,7 @@ def _tiny(spark):
 def _py_bm25(corpus, query_terms_, k1=K1, b=B):
     """Independent float reference (Lucene idf), per (term, doc)."""
     n = len(corpus)
-    toks = {d: t.split(" ") for d, t in corpus}
+    toks = {d: [w for w in t.split(" ") if w] for d, t in corpus}
     avgdl = sum(len(v) for v in toks.values()) / n
     scores = {}
     for term in query_terms_:
@@ -151,3 +151,34 @@ class TestBM25PlanShape:
         assert plan.count("Window [") == 2
         n = out.count()
         assert 0 < n <= 3
+
+
+def test_doubled_whitespace_scores_identically(spark):
+    """dl counts the tokens actually scored: 'a  b' (doubled space) and
+    'a b' are identical content and must get identical BM25 scores."""
+    docs = spark.createDataFrame(
+        [(1, "red  dog runs"), (2, "red dog runs"), (3, "cat naps well")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("a", "red")],
+                              "query_id string, query string")
+    got = {r.doc_id: r.score_micro6
+           for r in bm25_topk(docs, q, k=3).collect()}
+    assert got[1] == got[2]
+
+
+def test_substring_prefilter_equivalent_and_planned(spark):
+    """The step-2 substring pre-filter changes the plan (a Contains filter
+    before tokenization) but never the result — false positives are
+    verified away by the equality semi-join."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame([("a", "hash join"), ("b", "the")],
+                              "query_id string, query string")
+    on = bm25_topk(docs, q, k=7).collect()
+    off = bm25_topk(docs, q, k=7, prefilter_max_terms=0).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    plan = (bm25_topk(docs, q, k=7)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Contains" in plan
+    plan_off = (bm25_topk(docs, q, k=7, prefilter_max_terms=0)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Contains" not in plan_off

@@ -80,3 +80,34 @@ def test_suffix_table_is_parametric(spark):
     assert r.d == "y.custom.zz"
     r2 = df.select(U.registered_domain(F.col("host")).alias("d")).collect()[0]
     assert r2.d == "custom.zz"
+
+
+def test_malformed_urls_yield_null_not_throw(spark):
+    """try_parse_url, not parse_url: under Spark 4's default ANSI mode one
+    malformed url in a crawl batch must NOT kill the job — every function
+    degrades to NULL (and registered_domain must not collapse NULL hosts
+    into a shared '' domain key)."""
+    df = spark.createDataFrame(
+        [("not a url",), ("https://my_host.example.com/a?x=1",)],
+        "url string")
+    host = U.url_host("url")
+    rows = df.select(
+        host.alias("h"), U.registered_domain(host).alias("rd"),
+        U.url_normalize("url").alias("n")).collect()
+    for r in rows:
+        assert r.h is None and r.rd is None and r.n is None
+
+
+def test_port_handling_in_normalize(spark):
+    """Explicit non-default ports are SEMANTIC (two ports, two resources)
+    and survive canonicalization; the scheme's default port is dropped."""
+    cases = {
+        "https://example.com:8080/a": "https://example.com:8080/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:80/a": "http://example.com/a",
+        "http://example.com:8443/a": "http://example.com:8443/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.n for r in
+           df.select("url", U.url_normalize("url").alias("n")).collect()}
+    assert got == cases
