@@ -103,8 +103,11 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
     from .scaling_dedup import materialize_docs
 
     if job == "asof":
+        # 400 M: at 50 M the whole job ran in ~0.5 s and per-job fixed
+        # costs crushed the 4N leg (the same lesson as the flagship's
+        # SPARK_GRAFT_SCALING_PAGES sizing note in the verify recipe)
         n = n_items or int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS",
-                                          "0")) or 50_000_000
+                                          "0")) or 400_000_000
         return two_level_scaling(
             cpus_4n=cpus_4n, n_items=n,
             materialize=lambda s: materialize_events(s, n),
@@ -120,7 +123,7 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             metric="bm25_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": "bm25_topk(3 queries, k=10)"})
     if job == "lm":
-        n = n_items or 1_000_000
+        n = n_items or 2_000_000
         return two_level_scaling(
             cpus_4n=cpus_4n, n_items=n,
             materialize=lambda s: materialize_docs(s, n),
