@@ -35,11 +35,14 @@ _N_USERS = 200_000
 
 def _events_sql(n_rows: int) -> str:
     """Deterministic event stream: bounded user population, xxhash-scrambled
-    numeric event times (the as-of ``on`` axis), every 5th row an error."""
+    numeric event times (the as-of ``on`` axis), ~1/5 errors.  The error
+    flag is HASH-derived, not ``id % 5``: user_id = id % 200000 and
+    200000 ≡ 0 (mod 5) would make every user's events one single type —
+    a zero-match as-of corpus (the bug the first recording shipped)."""
     return (f"SELECT id AS event_id, id % {_N_USERS} AS user_id, "
             f"CAST(abs(xxhash64(id)) % 1000000000 AS DOUBLE) AS ts, "
-            f"CASE WHEN id % 5 = 0 THEN 'error' ELSE 'click' END "
-            f"  AS event_type, "
+            f"CASE WHEN abs(xxhash64(id + 13)) % 5 = 0 THEN 'error' "
+            f"ELSE 'click' END AS event_type, "
             f"CAST(id % 997 AS DOUBLE) AS value "
             f"FROM range({n_rows})")
 
@@ -69,8 +72,14 @@ def _asof_job(spark, path: str):
     clk = e.filter(F.col("event_type") == "click")
     out = asof_join(err, clk, on="ts", by="user_id",
                     value_cols=["event_id", "value"], tie_col="event_id")
-    return out.agg(F.sum("r_value"), F.count("r_event_id"),
-                   F.count(F.lit(1)))
+    agg = out.agg(F.sum("r_value").alias("sv"),
+                  F.count("r_event_id").alias("cm"),
+                  F.count(F.lit(1)).alias("n"))
+    # the filter makes the harness's .count() non-foldable: a bare count()
+    # over a group-less aggregate is constant-folded to 1 and the whole
+    # window subtree never executes (measured: 2.0 s for what really costs
+    # ~160 s at 8 cores)
+    return agg.filter(F.col("cm") > 0)
 
 
 def _bm25_job(spark, path: str):
@@ -93,8 +102,11 @@ def _lm_job(spark, path: str):
     d = spark.read.parquet(path)
     model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
     out = ngram_lm.lm_score(d, model)
-    # global agg over the computed columns — see _asof_job's NOTE
-    return out.agg(F.sum("lm_logprob_micro6"), F.sum("lm_tokens"))
+    # global agg over the computed columns + non-foldable filter — see
+    # _asof_job's NOTE
+    return (out.agg(F.sum("lm_logprob_micro6").alias("lp"),
+                    F.sum("lm_tokens").alias("nt"))
+            .filter(F.col("nt") > 0))
 
 
 def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
@@ -103,11 +115,12 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
     from .scaling_dedup import materialize_docs
 
     if job == "asof":
-        # 400 M: at 50 M the whole job ran in ~0.5 s and per-job fixed
-        # costs crushed the 4N leg (the same lesson as the flagship's
-        # SPARK_GRAFT_SCALING_PAGES sizing note in the verify recipe)
+        # 100 M: the real union+window pass runs ~2.5 M events/s at 8
+        # cores, so the N leg lands ~40 s — big enough that per-job fixed
+        # costs don't crush the 4N leg (the flagship's
+        # SPARK_GRAFT_SCALING_PAGES sizing lesson), small enough to rep
         n = n_items or int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS",
-                                          "0")) or 400_000_000
+                                          "0")) or 100_000_000
         return two_level_scaling(
             cpus_4n=cpus_4n, n_items=n,
             materialize=lambda s: materialize_events(s, n),
