@@ -152,4 +152,5 @@ if __name__ == "__main__":
 
     job = sys.argv[1] if len(sys.argv) > 1 else "asof"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    print(json.dumps(run_scaling(job, cpus)))
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    print(json.dumps(run_scaling(job, cpus, n_items=n)))
