@@ -30,6 +30,17 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 from bench.common import cpu_sys_steal_total as _cpu_sys_total  # noqa: E402
 
 
+def _materialize(df) -> None:
+    """Force FULL evaluation via the noop sink — `.count()` is NOT a
+    benchmark action: Catalyst prunes row-preserving work under it (a
+    round-5 audit found 7 of 20 bench queries partially pruned —
+    windows_compound lost all 4 windows, doc_repetition all 7 joins;
+    measured 1.5-3.6× hidden work).  The noop writer consumes every
+    output row with every column, which is exactly what a downstream
+    sink would."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _calm_anchor(sf: float) -> float | None:
     """Flagship calm-window reference from the newest committed calmest-run
     artifact (BENCH/BENCH_r*_local.json) at the SAME sf — drives the
@@ -85,7 +96,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # warm at FULL size: a //20-sized warm-up leaves JIT tiering cold
         # enough that rep 1 ran 20-30 % above reps 2-3 in every recorded
         # round-5 run; one full-size pass makes every timed rep steady-state
-        _flagship(spark, pages_path).count()
+        flagship_rows = _flagship(spark, pages_path).count()
         spark.catalog.clearCache()
         # adaptive reps: 3 base + up to 3 extra while min stays above 2×
         # the calm-window anchor (read from the committed calmest-run
@@ -102,7 +113,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             if rep >= 3 and min(flagship_reps) <= noise_gate:
                 break
             t0 = time.perf_counter()
-            flagship_rows = _flagship(spark, pages_path).count()
+            _materialize(_flagship(spark, pages_path))
             flagship_reps.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         flagship_sec = min(flagship_reps)
@@ -114,6 +125,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
             "doc_jaccard_pairs", "doc_gopher_filter", "doc_span_dedup",
             "doc_text_profile", "doc_domain_cap", "doc_vocab",
+            # doc_repetition carries the round-5 bigram-LM score columns
+            "doc_repetition",
             "embed_pq_adc", "embed_neardup", "extract_chinese_names",
             "release_pipeline",
         ]
@@ -122,7 +135,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             best = float("inf")
             for _ in range(2):  # min-of-2: single-JVM GC spread is 2× on
                 t0 = time.perf_counter()  # identical reps (see BASELINE.md)
-                qs[name](spark, sf_dir).count()
+                _materialize(qs[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)

@@ -94,15 +94,21 @@ def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
     def run_once(cpus: int) -> tuple[float, dict]:
         spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
                           shuffle_partitions=max(cpus, 8))
+        def materialize_full(df):
+            # noop sink, not count(): Catalyst prunes row-preserving work
+            # (joins/windows/generates whose columns a bare count never
+            # reads) — the round-5 audit that also fixed bench.py
+            df.write.format("noop").mode("overwrite").save()
+
         t_start = cpu_ticks()
         try:
             if warmup:
-                build_job(spark, path).count()
+                materialize_full(build_job(spark, path))
                 spark.catalog.clearCache()
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                build_job(spark, path).count()
+                materialize_full(build_job(spark, path))
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             t_end = cpu_ticks()
