@@ -74,6 +74,12 @@ def _check(left: DataFrame, right: DataFrame, on: str, by: list[str],
     if clash:
         raise ValueError(f"output columns {clash} already exist on the left; "
                          f"pick another prefix")
+    internal = {_SIDE, _PAY, _TIE, _BKT}
+    bad = internal.intersection(left.columns).union(
+        internal.intersection(right.columns))
+    if bad:
+        raise ValueError(f"columns {sorted(bad)} collide with asof_join's "
+                         f"internal working columns; rename them first")
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str,

@@ -222,3 +222,10 @@ def test_value_cols_validation(spark):
         asof_join(l, r, on="t", by="k", value_cols=["rv", "rv"])
     with pytest.raises(ValueError, match="right side lacks"):
         asof_join(l, r, on="t", by="k", value_cols=["rv"], tie_col="nope")
+
+
+def test_internal_column_collision_rejected(spark):
+    l, r = _mk(spark, [(1, 5.0, 0)], [(1, 4.0, 0, 1.0)])
+    with pytest.raises(ValueError, match="internal working columns"):
+        asof_join(l.withColumn("__asof_side", F.lit(1)), r,
+                  on="t", by="k", value_cols=["rv"])
