@@ -132,6 +132,64 @@ def max_nn_spacing_km(places_pdf, *, lat_col: str = "latitude",
     return worst
 
 
+def auto_ring(places_pdf, *, lat_col: str = "latitude",
+              lon_col: str = "longitude", margin: float = 2.5,
+              max_k: int = 4, res_lo: int = 4, res_hi: int = 16,
+              max_explode_rows: int = 4_000_000) -> tuple[int, int]:
+    """Pick (res, k) minimizing expected per-query candidate work.
+
+    The per-row cost of the ring path is ~|candidate array| haversines
+    (higher-order ``transform`` is interpreted per element), and the array
+    size is density × step² × (2k+1)².  Exactness never depends on this
+    choice — the guard routes unsettled rows to the exact fallback — but
+    the settled fraction does: the guard must exceed the worst-case
+    query→nearest-place distance.  That covering radius is proxied by
+    ``max_nn_spacing_km × margin``; margin defaults to 2.5 because VOIDS in
+    a non-tiling place set are bigger than the inter-place spacing
+    (measured on the 1 k-place synthetic fixture: voids ≈ 2.3× spacing —
+    with margin 1.3 most rows failed the guard and paid ring+brute BOTH,
+    19.9 s; at guard ≥ 2.3× spacing the sweep plateaus at ~2.4 s).
+
+    A fixed res is a footgun in both directions (round-5 sweep, 100 k
+    queries × 1 k places, sf0.1/32 cores, noop-measured): res 9 → 39 km
+    cells → ~100-candidate arrays → 5-8 s; res 7 → 156 km cells → 38 s;
+    guard-sufficient fine-res picks (res 11 k 2 / res 12 k 3-4) → 2.4-2.5 s.
+    Exactness at any pick is oracle-pinned by q:geo_knn_cells.
+
+    Driver-side O(n²-chunked) spacing scan — places are pandas-resident by
+    contract (~10^4 rows).  ``max_explode_rows`` caps the small side's
+    (2k+1)² ring explosion; ``max_k`` defaults to 4 because measured
+    per-row cost grows with ring size beyond what the candidate-array
+    model captures (res 13 k 7 → 3.7 s vs res 12 k 4 → 2.5 s at equal
+    modeled candidates).
+    """
+    spacing = max_nn_spacing_km(places_pdf, lat_col=lat_col, lon_col=lon_col)
+    if not math.isfinite(spacing) or spacing <= 0:
+        return grid.DEFAULT_RES, 1
+    need = spacing * margin
+    max_lat = float(np.abs(places_pdf[lat_col].to_numpy()).max())
+    lat = np.radians(places_pdf[lat_col].to_numpy(dtype=np.float64))
+    lon = np.radians(places_pdf[lon_col].to_numpy(dtype=np.float64))
+    # bbox density (places per km²), cos-corrected lon extent
+    dlat_km = max(1e-9, (lat.max() - lat.min())) * 6371.0088
+    dlon_km = max(1e-9, (lon.max() - lon.min())) * 6371.0088 * math.cos(
+        math.radians(max_lat))
+    density = len(places_pdf) / (dlat_km * dlon_km)
+    n = len(places_pdf)
+    best: tuple[float, int, int] | None = None
+    for res in range(res_lo, res_hi + 1):
+        step = min_cell_km(res, max_lat)
+        k = max(1, math.ceil(need / (step * _GUARD_SAFETY)))
+        if k > max_k or n * (2 * k + 1) ** 2 > max_explode_rows:
+            continue
+        cost = density * (step * (2 * k + 1)) ** 2
+        if best is None or cost < best[0]:
+            best = (cost, res, k)
+    if best is None:  # spacing too large for max_k at any res: coarsest wins
+        return res_lo, max_k
+    return best[1], best[2]
+
+
 def _candidate_struct(place_lat: str, place_lon: str, tiebreak: str,
                       place_cols: list[str]) -> Column:
     return F.struct(
@@ -153,7 +211,7 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
              query_id: str, lat_col: str = "lat", lon_col: str = "lon",
              place_lat: str = "latitude", place_lon: str = "longitude",
              place_cols: list[str] | None = None,
-             res: int = grid.DEFAULT_RES, k: int = 1) -> DataFrame:
+             res: int | str = "auto", k: int = 1) -> DataFrame:
     """Exact nearest-place join: one output row per query row, ONE narrow plan.
 
     Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
@@ -166,10 +224,17 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
     per-row exactness guard (or that have no in-ring candidate) are resolved
     against the full places array inside the same CASE expression — exact by
     definition, evaluated only for that residual fraction.
+
+    ``res="auto"`` (default) derives (res, k) from the places table's
+    measured nearest-neighbor spacing (:func:`auto_ring`) — a fixed res is
+    wrong in both directions depending on place density (see auto_ring's
+    measured numbers); pass an int res to pin it.
     """
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
     tiebreak = place_cols[0]
+    if res == "auto":
+        res, k = auto_ring(places_pdf, lat_col=place_lat, lon_col=place_lon)
 
     exploded = explode_places_by_kring(
         spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)

@@ -132,12 +132,14 @@ def q_geo_knn_brute(spark, sf_dir):
 
 
 def q_geo_knn_cells(spark, sf_dir):
-    """Production kNN: cell index + k-ring escalation (operators/knn.py) —
-    must equal the brute-force oracle exactly."""
+    """Production kNN: cell index + k-ring + guard + exact fallback
+    (operators/knn.py) — must equal the brute-force oracle exactly.
+    res/k auto-derived from the fixture's measured place spacing
+    (auto_ring; the old pinned res=9 put ~100 places in every candidate
+    array — 6-8 s at sf0.1 vs ~1 s auto)."""
     pts = _points(spark, sf_dir)
     out = knn_join(spark, pts, _places_pdf(spark, sf_dir),
-                   query_id="event_id", place_cols=["place_id"],
-                   res=9, k=1)
+                   query_id="event_id", place_cols=["place_id"])
     return out.select("event_id", "place_id",
                       F.round(F.col("knn_dist_km"), 6).alias("dist_km"))
 

@@ -62,6 +62,25 @@ class TestKnnJoin:
         assert np.allclose(out["knn_dist_km"].to_numpy(), want["dist"].to_numpy(),
                            rtol=1e-9)
 
+    def test_auto_ring_exact_and_guard_sufficient(self, spark, queries_pdf,
+                                                   places_pdf):
+        """res="auto" (the default) must pick a guard-sufficient (res, k)
+        and return exactly the pinned-res result (exactness is res-
+        independent by construction — this pins it)."""
+        res, k = knn_op.auto_ring(places_pdf)
+        assert 4 <= res <= 16 and 1 <= k <= 4
+        spacing = knn_op.max_nn_spacing_km(places_pdf)
+        assert k * knn_op.min_cell_km(
+            res, abs(places_pdf["latitude"]).max()) >= spacing
+        q = spark.createDataFrame(queries_pdf)
+        auto = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
+                               place_cols=["place_id"])             .toPandas().sort_values("qid")
+        pinned = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
+                                 place_cols=["place_id"], res=10, k=1)             .toPandas().sort_values("qid")
+        assert auto["place_id"].tolist() == pinned["place_id"].tolist()
+        assert np.allclose(auto["knn_dist_km"].to_numpy(),
+                           pinned["knn_dist_km"].to_numpy(), rtol=1e-9)
+
     def test_every_query_exactly_once(self, spark, queries_pdf, places_pdf):
         q = spark.createDataFrame(queries_pdf)
         out = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
