@@ -22,23 +22,13 @@ import time
 
 
 from bench.common import flagship as _flagship  # noqa: E402
+from bench.common import materialize_full as _materialize  # noqa: E402
 from bench.common import materialize_pages  # noqa: E402
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 from bench.common import cpu_sys_steal_total as _cpu_sys_total  # noqa: E402
-
-
-def _materialize(df) -> None:
-    """Force FULL evaluation via the noop sink — `.count()` is NOT a
-    benchmark action: Catalyst prunes row-preserving work under it (a
-    round-5 audit found 7 of 20 bench queries partially pruned —
-    windows_compound lost all 4 windows, doc_repetition all 7 joins;
-    measured 1.5-3.6× hidden work).  The noop writer consumes every
-    output row with every column, which is exactly what a downstream
-    sink would."""
-    df.write.format("noop").mode("overwrite").save()
 
 
 def _calm_anchor(sf: float) -> float | None:
@@ -93,9 +83,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # on this sandbox spread identical warm reps 5.6-29 s — see
         # BENCH/BASELINE.md variance notes), and one extra rep materially
         # improves the odds of catching a calm window
-        # warm at FULL size: a //20-sized warm-up leaves JIT tiering cold
-        # enough that rep 1 ran 20-30 % above reps 2-3 in every recorded
-        # round-5 run; one full-size pass makes every timed rep steady-state
+        # warm at FULL size AND through the same noop action the timed
+        # reps use: a count() warm-up leaves the count-pruned subtrees
+        # (naming projection, output materialization) JIT-cold, recreating
+        # the 20-30 % rep-1 inflation the full-size warm-up exists to kill
+        _materialize(_flagship(spark, pages_path))
+        spark.catalog.clearCache()
         flagship_rows = _flagship(spark, pages_path).count()
         spark.catalog.clearCache()
         # adaptive reps: 3 base + up to 3 extra while min stays above 2×

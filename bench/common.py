@@ -7,6 +7,18 @@ import os
 PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_pages")
 
 
+def materialize_full(df) -> None:
+    """Force FULL evaluation via the noop sink — `.count()` is NOT a
+    benchmark action: Catalyst prunes row-preserving work under it (the
+    round-5 audit found 7 of 20 bench queries partially pruned, and count
+    over a group-less aggregate folds to a constant so NOTHING executes).
+    The noop writer consumes every output row with every column — what a
+    real downstream sink does.  ONE definition shared by bench.py and the
+    scaling harness so the materialization action can't drift between
+    them."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def cpu_sys_steal_total() -> tuple[int, int, int] | None:
     """(system-ish jiffies, steal jiffies, total jiffies) from /proc/stat
     line 1 — host-wide, so it sees the sandbox's documented noise storms
@@ -94,12 +106,6 @@ def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
     def run_once(cpus: int) -> tuple[float, dict]:
         spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
                           shuffle_partitions=max(cpus, 8))
-        def materialize_full(df):
-            # noop sink, not count(): Catalyst prunes row-preserving work
-            # (joins/windows/generates whose columns a bare count never
-            # reads) — the round-5 audit that also fixed bench.py
-            df.write.format("noop").mode("overwrite").save()
-
         t_start = cpu_ticks()
         try:
             if warmup:

@@ -6,9 +6,10 @@ round, so each carries its own measured scaling efficiency instead of
 inheriting the flagship's:
 
 * ``asof``  — ``operators/asof.asof_join`` (union-merge form) over a
-  deterministic synthetic events stream: every 5th row is an "error"
-  (left side), the rest are "clicks" (right side), keyed on a bounded
-  user population so window partitions are realistic recrawl histories.
+  deterministic synthetic events stream: ~1/5 of rows are "errors"
+  (left side, hash-derived flag), the rest "clicks" (right side), keyed
+  on a bounded user population so window partitions are realistic
+  recrawl histories.
 * ``bm25``  — ``operators/retrieval.bm25_topk`` over the scaling-dedup
   corpus (``bench.scaling_dedup.materialize_docs``), with query terms
   read from doc 0's actual text (one bounded 1-row collect, outside the
@@ -48,7 +49,10 @@ def _events_sql(n_rows: int) -> str:
 
 
 def materialize_events(spark, n_rows: int) -> str:
-    path = f"{EVENTS_CACHE}/events_{n_rows}.parquet"
+    # v2: cache key versioned with the synthesis — the v1 corpus had the
+    # zero-match error-flag aliasing bug, and a bare events_{n} key would
+    # silently serve it forever (the materialize_pages _SUCCESS lesson)
+    path = f"{EVENTS_CACHE}/events_v2_{n_rows}.parquet"
     if not os.path.exists(f"{path}/_SUCCESS"):
         n_files = max(64, n_rows // 500_000)
         (spark.sql(_events_sql(n_rows)).repartition(n_files)
@@ -58,11 +62,12 @@ def materialize_events(spark, n_rows: int) -> str:
 
 def _asof_job(spark, path: str):
     """NOTE every job here ends in a global aggregate over its COMPUTED
-    columns: the harness forces evaluation with ``.count()``, and a bare
-    count lets Catalyst prune the expensive payload (the as-of window's
-    ``last()`` column, the LM's join results) right out of the plan —
-    measured 0.69 s for 50 M events before this guard, i.e. a scan-only
-    non-measurement."""
+    columns.  The harness materializes through the noop sink (which
+    consumes every column), but the aggregate keeps the job honest under
+    ANY consumer: a bare ``.count()`` on the raw join output lets Catalyst
+    prune the expensive payload (the as-of window's ``last()`` column, the
+    LM's join results) right out of the plan — measured 0.69 s for 50 M
+    events before this was understood, a scan-only non-measurement."""
     from pyspark.sql import functions as F
 
     from immich_geodata_zh_tw_spark.operators.asof import asof_join
@@ -72,14 +77,14 @@ def _asof_job(spark, path: str):
     clk = e.filter(F.col("event_type") == "click")
     out = asof_join(err, clk, on="ts", by="user_id",
                     value_cols=["event_id", "value"], tie_col="event_id")
-    agg = out.agg(F.sum("r_value").alias("sv"),
-                  F.count("r_event_id").alias("cm"),
-                  F.count(F.lit(1)).alias("n"))
-    # the filter makes the harness's .count() non-foldable: a bare count()
-    # over a group-less aggregate is constant-folded to 1 and the whole
-    # window subtree never executes (measured: 2.0 s for what really costs
-    # ~160 s at 8 cores)
-    return agg.filter(F.col("cm") > 0)
+    # global aggregate over the COMPUTED columns: the harness materializes
+    # through the noop sink (bench.common.materialize_full), which consumes
+    # every column — but the agg additionally keeps the job meaningful for
+    # any ad-hoc runner that collects it (cm == 0 means a broken corpus;
+    # the v1 synthesis bug surfaced exactly that way)
+    return out.agg(F.sum("r_value").alias("sv"),
+                   F.count("r_event_id").alias("cm"),
+                   F.count(F.lit(1)).alias("n"))
 
 
 def _bm25_job(spark, path: str):
@@ -102,11 +107,9 @@ def _lm_job(spark, path: str):
     d = spark.read.parquet(path)
     model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
     out = ngram_lm.lm_score(d, model)
-    # global agg over the computed columns + non-foldable filter — see
-    # _asof_job's NOTE
-    return (out.agg(F.sum("lm_logprob_micro6").alias("lp"),
-                    F.sum("lm_tokens").alias("nt"))
-            .filter(F.col("nt") > 0))
+    # global agg over the computed columns — see _asof_job's NOTE
+    return out.agg(F.sum("lm_logprob_micro6").alias("lp"),
+                   F.sum("lm_tokens").alias("nt"))
 
 
 def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,

@@ -52,6 +52,8 @@ _SIDE = "__asof_side"
 _PAY = "__asof_payload"
 _TIE = "__asof_tie"
 _BKT = "__asof_bucket"
+_CARRY = "__carry"
+_BFINAL = "__bucket_final"
 
 
 def _check(left: DataFrame, right: DataFrame, on: str, by: list[str],
@@ -74,7 +76,7 @@ def _check(left: DataFrame, right: DataFrame, on: str, by: list[str],
     if clash:
         raise ValueError(f"output columns {clash} already exist on the left; "
                          f"pick another prefix")
-    internal = {_SIDE, _PAY, _TIE, _BKT}
+    internal = {_SIDE, _PAY, _TIE, _BKT, _CARRY, _BFINAL}
     bad = internal.intersection(left.columns).union(
         internal.intersection(right.columns))
     if bad:
@@ -186,16 +188,16 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
                            (F.col(_TIE) if sign > 0
                             else -F.col(_TIE)).alias("k3"))
         per_bucket = (local.groupBy(*by, _BKT)
-                      .agg(F.max_by(_PAY, fin_key).alias("__bucket_final")))
+                      .agg(F.max_by(_PAY, fin_key).alias(_BFINAL)))
         wc = (Window.partitionBy(*by).orderBy(F.col(_BKT).asc())
               .rowsBetween(Window.unboundedPreceding, -1))
         carry = per_bucket.withColumn(
-            "__carry",
-            F.last("__bucket_final", ignorenulls=True).over(wc)).select(
-            *by, _BKT, "__carry")
+            _CARRY,
+            F.last(_BFINAL, ignorenulls=True).over(wc)).select(
+            *by, _BKT, _CARRY)
         matched = (local.join(carry, [*by, _BKT], "left")
-                   .withColumn(_PAY, F.coalesce(_PAY, "__carry"))
-                   .drop("__carry", _BKT))
+                   .withColumn(_PAY, F.coalesce(_PAY, _CARRY))
+                   .drop(_CARRY, _BKT))
 
     out = matched.filter(F.col(_SIDE) == 1)
     # NULL-`on` left rows keep their row, match nothing (see the right-side

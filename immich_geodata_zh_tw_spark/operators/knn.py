@@ -168,13 +168,6 @@ def auto_ring(places_pdf, *, lat_col: str = "latitude",
         return grid.DEFAULT_RES, 1
     need = spacing * margin
     max_lat = float(np.abs(places_pdf[lat_col].to_numpy()).max())
-    lat = np.radians(places_pdf[lat_col].to_numpy(dtype=np.float64))
-    lon = np.radians(places_pdf[lon_col].to_numpy(dtype=np.float64))
-    # bbox density (places per km²), cos-corrected lon extent
-    dlat_km = max(1e-9, (lat.max() - lat.min())) * 6371.0088
-    dlon_km = max(1e-9, (lon.max() - lon.min())) * 6371.0088 * math.cos(
-        math.radians(max_lat))
-    density = len(places_pdf) / (dlat_km * dlon_km)
     n = len(places_pdf)
     best: tuple[float, int, int] | None = None
     for res in range(res_lo, res_hi + 1):
@@ -182,7 +175,10 @@ def auto_ring(places_pdf, *, lat_col: str = "latitude",
         k = max(1, math.ceil(need / (step * _GUARD_SAFETY)))
         if k > max_k or n * (2 * k + 1) ** 2 > max_explode_rows:
             continue
-        cost = density * (step * (2 * k + 1)) ** 2
+        # expected candidates/row ∝ ring AREA (the uniform place density is
+        # a loop-invariant factor — it cannot move the argmin, so it is not
+        # computed)
+        cost = (step * (2 * k + 1)) ** 2
         if best is None or cost < best[0]:
             best = (cost, res, k)
     if best is None:  # spacing too large for max_k at any res: coarsest wins
@@ -211,7 +207,7 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
              query_id: str, lat_col: str = "lat", lon_col: str = "lon",
              place_lat: str = "latitude", place_lon: str = "longitude",
              place_cols: list[str] | None = None,
-             res: int | str = "auto", k: int = 1) -> DataFrame:
+             res: int | str = "auto", k: int | None = None) -> DataFrame:
     """Exact nearest-place join: one output row per query row, ONE narrow plan.
 
     Output = all ``queries`` columns + ``place_cols`` + ``knn_dist_km``.
@@ -225,16 +221,23 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
     against the full places array inside the same CASE expression — exact by
     definition, evaluated only for that residual fraction.
 
-    ``res="auto"`` (default) derives (res, k) from the places table's
-    measured nearest-neighbor spacing (:func:`auto_ring`) — a fixed res is
-    wrong in both directions depending on place density (see auto_ring's
-    measured numbers); pass an int res to pin it.
+    ``res="auto"`` (default) derives BOTH res and k from the places
+    table's measured nearest-neighbor spacing (:func:`auto_ring`) — a
+    fixed res is wrong in both directions depending on place density (see
+    auto_ring's measured numbers).  Passing k with res="auto" raises
+    (silently ignoring it would hand back a different ring than asked
+    for); pin an int res to control k (default 1).
     """
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
     tiebreak = place_cols[0]
     if res == "auto":
+        if k is not None:
+            raise ValueError("res='auto' derives BOTH res and k from the "
+                             "place spacing; pass an explicit res to pin k")
         res, k = auto_ring(places_pdf, lat_col=place_lat, lon_col=place_lon)
+    elif k is None:
+        k = 1
 
     exploded = explode_places_by_kring(
         spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)

@@ -229,3 +229,10 @@ def test_internal_column_collision_rejected(spark):
     with pytest.raises(ValueError, match="internal working columns"):
         asof_join(l.withColumn("__asof_side", F.lit(1)), r,
                   on="t", by="k", value_cols=["rv"])
+
+
+def test_carry_column_collision_rejected(spark):
+    l, r = _mk(spark, [(1, 5.0, 0)], [(1, 4.0, 0, 1.0)])
+    with pytest.raises(ValueError, match="internal working columns"):
+        asof_join(l, r.withColumn("__carry", F.lit(1)),
+                  on="t", by="k", value_cols=["rv"], bucket_span=10.0)

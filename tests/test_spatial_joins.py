@@ -276,3 +276,15 @@ class TestRasterVector:
             row = by_cell.loc[int(c)]
             assert row["lat_min"] <= la <= row["lat_max"]
             assert row["lon_min"] <= lo <= row["lon_max"]
+
+
+def test_auto_res_with_pinned_k_rejected(spark):
+    import pandas as pd
+    places = pd.DataFrame({"place_id": [1, 2],
+                           "latitude": [24.0, 24.2],
+                           "longitude": [121.0, 121.2]})
+    q = spark.createDataFrame([(1, 24.1, 121.1)], "qid int, lat double, lon double")
+    import pytest
+    with pytest.raises(ValueError, match="pass an explicit res"):
+        knn_op.knn_join(spark, q, places, query_id="qid",
+                        place_cols=["place_id"], k=3)
