@@ -34,10 +34,19 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
                           polys_pdf: pd.DataFrame, cities_pdf: pd.DataFrame, *,
                           bbox: tuple[float, float, float, float] = TW_BBOX,
                           country_code: str = "TW",
-                          res: int = 10, knn_k: int = 1) -> DataFrame:
+                          res: int = 10, knn_res: int = 10,
+                          knn_k: int = 1) -> DataFrame:
     # res 10 ⇒ k=1 exactness guard ≈ 17.6 km > the 12.2 km worst-case
-    # nearest-centroid distance of the village tiling, so virtually every row
-    # settles in the zero-shuffle static path — one broadcast join + codegen.
+    # nearest-centroid distance of the village tiling, so virtually every
+    # row settles in the zero-shuffle static path — one broadcast join +
+    # codegen.  knn_res decouples the kNN ring grid from the PIP prefilter
+    # grid; both default to 10 because an INTERLEAVED same-session A/B
+    # (noop-measured, 2 M pages/32 cores) put knn_res=12 k=3 at 3.79 s vs
+    # 3.13 s here, even though the kNN stage ALONE measured faster at 12/3
+    # (0.93 vs 1.30 s over uniform synthetic points) — sharing res lets the
+    # per-row cell encode CSE across the PIP and kNN joins, and the 9-entry
+    # ring map beats the 49-entry one on broadcast build+probe.  The knob
+    # exists for place tables whose spacing genuinely demands another grid.
     """Full reverse-geocode of a pages table against polygon + point tables."""
     # geo-only kernel: this plan never outputs text, and pruning cannot
     # reach inside mapInPandas — the text pass (tag-strip + entities + ws
@@ -85,16 +94,19 @@ def reverse_geocode_pages(spark: SparkSession, pages: DataFrame,
     # When the check fails — sparse or irregular cities tables — fall back to
     # the general kNN join, whose per-row guard + full-array CASE fallback is
     # exact for any point set (VERDICT.md round-1 item 5 / ADVICE.md item 2).
-    guard_km = knn_k * min_cell_km(res, max(abs(bbox[0]), abs(bbox[1])) + 1.0)
+    guard_km = knn_k * min_cell_km(knn_res,
+                                   max(abs(bbox[0]), abs(bbox[1])) + 1.0)
     spacing_km = max_nn_spacing_km(cities_pdf)
     if spacing_km <= guard_km:
         named = knn_join_static(
             spark, with_admin, cities_pdf, query_id="url",
-            place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
+            place_cols=["geoname_id", "name", "admin1_code"],
+            res=knn_res, k=knn_k)
     else:
         named = knn_join(
             spark, with_admin, cities_pdf, query_id="url",
-            place_cols=["geoname_id", "name", "admin1_code"], res=res, k=knn_k)
+            place_cols=["geoname_id", "name", "admin1_code"],
+            res=knn_res, k=knn_k)
     # localized country display name (reference i18n-iso-countries zh-tw.json
     # via Immich's display path, README.md:103) — broadcast dim join.
     # country_code travels with bbox: a non-Taiwan invocation passes its own
