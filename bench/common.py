@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_pages")
@@ -19,21 +20,24 @@ def materialize_full(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def cpu_sys_steal_total() -> tuple[int, int, int] | None:
-    """(system-ish jiffies, steal jiffies, total jiffies) from /proc/stat
-    line 1 — host-wide, so it sees the sandbox's documented noise storms
-    even when another process (or, for steal, a CO-TENANT VM on the
-    hypervisor) causes them.  ONE definition shared by bench.py's noise
-    record and the scaling legs' per-leg fracs: both emit the same
-    ``host_sys_frac`` key, so they must count the same jiffy classes
-    (system+irq+softirq — softirq-heavy windows are one of the documented
-    storm modes) or a stormy scaling leg reads as calm."""
+def cpu_sys_steal_total() -> tuple[int, int, int, int] | None:
+    """(system-ish jiffies, steal jiffies, total jiffies, busy jiffies)
+    from /proc/stat line 1 — host-wide, so it sees the sandbox's
+    documented noise storms even when another process (or, for steal, a
+    CO-TENANT VM on the hypervisor) causes them.  ONE definition shared
+    by bench.py's noise record and the scaling legs' per-leg fracs: both
+    emit the same ``host_sys_frac`` key, so they must count the same
+    jiffy classes (system+irq+softirq — softirq-heavy windows are one of
+    the documented storm modes) or a stormy scaling leg reads as calm.
+    ``busy`` (total minus idle+iowait) lets a pinned scaling leg verify
+    its own confinement: busy/total × n_host_cpus ≈ the pinned width."""
     try:
         with open("/proc/stat") as fh:
             vals = [int(v) for v in fh.readline().split()[1:]]
         sys_t = vals[2] + vals[5] + vals[6]  # system+irq+softirq
         steal = vals[7] if len(vals) > 7 else 0
-        return sys_t, steal, sum(vals)
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+        return sys_t, steal, sum(vals), busy
     except Exception:
         return None
 
@@ -67,6 +71,59 @@ def flagship(spark, pages_path: str):
         spark, spark.read.parquet(pages_path),
         polygons.admin_polygons_pdf(village_grid=5),
         cities.cities_pdf(village_grid=5))
+
+
+def _pin_all_threads(mask: set) -> None:
+    """Apply ``mask`` to the Python driver AND every live thread of the
+    persistent py4j JVM.  Pinning only the driver is NOT enough: pyspark
+    keeps ONE JVM per Python process — ``spark.stop()`` stops the
+    SparkContext but the gateway JVM survives — so a JVM spawned by the
+    (unpinned, full-width) materialization session would ignore a plain
+    inherited-affinity pin (measured: a "pinned" local[4] leg still
+    burned 7.1 host cores).  Linux affinity is per-THREAD, so walk
+    /proc/<pid>/task; threads the JVM creates later inherit from their
+    (already pinned) creator thread, and the executor's Python workers
+    are forked by pinned JVM threads, so the whole tree stays inside
+    the mask."""
+    os.sched_setaffinity(0, mask)
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    proc = getattr(gw, "proc", None) if gw else None
+    if proc is not None:
+        try:
+            for _ in range(2):  # 2nd pass closes the listdir race with
+                # a thread spawned mid-walk by a not-yet-pinned thread
+                for tid in os.listdir(f"/proc/{proc.pid}/task"):
+                    try:
+                        os.sched_setaffinity(int(tid), mask)
+                    except OSError:
+                        pass  # thread exited between listdir and pin
+        except FileNotFoundError:
+            pass
+
+
+@contextlib.contextmanager
+def pinned(cpus: int):
+    """Confine the driver + JVM + Python workers to exactly ``cpus``
+    CPUs for one leg.
+
+    Without this, a ``local[N]`` leg on a wide box is NOT an N-core
+    measurement: every mapInPandas task runs a JVM thread AND a Python
+    worker process concurrently, and GC/shuffle/IO threads add more —
+    so the N leg silently borrows idle host cores (measured: a
+    local[4] flagship leg sustained 6.8 busy host cores), overstating
+    N-leg throughput and deflating the computed efficiency.  A real
+    N-core executor container (YARN/K8s cgroup) confines its Python
+    workers and GC to the same budget, so the pinned run is the
+    faithful two-cluster-size emulation.
+    """
+    prev = os.sched_getaffinity(0)
+    _pin_all_threads(set(range(cpus)))
+    try:
+        yield
+    finally:
+        _pin_all_threads(prev)
 
 
 def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
@@ -104,28 +161,39 @@ def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
         spark.stop()
 
     def run_once(cpus: int) -> tuple[float, dict]:
-        spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
-                          shuffle_partitions=max(cpus, 8))
-        t_start = cpu_ticks()
-        try:
-            if warmup:
-                materialize_full(build_job(spark, path))
-                spark.catalog.clearCache()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                materialize_full(build_job(spark, path))
-                best = min(best, time.perf_counter() - t0)
-                spark.catalog.clearCache()
-            t_end = cpu_ticks()
-            noise = {}
-            if t_start and t_end:
-                dt = max(t_end[2] - t_start[2], 1)
-                noise = {"host_sys_frac": round((t_end[0] - t_start[0]) / dt, 3),
-                         "host_steal_frac": round((t_end[1] - t_start[1]) / dt, 3)}
-            return best, noise
-        finally:
-            spark.stop()
+        # pinned() both sets inheritable affinity (covers a JVM spawned
+        # inside the block) and re-pins every live JVM thread (covers the
+        # persistent gateway JVM the materialization session already spawned)
+        with pinned(cpus):
+            spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
+                              shuffle_partitions=max(cpus, 8))
+            t_start = cpu_ticks()
+            try:
+                if warmup:
+                    materialize_full(build_job(spark, path))
+                    spark.catalog.clearCache()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    materialize_full(build_job(spark, path))
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                t_end = cpu_ticks()
+                noise = {}
+                if t_start and t_end:
+                    dt = max(t_end[2] - t_start[2], 1)
+                    # host_busy_cores ≈ cpus proves the affinity pin held
+                    # for the whole leg (an unpinned local[4] leg burned
+                    # 6.8-7.1 host cores); ≫ cpus means the pin leaked or
+                    # a co-tenant process ran — remeasure, don't record
+                    ncpu = os.cpu_count() or 1
+                    noise = {"host_sys_frac": round((t_end[0] - t_start[0]) / dt, 3),
+                             "host_steal_frac": round((t_end[1] - t_start[1]) / dt, 3),
+                             "host_busy_cores": round(
+                                 (t_end[3] - t_start[3]) / dt * ncpu, 2)}
+                return best, noise
+            finally:
+                spark.stop()
 
     cpus_n = max(cpus_4n // 4, 1)
     results = {}
@@ -136,7 +204,7 @@ def two_level_scaling(*, cpus_4n: int, n_items: int, materialize, build_job,
     rate = f"{unit}_per_sec"
     eff = results["4N"][rate] / (4.0 * results["N"][rate])
     out = {"metric": metric, "value": round(eff, 3), "unit": "ratio",
-           f"n_{unit}": n_items, "runs": results}
+           "pinned_cpus": True, f"n_{unit}": n_items, "runs": results}
     if extra:
         out.update(extra)
     return out
