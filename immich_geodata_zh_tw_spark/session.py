@@ -83,7 +83,10 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         # case but a 27 s full-GC outlier; 16g: 4.6-5.4 s consistently)
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (costs listener overhead at bench time); the
+        # stage-decomposition diagnostic (bench/stage_decompose.py) flips
+        # it on to read per-stage times from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     spark = builder.getOrCreate()
     _ship_package(spark)
