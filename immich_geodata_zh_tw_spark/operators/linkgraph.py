@@ -1,0 +1,129 @@
+"""Link-graph analytics over web corpora: degree stats + PageRank.
+
+Large-scale curation pipelines use link-based priors as document quality
+signals (Common Crawl publishes harmonic-centrality / PageRank host ranks;
+CCNet/RefinedWeb-style curators join them as per-host quality features).
+The reference repo has no graph code — this module is part of the driver's
+"operations a large-scale training-data pipeline would need" mandate, next
+to dedup / mixture / retrieval (`operators/dedup.py`, `textstats.py`,
+`retrieval.py`).
+
+Exactness discipline — the PageRank here is **integer-exact and
+order-free**: all mass lives in BIGINT micro-units (``scale`` total), every
+division is integer division, so per-edge contributions are integers and
+their sum commutes across any partitioning.  Both engines (Spark ``div``,
+DuckDB ``//``) truncate identically on the non-negative values that occur,
+which is what makes a fixed-iteration run SQL-oracle-replicable (same trick
+as the order-free micro-nat LM scores in ``operators/ngram_lm.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, *, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """Per-node out/in degree over an edge table → (node, out_deg, in_deg).
+
+    Two partial-aggregated hash counts + ONE full-outer merge on the node
+    key; zipfian hubs are absorbed map-side by the partial aggregation, so
+    no single task ever materializes a hub's edge list.
+    """
+    out = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.count(F.lit(1)).alias("out_deg")))
+    ind = (edges.groupBy(F.col(dst).alias("node"))
+           .agg(F.count(F.lit(1)).alias("in_deg")))
+    return (out.join(ind, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             n_iter: int = 3, damping_pct: int = 85,
+             scale: int = 10 ** 12, persist_edges: bool = False,
+             checkpoint_every: int = 1,
+             reliable_checkpoint_every: int = 0) -> DataFrame:
+    """Fixed-iteration integer-exact PageRank → (node, rank_u).
+
+    ``rank_u`` is the node's rank in micro-units of ``scale`` total mass
+    after ``n_iter`` synchronous iterations of
+
+        r'(v) = base + d·(Σ_{u→v} r(u) div out(u) + dangling div N) div 100
+
+    with ``base = (scale div N)·(100−d) div 100``, ``d = damping_pct``,
+    ``N = |nodes|`` (nodes = src ∪ dst of the edge table), and *dangling* =
+    total mass on zero-out-degree nodes, redistributed uniformly (the
+    standard PageRank dangling fix).  Integer truncation leaks a few units
+    of mass per step — deliberately: every arithmetic op is BIGINT, so the
+    result is bit-identical at any partitioning and any cluster size, and
+    an ANSI-SQL oracle reproduces it exactly.  Rank ORDERING matches float
+    PageRank up to ties within ~N/scale relative mass (at the default
+    ``scale=10¹²`` that is noise even for a 10⁹-host web graph).
+
+    Scale shape (per iteration, edges = the 100 TB side):
+
+    * the rank frame is |V| rows (hosts, not pages) — always the small
+      side; it joins edges on ``src``, where ``persist_edges=True`` keeps
+      the edge table hash-partitioned on ``src`` ONCE so every iteration's
+      join reuses that layout instead of re-shuffling the big side;
+    * per-edge contributions partial-aggregate map-side into |V| rows on
+      ``dst`` — an in-degree mega-hub (zipfian reality) is combined inside
+      each map task, never collected into one reducer's row list;
+    * dangling mass is a ONE-ROW aggregate broadcast back via crossJoin
+      (the house one-row-stats pattern, cf. ``retrieval.bm25_topk``).
+
+    Each iteration references the previous rank frame twice (contributions
+    + dangling), so pure-lazy lineage doubles per round; ``checkpoint_every
+    = k`` (default 1) cuts it with an eager ``localCheckpoint`` every k
+    rounds — the exact discipline of ``dedup.minhash_clusters``.  Local
+    checkpoints live on executors; for executor-loss durability on a real
+    cluster set ``reliable_checkpoint_every`` (> 0) to additionally write a
+    reliable ``checkpoint()`` (requires ``sc.setCheckpointDir`` on durable
+    storage) at that cadence, as in ``minhash_clusters``.  Set
+    ``checkpoint_every=0`` for a fully lazy single-DAG plan (fine for small
+    ``n_iter`` — the 2^n_iter subtree fan-out is over |V|-row frames).
+
+    Pass a DISTINCT edge table for simple-graph semantics; parallel edges
+    are honored as multi-edges (each carries its own contribution).
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if persist_edges:
+        e = e.repartition("__src").persist()
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy(F.col("__src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__out"))
+    ncount = nodes.agg(F.count(F.lit(1)).alias("__n"))  # one row
+    base_expr = (f"(({scale} div __n) * {100 - damping_pct}) div 100"
+                 f" + ({damping_pct} * (coalesce(__inc, cast(0 as bigint))"
+                 f" + __dm div __n)) div 100")
+    ranks = (nodes.crossJoin(ncount)
+             .select("node", F.expr(f"{scale} div __n").alias("rank_u")))
+    for round_no in range(1, n_iter + 1):
+        j = ranks.join(outdeg, "node", "left")
+        contrib = (j.filter(F.col("__out").isNotNull())
+                   .select(F.col("node").alias("__u"),
+                           F.expr("rank_u div __out").alias("__c")))
+        incoming = (e.join(contrib, e["__src"] == contrib["__u"])
+                    .groupBy(F.col("__dst").alias("node"))
+                    .agg(F.sum("__c").alias("__inc")))
+        dang = (j.filter(F.col("__out").isNull())
+                .agg(F.coalesce(F.sum("rank_u"),
+                                F.lit(0).cast("long")).alias("__dm")))
+        ranks = (nodes.join(incoming, "node", "left")
+                 .crossJoin(dang).crossJoin(ncount)
+                 .select("node",
+                         F.expr(base_expr).cast("long").alias("rank_u")))
+        if reliable_checkpoint_every and (
+                round_no % reliable_checkpoint_every == 0):
+            ranks = ranks.checkpoint(eager=True)
+        elif checkpoint_every and round_no % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    if persist_edges:
+        # leave persisted for the caller's action; blocks are LRU-evictable
+        pass
+    return ranks.select("node", "rank_u")

@@ -1294,6 +1294,107 @@ FROM rk WHERE rank <= {_BM25_K}
 """
 
 
+_PR_ITER = 3          # fixed PageRank iterations for the driver branch
+_PR_SCALE = 10 ** 12  # BIGINT micro-units of total rank mass
+
+
+def _link_edges(spark, sf_dir):
+    """Deterministic citation graph over ``documents``: each doc emits 3
+    md5-derived candidate out-links ``dst = h(doc_id#s) % 1000`` (the
+    strided-centroid trick — literal, SQL-replicable inputs make the
+    operator oracle-checkable); self-edges dropped, targets semi-filtered
+    to existing doc ids (at sf0.01 only ids < 500 exist, so ~half the
+    candidates die and ~12 % of nodes end up dangling — exercising the
+    dangling-mass path in the gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (docs.select(F.col("doc_id").alias("src"))
+            .withColumn("s", F.explode(F.expr("array(1, 2, 3)")))
+            .withColumn("dst", F.expr(
+                "cast(conv(substring(md5(concat(cast(src as string), '#',"
+                " cast(s as string))), 1, 8), 16, 10) as bigint) % 1000")))
+    return (cand.filter(F.col("dst") != F.col("src"))
+            .join(docs.select(F.col("doc_id").alias("dst")), "dst",
+                  "semi")
+            .select("src", "dst").distinct())
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Link-graph quality prior (operators/linkgraph.py): per-node degree
+    stats ∪ integer-exact 3-iteration PageRank over the
+    deterministic citation graph — the Common-Crawl-style link-based
+    quality signal curation pipelines join as a per-host feature.  Union-
+    typed (op, node, val_num, val_str)."""
+    from ..operators import linkgraph
+
+    edges = _link_edges(spark, sf_dir)
+    deg = linkgraph.degree_stats(edges).select(
+        F.lit("link_degree").alias("op"), F.col("node"),
+        F.col("out_deg").alias("val_num"),
+        F.col("in_deg").cast("string").alias("val_str"))
+    pr = linkgraph.pagerank(edges, n_iter=_PR_ITER,
+                            scale=_PR_SCALE).select(
+        F.lit("pagerank").alias("op"), F.col("node"),
+        F.col("rank_u").alias("val_num"),
+        F.lit(None).cast("string").alias("val_str"))
+    return deg.unionByName(pr)
+
+
+def _sql_link_pagerank() -> str:
+    """Oracle: same edge synthesis + the PageRank recurrence unrolled into
+    one CTE chain per iteration.  Every sum is CAST(... AS BIGINT) — DuckDB
+    types sum(BIGINT) as HUGEINT (the round-4 artifact class); `//` is
+    integer division, identical to Spark `div` on the non-negative values
+    that occur."""
+    scale, d = _PR_SCALE, 85
+    parts = [f"""
+cand AS (
+  SELECT doc_id AS src,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                CAST(t.s AS VARCHAR)), 1, 8))::BIGINT
+         % 1000 AS dst
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS s) t),
+edges AS (
+  SELECT DISTINCT src, dst FROM cand
+  WHERE dst <> src AND dst IN (SELECT doc_id FROM documents)),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncount AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+indeg AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY 1),
+rank0 AS (
+  SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_u
+  FROM nodes CROSS JOIN ncount nn)"""]
+    for i in range(1, _PR_ITER + 1):
+        parts.append(f"""
+contrib{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(r.rank_u // o.out_deg) AS BIGINT) AS inc
+  FROM edges e
+  JOIN rank{i - 1} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.node
+  GROUP BY e.dst),
+dang{i} AS (
+  SELECT CAST(coalesce(sum(r.rank_u), 0) AS BIGINT) AS dm
+  FROM rank{i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+  WHERE o.node IS NULL),
+rank{i} AS (
+  SELECT n.node,
+         CAST((({scale} // nn.n) * {100 - d}) // 100
+              + ({d} * (coalesce(c.inc, 0) + dd.dm // nn.n)) // 100
+              AS BIGINT) AS rank_u
+  FROM nodes n
+  LEFT JOIN contrib{i} c ON n.node = c.node
+  CROSS JOIN dang{i} dd CROSS JOIN ncount nn)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT 'link_degree' AS op, n.node,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS val_num,
+       CAST(coalesce(i.in_deg, 0) AS VARCHAR) AS val_str
+FROM nodes n
+LEFT JOIN outdeg o ON n.node = o.node
+LEFT JOIN indeg i ON n.node = i.node
+UNION ALL
+SELECT 'pagerank', node, rank_u, NULL FROM rank{_PR_ITER}""")
+
+
 def q_doc_mixture_weights(spark, sf_dir):
     """Per-domain token counts + sqrt-temperature sampling weights."""
     d = _t(spark, sf_dir, "documents")
@@ -2653,7 +2754,8 @@ def q_scalar_misc_compound(spark, sf_dir):
     """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
     U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip ∪
     URL functions (host/registered-domain/depth/canonical — two exploded
-    rows per doc, ONE scan) ∪ BM25 lexical top-k, one union-typed result
+    rows per doc, ONE scan) ∪ BM25 lexical top-k ∪ link-graph degrees +
+    integer-exact PageRank, one union-typed result
     (schema: op, key_num, key_str, val_num, val_str)."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
@@ -2713,9 +2815,14 @@ def q_scalar_misc_compound(spark, sf_dir):
         .alias("key_str"),
         F.col("score_micro6").alias("val_num"),
         F.col("n_terms").cast("string").alias("val_str"))
+    # link-graph quality prior: degrees + integer-exact PageRank, already
+    # union-typed (op, node, val_num, val_str) by q_link_pagerank
+    b9 = q_link_pagerank(spark, sf_dir).select(
+        F.col("op"), F.col("node").alias("key_num"),
+        null_s.alias("key_str"), F.col("val_num"), F.col("val_str"))
     return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
             .unionByName(b5).unionByName(b6).unionByName(b7)
-            .unionByName(b8))
+            .unionByName(b8).unionByName(b9))
 
 
 SQL_SCALAR_MISC_COMPOUND = f"""
@@ -2760,6 +2867,9 @@ UNION ALL
 SELECT 'bm25', doc_id, concat(query_id, '#', CAST(rank AS VARCHAR)),
        score_micro6, CAST(n_terms AS VARCHAR)
 FROM ({SQL_BM25_TOPK})
+UNION ALL
+SELECT op, node, NULL, val_num, val_str
+FROM ({_sql_link_pagerank()})
 """
 
 
