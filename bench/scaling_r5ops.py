@@ -18,6 +18,11 @@ inheriting the flagship's:
 * ``lm``    — ``operators/ngram_lm`` train (even doc_ids) + score (all)
   over the same corpus: the heaviest of the three (three key joins over
   every token position against a ~vocab²-row bigram table).
+* ``pagerank`` — ``operators/linkgraph.pagerank`` (3 integer-exact
+  iterations, per-round localCheckpoint, src-persisted edges) over a
+  deterministic synthetic edge corpus with a zipf-head approximation:
+  10 % of edges target 100 hot nodes, exercising the map-side combine
+  that keeps in-degree mega-hubs off any single reducer.
 
 Corpora are pure-SQL deterministic synthesis (no external data), written
 once at full width with a fixed file count (same rationale as
@@ -58,6 +63,45 @@ def materialize_events(spark, n_rows: int) -> str:
         (spark.sql(_events_sql(n_rows)).repartition(n_files)
          .write.mode("overwrite").parquet(path))
     return path
+
+
+_PR_NODES = 2_000_000
+
+
+def _edges_sql(n_rows: int) -> str:
+    """Deterministic edge corpus: uniform src over ``_PR_NODES``; dst is
+    zipf-head-skewed (10 % of edges land on 100 hot nodes — web in-degree
+    reality) else uniform; self-edges filtered."""
+    return (f"SELECT src, dst FROM ("
+            f"SELECT abs(xxhash64(id)) % {_PR_NODES} AS src, "
+            f"CASE WHEN abs(xxhash64(id + 3)) % 10 = 0 "
+            f"THEN abs(xxhash64(id + 7)) % 100 "
+            f"ELSE abs(xxhash64(id + 7)) % {_PR_NODES} END AS dst "
+            f"FROM range({n_rows})) WHERE src <> dst")
+
+
+def materialize_edges(spark, n_rows: int) -> str:
+    path = f"{EVENTS_CACHE}/edges_v1_{n_rows}.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        n_files = max(64, n_rows // 500_000)
+        (spark.sql(_edges_sql(n_rows)).repartition(n_files)
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _pagerank_job(spark, path: str):
+    """The 3 eager per-round localCheckpoints run INSIDE build_job, which
+    the harness calls inside the timed rep — the iterations are measured;
+    the returned frame is the final |V|-row checkpointed ranks plus a
+    global agg over the COMPUTED rank column (see _asof_job's NOTE)."""
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators import linkgraph
+
+    e = spark.read.parquet(path)
+    pr = linkgraph.pagerank(e, n_iter=3, persist_edges=True)
+    return pr.agg(F.sum("rank_u").alias("mass"),
+                  F.count(F.lit(1)).alias("n_nodes"))
 
 
 def _asof_job(spark, path: str):
@@ -146,7 +190,16 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             build_job=_lm_job, unit="docs",
             metric="ngram_lm_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": "lm_train(half) + lm_score(all)"})
-    raise ValueError(f"unknown job {job!r} (asof|bm25|lm)")
+    if job == "pagerank":
+        n = n_items or 50_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_edges(s, n),
+            build_job=_pagerank_job, unit="edges",
+            metric="pagerank_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "pagerank(3 iters, zipf-head dst, "
+                          f"{_PR_NODES} nodes)"})
+    raise ValueError(f"unknown job {job!r} (asof|bm25|lm|pagerank)")
 
 
 if __name__ == "__main__":
