@@ -81,6 +81,17 @@ def test_pagerank_lazy_equals_checkpointed(spark):
     assert lazy == ckpt == persisted
 
 
+def test_pagerank_width_knobs_bit_identical(spark):
+    """node_width / edge_width fix persisted-frame partition counts (AQE
+    cannot re-coalesce cached plans) — widths must never change ranks."""
+    edges = _fuzz_edges(n_nodes=15, n_edges=40, seed=11)
+    want = ref_pagerank(edges, n_iter=2)
+    for nw, ew in ((1, 1), (3, 5), (16, 2)):
+        got = _run(spark, edges, 4, n_iter=2, persist_edges=True,
+                   node_width=nw, edge_width=ew)
+        assert got == want, (nw, ew)
+
+
 def test_pagerank_mass_and_ordering_sanity(spark):
     got = _run(spark, HAND_EDGES, None, n_iter=3)
     # integer truncation only ever LEAKS mass, never creates it
