@@ -1,0 +1,200 @@
+"""Distributed Lloyd k-means over a DataFrame corpus — integer-exact.
+
+The ANN stack's quantizers (IVF cells `operators/similarity.py:ivf_topk`,
+SemDeDup cells `semantic_dedup`, PQ codebooks `pq_codebooks`) are trained
+by `similarity.kmeans_centroids` on a bounded driver-side sample — the
+standard practice, but at 100 TB the *refinement over the full corpus*
+must itself be a Spark job: every row votes on its cell, every update is
+a map-side-combined aggregate.  This module is that job.
+
+Exactness discipline — the micro-unit trick (`operators/ngram_lm.py`
+micro-nats, `operators/linkgraph.py` micro-mass) applied to vector space:
+
+* every vector component quantizes ONCE to BIGINT micro-units
+  (``floor(x·quant + 0.5)``), then shifts by a positive ``bias`` so all
+  later arithmetic stays non-negative (Spark ``div`` and DuckDB ``//``
+  agree only there);
+* distances are exact int64 sums of squared component diffs (the bias
+  cancels in differences);
+* the centroid update is the half-up integer mean ``(2·s + n) div (2·n)``
+  — no float ever touches the recurrence, so a fixed-iteration run is
+  **bit-identical at any partitioning, core count, batch size, or
+  engine**, and the whole recurrence unrolls into a SQL oracle
+  (`plans/driver_queries.py` embed_ann_ivf kmeans branches).
+
+Per iteration: ONE corpus scan — an Arrow argmin kernel against the k×d
+broadcast centroid matrix (the corpus never shuffles; only ≤k partial-agg
+rows per task do) → a (d+2)-expression hash aggregate to ≤k rows.  The
+k×d update collect is the textbook bounded driver action of iterative
+k-means (k quantizer rows, not |corpus|).  Empty cells keep their
+previous centroid (deterministic; exercised in tests and the oracle).
+
+Overflow headroom (int64): with ``quant=1e6`` and ``bound=8``, biased
+components ≤ 1.6e7, per-row distance ≤ d·(2·1.6e7)² ≈ 6.6e16·(d/64), and
+a cell's component sum stays exact below ~5.7e11 member rows; per-cell
+inertia is emitted in //1000 units for the same reason.  Raise ``bound``
+(or lower ``quant``) for wider-range embeddings — the knobs trade
+precision for row-count headroom, both documented at the call sites.
+
+Reference parity: the reference trains no quantizer (single-node
+GeoPandas ETL, no ANN) — this is LLM-pipeline scope (SemDeDup §3.1 /
+IVF coarse-quantizer training), per the driver's training-data mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+BOUND = 8  # |component| values above this would break the bias shift
+
+
+def _bias(quant: int, bound: int) -> int:
+    return quant * bound
+
+
+def quantize_sql(vec_col: str, *, quant: int = QUANT, bound: int = BOUND,
+                 dialect: str = "spark") -> str:
+    """Shared quantization expression: float vector → biased BIGINT
+    micro-units.  Both engines evaluate the identical double-precision
+    ``x·quant + 0.5`` before ``floor``, so the int is bit-identical."""
+    b = _bias(quant, bound)
+    if dialect == "spark":
+        return (f"transform({vec_col}, x -> floor(CAST(x AS DOUBLE) "
+                f"* {quant}.0D + 0.5D) + {b}L)")
+    return (f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {quant}.0 + 0.5) AS BIGINT) + {b})")
+
+
+def quantize_centroids(cents: np.ndarray, *, quant: int = QUANT,
+                       bound: int = BOUND) -> np.ndarray:
+    """Driver-side twin of `quantize_sql` for float init centroids."""
+    b = _bias(quant, bound)
+    return (np.floor(np.asarray(cents, dtype=np.float64) * float(quant)
+                     + 0.5).astype(np.int64) + b)
+
+
+def _assign_udf(cents_biased: np.ndarray):
+    """Arrow kernel: biased int64 vector → struct(cid, dist) of the
+    nearest centroid by exact int64 squared-L2 (ties → smallest cid,
+    matching the oracle's ``ORDER BY dist, cid``).  Expansion form
+    ``|x|² − 2x·c + |c|²`` keeps the batch×k×d temp out of memory; all
+    products stay within int64 for the documented quant/bound headroom."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(cents_biased, dtype=np.int64)
+    cc = (c * c).sum(axis=1)  # (k,)
+
+    def assign(vecs):
+        if not len(vecs):  # empty Arrow batch (the pq_adc_topk lesson)
+            return pd.DataFrame({"cid": pd.Series([], dtype="int32"),
+                                 "dist": pd.Series([], dtype="int64")})
+        x = np.asarray(vecs.tolist(), dtype=np.int64)
+        dist = (x * x).sum(axis=1, keepdims=True) - 2 * (x @ c.T) + cc
+        cid = np.argmin(dist, axis=1)  # first min = smallest cid
+        return pd.DataFrame({
+            "cid": cid.astype(np.int32),
+            "dist": dist[np.arange(len(x)), cid]})
+
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(assign, "struct<cid: int, dist: bigint>")
+
+
+def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
+               vec_col: str = "embedding", quant: int = QUANT,
+               bound: int = BOUND) -> DataFrame:
+    """One Lloyd update as a PLAN: assign every row to its nearest
+    centroid, then hash-aggregate to ≤k rows
+    ``(cid, n, inertia_k, s_0..s_{d-1})`` — counts, //1000-unit exact
+    inertia, and exact biased component sums.  ONE corpus scan, no
+    corpus shuffle (only ≤k map-side-combined partial rows move)."""
+    d = cents_biased.shape[1]
+    xq = df.select(F.expr(quantize_sql(vec_col, quant=quant, bound=bound))
+                   .alias("__xq"))
+    # coalesce: the UDF's struct fields are nullable by schema, so a later
+    # outer join on cid infers an isnotnull(cid) filter and pushes it BELOW
+    # this aggregate — re-planning the Arrow kernel a second time just to
+    # test a field that is never null.  A non-nullable key folds that
+    # inferred filter to true (plan pinned by test_kmeans plan-shape test).
+    a = (xq.withColumn("__a", _assign_udf(cents_biased)(F.col("__xq")))
+         .select(F.coalesce(F.col("__a.cid"), F.lit(-1)).alias("cid"),
+                 F.col("__a.dist").alias("dist"), "__xq"))
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("dist div 1000")).alias("inertia_k"),
+        *[F.sum(F.element_at("__xq", i + 1)).alias(f"s{i}")
+          for i in range(d)])
+
+
+def _step(prev_biased: np.ndarray, rows) -> np.ndarray:
+    """Fold collected update rows into the next biased centroid matrix;
+    cells with no members keep their previous centroid."""
+    d = prev_biased.shape[1]
+    nxt = prev_biased.copy()
+    for r in rows:
+        n = int(r["n"])
+        nxt[int(r["cid"])] = [(2 * int(r[f"s{i}"]) + n) // (2 * n)
+                              for i in range(d)]
+    return nxt
+
+
+def kmeans_fit(df: DataFrame, init_cents: np.ndarray, *,
+               vec_col: str = "embedding", iters: int = 2,
+               quant: int = QUANT, bound: int = BOUND) -> np.ndarray:
+    """Run ``iters`` full distributed Lloyd updates from float init
+    centroids; returns the final BIASED int64 centroid matrix (subtract
+    ``quant*bound`` for micro-units, divide by ``quant`` for floats).
+    One Spark job + one ≤k-row collect per iteration."""
+    cents = quantize_centroids(init_cents, quant=quant, bound=bound)
+    for _ in range(iters):
+        rows = update_agg(df, cents, vec_col=vec_col, quant=quant,
+                          bound=bound).collect()
+        cents = _step(cents, rows)
+    return cents
+
+
+def kmeans_result_plan(df: DataFrame, cents_biased: np.ndarray, *,
+                       vec_col: str = "embedding", quant: int = QUANT,
+                       bound: int = BOUND) -> DataFrame:
+    """One MORE Lloyd update, entirely in-plan, emitted long-form:
+
+    ``(op, cid, comp, val)`` — ``km_centroid`` rows carry the updated
+    UNBIASED micro-unit component values (one per (cid, comp), empty
+    cells keep the previous centroid), ``km_size`` the member counts
+    (0 for empty cells), ``km_inertia_k`` the per-cell exact //1000-unit
+    inertia w.r.t. the assignment centroids (0 for empty cells).
+
+    Shape: the `update_agg` scan/aggregate → LEFT JOIN from a k-row
+    literal frame (so empty cells surface) → ONE struct-array explode to
+    k·(d+2) rows.  The corpus subtree is referenced exactly once."""
+    k, d = cents_biased.shape
+    b = _bias(quant, bound)
+    spark = df.sparkSession
+    agg = update_agg(df, cents_biased, vec_col=vec_col, quant=quant,
+                     bound=bound)
+    prev = spark.createDataFrame(
+        [(int(i), [int(v) for v in cents_biased[i]]) for i in range(k)],
+        "cid int, prev array<bigint>")
+    full = prev.join(agg, "cid", "left")
+    items = [F.struct(
+        F.lit("km_centroid").alias("op"), F.lit(i + 1).alias("comp"),
+        F.coalesce(
+            F.expr(f"(2 * s{i} + n) div (2 * n)"),
+            F.element_at("prev", i + 1)).alias("val")) for i in range(d)]
+    items.append(F.struct(F.lit("km_size").alias("op"),
+                          F.lit(-1).alias("comp"),
+                          F.coalesce(F.col("n"), F.lit(0)).alias("val")))
+    items.append(F.struct(F.lit("km_inertia_k").alias("op"),
+                          F.lit(-1).alias("comp"),
+                          F.coalesce(F.col("inertia_k"),
+                                     F.lit(0)).alias("val")))
+    out = (full.select(F.col("cid").cast("long").alias("cid"),
+                       F.explode(F.array(*items)).alias("e"))
+           .select("e.op", "cid", F.col("e.comp").cast("long").alias("comp"),
+                   F.when(F.col("e.op") == "km_centroid",
+                          F.col("e.val") - b)
+                   .otherwise(F.col("e.val")).alias("val")))
+    return out

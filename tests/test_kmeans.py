@@ -1,0 +1,138 @@
+"""Distributed integer-exact Lloyd k-means (`operators/kmeans.py`).
+
+Exactness gates: the Spark job must be BIT-IDENTICAL to a brute-force
+integer reference at every iteration depth and partitioning (the module's
+whole contract is order-freeness), empty cells must keep their previous
+centroid, and the plan must touch the corpus exactly once per update.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from immich_geodata_zh_tw_spark.operators import kmeans
+
+
+def _ref_quantize(x, quant, bound):
+    b = quant * bound
+    return (np.floor(np.asarray(x, dtype=np.float64) * float(quant) + 0.5)
+            .astype(np.int64) + b)
+
+
+def _ref_fit(X, init, iters, *, quant=kmeans.QUANT, bound=kmeans.BOUND):
+    """Brute-force integer Lloyd reference (biased int64 end-to-end)."""
+    xq = _ref_quantize(X, quant, bound)
+    c = _ref_quantize(init, quant, bound)
+    for _ in range(iters):
+        d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        nxt = c.copy()
+        for j in range(len(c)):
+            m = a == j
+            if m.any():
+                s, n = xq[m].sum(0), int(m.sum())
+                nxt[j] = (2 * s + n) // (2 * n)
+        c = nxt
+    return c
+
+
+def _ref_result(X, c_biased, *, quant=kmeans.QUANT, bound=kmeans.BOUND):
+    """Reference rows for `kmeans_result_plan`: one more update, long-form."""
+    b = quant * bound
+    xq = _ref_quantize(X, quant, bound)
+    c = np.asarray(c_biased, dtype=np.int64)
+    d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    a = np.argmin(d, axis=1)
+    dmin = d[np.arange(len(xq)), a]
+    rows = {}
+    for j in range(len(c)):
+        m = a == j
+        if m.any():
+            s, n = xq[m].sum(0), int(m.sum())
+            cv = (2 * s + n) // (2 * n)
+            inertia = int((dmin[m] // 1000).sum())
+        else:
+            cv, n, inertia = c[j], 0, 0
+        for i in range(c.shape[1]):
+            rows[("km_centroid", j, i + 1)] = int(cv[i]) - b
+        rows[("km_size", j, -1)] = n
+        rows[("km_inertia_k", j, -1)] = inertia
+    return rows
+
+
+def _toy(seed=7, n=120, d=6):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 0.3, size=(n, d)).clip(-7.9, 7.9)
+    init = X[:: max(1, n // 4)][:4]
+    return X, init
+
+
+@pytest.fixture(scope="module")
+def toy_df(spark):
+    X, _ = _toy()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+    # float32 round-trip: the reference must see the SAME float32 values
+    return df
+
+
+def _as_f32(X):
+    return np.asarray(X, dtype=np.float32).astype(np.float64)
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_fit_matches_integer_reference(spark, toy_df, iters):
+    X, init = _toy()
+    got = kmeans.kmeans_fit(toy_df, init, iters=iters)
+    want = _ref_fit(_as_f32(X), init, iters)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fit_partition_invariant(spark, toy_df):
+    X, init = _toy()
+    a = kmeans.kmeans_fit(toy_df.repartition(1), init, iters=2)
+    b = kmeans.kmeans_fit(toy_df.repartition(7), init, iters=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_result_plan_matches_reference_and_empty_cell(spark, toy_df):
+    X, init = _toy()
+    # plant a far-away centroid that captures nothing: empty-cell path
+    init = np.vstack([init, np.full((1, X.shape[1]), 7.5)])
+    c1 = kmeans.kmeans_fit(toy_df, init, iters=1)
+    got = {(r["op"], r["cid"], r["comp"]): r["val"]
+           for r in kmeans.kmeans_result_plan(toy_df, c1).collect()}
+    want = _ref_result(_as_f32(X), c1)
+    assert got == want
+    # the planted far centroid is genuinely empty and kept verbatim
+    k_far = init.shape[0] - 1
+    assert got[("km_size", k_far, -1)] == 0
+    b = kmeans.QUANT * kmeans.BOUND
+    kept = [got[("km_centroid", k_far, i + 1)] for i in range(X.shape[1])]
+    assert kept == [int(v) - b for v in c1[k_far]]
+
+
+def test_result_plan_partition_invariant(spark, toy_df):
+    X, init = _toy()
+    c1 = kmeans.kmeans_fit(toy_df, init, iters=1)
+    a = sorted(map(tuple, kmeans.kmeans_result_plan(
+        toy_df.repartition(1), c1).collect()))
+    b = sorted(map(tuple, kmeans.kmeans_result_plan(
+        toy_df.repartition(5), c1).collect()))
+    assert a == b
+
+
+def test_plan_shape_one_corpus_pass(spark, toy_df):
+    """The update is ONE corpus scan: exactly one Arrow kernel in the
+    plan (the argmin assignment), and exactly one exchange in the bare
+    update aggregate (partial rows → final k-row agg)."""
+    X, init = _toy()
+    c0 = kmeans.quantize_centroids(init)
+    upd = kmeans.update_agg(toy_df, c0)
+    plan = upd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange") == 1
+    res = kmeans.kmeans_result_plan(toy_df, c0)
+    rplan = res._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("ArrowEvalPython") == 1
