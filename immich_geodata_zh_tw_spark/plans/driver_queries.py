@@ -2271,12 +2271,23 @@ _COS_DUCK = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
 
 def q_embed_ann_ivf(spark, sf_dir):
     """IVF approximate NN (coarse quantizer → nprobe cells → exact re-rank),
-    the second ANN scale path.  Centroids are strided corpus rows (see
-    ``_IVF_STRIDE``), making the query exactly oracle-checkable: corpus rows
-    land in ONE nearest-centroid cell each (pandas-UDF argmax over the
-    broadcast centroid matrix — never replicated), queries explode over
-    their nprobe nearest cells, candidates equi-join on the cell id."""
+    the second ANN scale path, ∪ the quantizer's own distributed TRAINING
+    (operators/kmeans.py): two integer-exact Lloyd refinements of the same
+    strided-row centroids over the full corpus — iteration 1 a real
+    collect-and-rebroadcast Spark job, iteration 2 left in-plan — emitting
+    the updated centroid micro-components (``km_centroid``), cell sizes
+    (``km_size``) and per-cell exact //1000-unit inertia
+    (``km_inertia_k``).  Centroids are strided corpus rows (see
+    ``_IVF_STRIDE``), making BOTH halves exactly oracle-checkable: the
+    k-means recurrence is all-BIGINT so the oracle unrolls it into CTEs
+    (the pagerank discipline); IVF corpus rows land in ONE
+    nearest-centroid cell each (pandas-UDF argmax over the broadcast
+    centroid matrix — never replicated), queries explode over their
+    nprobe nearest cells, candidates equi-join on the cell id.
+    Union-typed (op, key_a, key_b, val_num, val_d)."""
     import numpy as np
+
+    from ..operators import kmeans as km
 
     e = _t(spark, sf_dir, "embeddings")
     cent_rows = (e.filter((F.col("vec_id") % _IVF_STRIDE == _IVF_OFF)
@@ -2287,14 +2298,29 @@ def q_embed_ann_ivf(spark, sf_dir):
     queries = (e.filter(F.col("vec_id") < 200)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
-    return similarity.ivf_topk(e, queries, centroids=cents,
-                               nprobe=_IVF_NPROBE, k=1)
+    ivf = similarity.ivf_topk(e, queries, centroids=cents,
+                              nprobe=_IVF_NPROBE, k=1).select(
+        F.lit("ivf_top1").alias("op"),
+        F.col("q_id").cast("long").alias("key_a"),
+        F.col("neighbor_id").cast("long").alias("key_b"),
+        F.lit(None).cast("long").alias("val_num"),
+        F.col("cos_sim").alias("val_d"))
+    c1 = km.kmeans_fit(e, cents, iters=1)
+    kmr = km.kmeans_result_plan(e, c1).select(
+        "op", F.col("cid").alias("key_a"), F.col("comp").alias("key_b"),
+        F.col("val").alias("val_num"),
+        F.lit(None).cast("double").alias("val_d"))
+    return ivf.unionByName(kmr)
 
 
 def _sql_embed_ann_ivf() -> str:
+    from ..operators.kmeans import BOUND, QUANT, quantize_sql
+
     cos_cc = _COS_DUCK.format(a="corpus.v", b="cents.v")
     cos_qc = _COS_DUCK.format(a="q.q_vec", b="cents.v")
     cos_cq = _COS_DUCK.format(a="c.v", b="p.q_vec")
+    bias = QUANT * BOUND
+    quant_duck = quantize_sql("embedding", dialect="duckdb")
     return f"""
 WITH c0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2319,12 +2345,66 @@ cand AS (
   SELECT p.q_id, c.vec_id, round({cos_cq}, 9) AS cos_sim
   FROM probes p JOIN assign a ON a.cid = p.cid
   JOIN corpus c ON c.vec_id = a.vec_id
-  WHERE c.vec_id != p.q_id)
-SELECT q_id, vec_id AS neighbor_id, cos_sim FROM (
+  WHERE c.vec_id != p.q_id),
+-- distributed k-means twin (operators/kmeans.py): two unrolled
+-- integer-exact Lloyd updates from the SAME strided centroids.  All
+-- arithmetic is biased non-negative BIGINT (`//` ≡ Spark `div` there);
+-- sums pass through HUGEINT and every emitted value is CAST back (the
+-- round-4 artifact class).
+xq AS (SELECT vec_id, {quant_duck} AS qv FROM embeddings),
+xql AS (SELECT vec_id, generate_subscripts(qv, 1) AS comp,
+               unnest(qv) AS val FROM xq),
+kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv FROM xq
+        WHERE vec_id % {_IVF_STRIDE} = {_IVF_OFF}
+          AND vec_id < {_IVF_OFF + _IVF_STRIDE * _IVF_K}),
+kc0l AS (SELECT cid, generate_subscripts(qv, 1) AS comp,
+                unnest(qv) AS cval FROM kc0),
+kd1 AS (SELECT x.vec_id, c.cid,
+               sum((x.val - c.cval) * (x.val - c.cval)) AS dist
+        FROM xql x JOIN kc0l c USING (comp) GROUP BY 1, 2),
+ka1 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+          FROM kd1) WHERE rn = 1),
+ku1 AS (SELECT a.cid, x.comp,
+               CAST((2 * sum(x.val) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS cval
+        FROM ka1 a JOIN xql x USING (vec_id) GROUP BY 1, 2),
+kc1l AS (SELECT c.cid, c.comp, coalesce(u.cval, c.cval) AS cval
+         FROM kc0l c LEFT JOIN ku1 u
+           ON u.cid = c.cid AND u.comp = c.comp),
+kd2 AS (SELECT x.vec_id, c.cid,
+               sum((x.val - c.cval) * (x.val - c.cval)) AS dist
+        FROM xql x JOIN kc1l c USING (comp) GROUP BY 1, 2),
+ka2 AS (SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+          FROM kd2) WHERE rn = 1),
+ku2 AS (SELECT a.cid, x.comp,
+               CAST((2 * sum(x.val) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS cval
+        FROM ka2 a JOIN xql x USING (vec_id) GROUP BY 1, 2),
+kstat AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dist // 1000) AS BIGINT) AS inertia_k
+          FROM ka2 GROUP BY 1)
+SELECT CAST('ivf_top1' AS VARCHAR) AS op, CAST(q_id AS BIGINT) AS key_a,
+       CAST(vec_id AS BIGINT) AS key_b, CAST(NULL AS BIGINT) AS val_num,
+       CAST(cos_sim AS DOUBLE) AS val_d
+FROM (
   SELECT q_id, vec_id, cos_sim,
          row_number() OVER (PARTITION BY q_id
                             ORDER BY cos_sim DESC, vec_id ASC) AS rn
   FROM cand) WHERE rn = 1
+UNION ALL
+SELECT 'km_centroid', c.cid, c.comp,
+       CAST(coalesce(u.cval, c.cval) - {bias} AS BIGINT), NULL
+FROM kc1l c LEFT JOIN ku2 u ON u.cid = c.cid AND u.comp = c.comp
+UNION ALL
+SELECT 'km_size', cid, -1, coalesce(s.n, 0), NULL
+FROM kc0 LEFT JOIN kstat s USING (cid)
+UNION ALL
+SELECT 'km_inertia_k', cid, -1, coalesce(s.inertia_k, 0), NULL
+FROM kc0 LEFT JOIN kstat s USING (cid)
 """
 
 
