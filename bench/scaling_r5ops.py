@@ -23,6 +23,11 @@ inheriting the flagship's:
   deterministic synthetic edge corpus with a zipf-head approximation:
   10 % of edges target 100 hot nodes, exercising the map-side combine
   that keeps in-degree mega-hubs off any single reducer.
+* ``kmeans`` — ``operators/kmeans.py`` (2 distributed integer-exact
+  Lloyd updates, k=64 × dim=64) over a deterministic xxhash vector
+  corpus: per update one Arrow int64-argmin corpus scan into a
+  map-side-combined k-row aggregate — compute-bound (exact int64
+  matmul), the profile closest to the flagship's extract kernel.
 
 Corpora are pure-SQL deterministic synthesis (no external data), written
 once at full width with a fixed file count (same rationale as
@@ -87,6 +92,46 @@ def materialize_edges(spark, n_rows: int) -> str:
         (spark.sql(_edges_sql(n_rows)).repartition(n_files)
          .write.mode("overwrite").parquet(path))
     return path
+
+
+_KM_DIM, _KM_K = 64, 64
+
+
+def _vecs_sql(n_rows: int) -> str:
+    """Deterministic embedding corpus: ``_KM_DIM`` xxhash-derived DOUBLE
+    components per row, uniform in [-1, 1]."""
+    return (f"SELECT id AS vec_id, transform(sequence(1, {_KM_DIM}), "
+            f"j -> CAST(abs(xxhash64(id * {_KM_DIM} + j)) % 2000001 "
+            f"- 1000000 AS DOUBLE) / 1000000.0) AS vec "
+            f"FROM range({n_rows})")
+
+
+def materialize_vecs(spark, n_rows: int) -> str:
+    path = f"{EVENTS_CACHE}/vecs_v1_{n_rows}.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        n_files = max(64, n_rows // 250_000)
+        (spark.sql(_vecs_sql(n_rows)).repartition(n_files)
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _kmeans_job(spark, path: str):
+    """Two distributed Lloyd updates (operators/kmeans.py): iteration 1 is
+    the eager collect-and-rebroadcast job (INSIDE the timed rep — the
+    _pagerank_job convention for iterative operators), iteration 2 stays
+    in the returned plan; the k×(d+2)-row result aggregates over its
+    COMPUTED columns (see _asof_job's NOTE).  Init centroids are
+    deterministic driver-side numpy (no untimed corpus action)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators import kmeans
+
+    d = spark.read.parquet(path)
+    init = np.random.default_rng(42).uniform(-1, 1, size=(_KM_K, _KM_DIM))
+    c1 = kmeans.kmeans_fit(d, init, vec_col="vec", iters=1)
+    out = kmeans.kmeans_result_plan(d, c1, vec_col="vec")
+    return out.agg(F.sum("val").alias("sv"), F.count(F.lit(1)).alias("n"))
 
 
 def _pagerank_job(spark, path: str):
@@ -199,7 +244,16 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             metric="pagerank_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": "pagerank(3 iters, zipf-head dst, "
                           f"{_PR_NODES} nodes)"})
-    raise ValueError(f"unknown job {job!r} (asof|bm25|lm|pagerank)")
+    if job == "kmeans":
+        n = n_items or 2_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_vecs(s, n),
+            build_job=_kmeans_job, unit="vectors",
+            metric="kmeans_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": f"kmeans(2 integer-exact Lloyd updates, "
+                          f"k={_KM_K}, dim={_KM_DIM})"})
+    raise ValueError(f"unknown job {job!r} (asof|bm25|lm|pagerank|kmeans)")
 
 
 if __name__ == "__main__":
