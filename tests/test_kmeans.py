@@ -123,6 +123,31 @@ def test_result_plan_partition_invariant(spark, toy_df):
     assert a == b
 
 
+def test_blas_path_exact_at_bound_extremes(spark):
+    """The float64-BLAS assignment path must equal int64 math at the
+    WORST representable magnitudes (every component at ±quant·bound,
+    partial sums at the documented < 2^53 ceiling).  The reference-match
+    tests already cover it on typical data (the int reference is pure
+    int64); this pins the adversarial envelope."""
+    rng = np.random.default_rng(3)
+    d = 64
+    m = kmeans.QUANT * kmeans.BOUND
+    X = rng.choice([-8.0, 8.0, 7.999999, -7.999999], size=(64, d))
+    init = rng.choice([-8.0, 8.0], size=(5, d))
+    xq = (np.floor(X.astype(np.float32).astype(np.float64)
+                   * kmeans.QUANT + 0.5).astype(np.int64))
+    cu = kmeans.quantize_centroids(init) - m
+    assert np.abs(xq).max() <= m and np.abs(cu).max() <= m
+    cc = (cu * cu).sum(axis=1)
+    di = kmeans._dist_batch(xq, cu, cc, blas=False)
+    # the assembled distance genuinely exceeds float64's exact-integer
+    # range at the extremes — a naive all-float path WOULD be wrong here
+    assert di.max() > 2 ** 53
+    db = kmeans._dist_batch(xq, cu, cc, blas=True)
+    np.testing.assert_array_equal(di, db)
+    assert kmeans._blas_exact_ok(d, kmeans.QUANT, kmeans.BOUND)
+
+
 def test_plan_shape_one_corpus_pass(spark, toy_df):
     """The update is ONE corpus scan: exactly one Arrow kernel in the
     plan (the argmin assignment), and exactly one exchange in the bare
