@@ -98,71 +98,87 @@ def _dist_batch(x_unbiased: np.ndarray, cu: np.ndarray, cc: np.ndarray,
             - 2 * (x_unbiased @ cu.T) + cc)
 
 
-def _assign_udf(cents_biased: np.ndarray, *, quant: int = QUANT,
-                bound: int = BOUND):
-    """Arrow kernel: biased int64 vector → struct(cid, dist) of the
-    nearest centroid by exact int64 squared-L2 (ties → smallest cid,
-    matching the oracle's ``ORDER BY dist, cid``).  Expansion form
-    ``|x|² − 2x·c + |c|²`` keeps the batch×k×d temp out of memory.
+def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
+                    quant: int, bound: int):
+    """mapInPandas kernel: one Arrow pass that quantizes, assigns (exact
+    squared-L2 argmin; ties → smallest cid, matching the oracle's
+    ``ORDER BY dist, cid``) AND partial-combines — emitting per batch at
+    most k rows ``(cid, n, inertia_k, s: array<long>)`` of exact int64
+    accumulators.  The corpus never crosses back into the JVM: the first
+    update_agg shape shipped the quantized vectors to a JVM hash
+    aggregate, and the 4N scaling legs spent ~40 % of CPU in kernel time
+    on that Arrow round-trip churn (sys_frac 0.38-0.44 across three runs
+    with an idle host) — partial-combining inside the batch removes the
+    entire return path.
 
-    Fast path (the default knobs qualify): after subtracting the bias
-    (which cancels in distances anyway), every unbiased component is
-    ≤ quant·bound =: m, so every x·c partial sum is ≤ d·m² — when that
-    stays under 2^53, the MATMUL runs in float64 BLAS with every
-    intermediate an exactly-representable integer, converts back to
-    int64 exactly, and the three-term assembly ``|x|² − 2x·c + |c|²``
-    happens in int64 (the assembled distance reaches 4·d·m², which can
-    exceed 2^53 even when each term does not — caught by the
-    bound-extremes test).  Bit-exact AND ~1-2 orders faster than
-    numpy's C-loop int64 matmul (measured compute-bound in the scaling
-    probe); outside the gate the kernel falls back to full int64."""
+    Distance fast path (the default knobs qualify): after subtracting
+    the bias (which cancels in distances anyway), every unbiased
+    component is ≤ quant·bound =: m, so every x·c partial sum is
+    ≤ d·m² — when that stays under 2^53 the MATMUL runs in float64 BLAS
+    with every intermediate an exactly-representable integer, converts
+    back to int64 exactly, and the three-term assembly ``|x|² − 2x·c +
+    |c|²`` happens in int64 (the assembled distance reaches 4·d·m²,
+    which can exceed 2^53 even when each term does not — caught by the
+    bound-extremes test).  Outside the gate: full int64 matmul.
+    Accumulation is ``np.add.at`` on int64 — exact and order-free, so
+    partials commute across any batching/partitioning."""
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     b = _bias(quant, bound)
     cu = np.ascontiguousarray(cents_biased, dtype=np.int64) - b
-    blas = _blas_exact_ok(cu.shape[1], quant, bound)
+    k, d = cu.shape
+    blas = _blas_exact_ok(d, quant, bound)
     cc = (cu * cu).sum(axis=1)
 
-    def assign(vecs):
-        if not len(vecs):  # empty Arrow batch (the pq_adc_topk lesson)
-            return pd.DataFrame({"cid": pd.Series([], dtype="int32"),
-                                 "dist": pd.Series([], dtype="int64")})
-        x = np.asarray(vecs.tolist(), dtype=np.int64) - b
-        dist = _dist_batch(x, cu, cc, blas=blas)
-        cid = np.argmin(dist, axis=1)  # first min = smallest cid
-        return pd.DataFrame({"cid": cid.astype(np.int32),
-                             "dist": dist[np.arange(len(x)), cid]})
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):  # empty Arrow batch (the pq_adc_topk lesson)
+                continue
+            x = (np.floor(np.asarray(pdf[vec_col].tolist(),
+                                     dtype=np.float64) * float(quant)
+                          + 0.5).astype(np.int64))
+            dist = _dist_batch(x, cu, cc, blas=blas)
+            cid = np.argmin(dist, axis=1)  # first min = smallest cid
+            dmin = dist[np.arange(len(x)), cid]
+            n = np.bincount(cid, minlength=k)
+            ik = np.zeros(k, dtype=np.int64)
+            np.add.at(ik, cid, dmin // 1000)
+            s = np.zeros((k, d), dtype=np.int64)
+            np.add.at(s, cid, x + b)  # biased sums, the oracle's domain
+            hit = np.flatnonzero(n)
+            yield pd.DataFrame({
+                "cid": hit.astype(np.int32),
+                "n": n[hit].astype(np.int64),
+                "inertia_k": ik[hit],
+                "s": [s[j].tolist() for j in hit]})
 
-    assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
-    return pandas_udf(assign, "struct<cid: int, dist: bigint>")
+    return part
 
 
 def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
                vec_col: str = "embedding", quant: int = QUANT,
                bound: int = BOUND) -> DataFrame:
-    """One Lloyd update as a PLAN: assign every row to its nearest
-    centroid, then hash-aggregate to ≤k rows
-    ``(cid, n, inertia_k, s_0..s_{d-1})`` — counts, //1000-unit exact
-    inertia, and exact biased component sums.  ONE corpus scan, no
-    corpus shuffle (only ≤k map-side-combined partial rows move)."""
+    """One Lloyd update as a PLAN: ONE mapInPandas corpus pass
+    (quantize + assign + per-batch partial combine, `_partial_kernel`)
+    emitting ≤k rows per Arrow batch, then a JVM hash-aggregate of the
+    partials to ≤k rows ``(cid, n, inertia_k, s_0..s_{d-1})`` — counts,
+    //1000-unit exact inertia, and exact biased component sums.  No
+    corpus shuffle and no corpus return trip to the JVM; only
+    k-bounded partial rows move."""
     d = cents_biased.shape[1]
-    xq = df.select(F.expr(quantize_sql(vec_col, quant=quant, bound=bound))
-                   .alias("__xq"))
-    # coalesce: the UDF's struct fields are nullable by schema, so a later
-    # outer join on cid infers an isnotnull(cid) filter and pushes it BELOW
-    # this aggregate — re-planning the Arrow kernel a second time just to
-    # test a field that is never null.  A non-nullable key folds that
-    # inferred filter to true (plan pinned by test_kmeans plan-shape test).
-    a = (xq.withColumn("__a",
-                       _assign_udf(cents_biased, quant=quant,
-                                   bound=bound)(F.col("__xq")))
-         .select(F.coalesce(F.col("__a.cid"), F.lit(-1)).alias("cid"),
-                 F.col("__a.dist").alias("dist"), "__xq"))
-    return a.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr("dist div 1000")).alias("inertia_k"),
-        *[F.sum(F.element_at("__xq", i + 1)).alias(f"s{i}")
+    part = df.select(vec_col).mapInPandas(
+        _partial_kernel(cents_biased, vec_col, quant, bound),
+        "cid int, n long, inertia_k long, s array<long>")
+    # coalesce: mapInPandas output fields are nullable by schema, so a
+    # later outer join on cid infers an isnotnull(cid) filter and pushes
+    # it below this aggregate, re-planning the kernel a second time just
+    # to test a field that is never null.  A non-nullable key folds that
+    # inferred filter to true (pinned by test_kmeans plan-shape test).
+    part = part.withColumn("cid", F.coalesce(F.col("cid"), F.lit(-1)))
+    return part.groupBy("cid").agg(
+        F.sum("n").alias("n"),
+        F.sum("inertia_k").alias("inertia_k"),
+        *[F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
           for i in range(d)])
 
 

@@ -149,15 +149,16 @@ def test_blas_path_exact_at_bound_extremes(spark):
 
 
 def test_plan_shape_one_corpus_pass(spark, toy_df):
-    """The update is ONE corpus scan: exactly one Arrow kernel in the
-    plan (the argmin assignment), and exactly one exchange in the bare
-    update aggregate (partial rows → final k-row agg)."""
+    """The update is ONE corpus scan: exactly one Arrow partial-combine
+    kernel in the plan (quantize + assign + per-batch fold — the corpus
+    never returns to the JVM), and exactly one exchange in the bare
+    update aggregate (≤k partial rows per batch → final k-row agg)."""
     X, init = _toy()
     c0 = kmeans.quantize_centroids(init)
     upd = kmeans.update_agg(toy_df, c0)
     plan = upd._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1
     res = kmeans.kmeans_result_plan(toy_df, c0)
     rplan = res._jdf.queryExecution().executedPlan().toString()
-    assert rplan.count("ArrowEvalPython") == 1
+    assert rplan.count("MapInPandas") == 1
