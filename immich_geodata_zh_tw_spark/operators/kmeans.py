@@ -100,16 +100,25 @@ def _dist_batch(x_unbiased: np.ndarray, cu: np.ndarray, cc: np.ndarray,
 
 def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
                     quant: int, bound: int):
-    """mapInPandas kernel: one Arrow pass that quantizes, assigns (exact
+    """mapInArrow kernel: one Arrow pass that quantizes, assigns (exact
     squared-L2 argmin; ties → smallest cid, matching the oracle's
     ``ORDER BY dist, cid``) AND partial-combines — emitting per batch at
     most k rows ``(cid, n, inertia_k, s: array<long>)`` of exact int64
     accumulators.  The corpus never crosses back into the JVM: the first
     update_agg shape shipped the quantized vectors to a JVM hash
-    aggregate, and the 4N scaling legs spent ~40 % of CPU in kernel time
-    on that Arrow round-trip churn (sys_frac 0.38-0.44 across three runs
-    with an idle host) — partial-combining inside the batch removes the
-    entire return path.
+    aggregate and paid the whole return trip; partial-combining inside
+    the batch removes it.
+
+    Zero-copy ingest: the vector column's flat Arrow values buffer views
+    straight into a (n, d) float matrix — no ``tolist()``.  The first
+    (pandas) kernel converted every batch through a Python list-of-lists:
+    ~0.6 M float objects / ~20 MB of pymalloc arenas mmap'd and munmap'd
+    PER 10 k-row batch, which at 32 workers burned ~1/3 of the job's CPU
+    in kernel mode (sys_frac 0.33-0.38 on a MEASURED-idle host — two
+    recordings had mis-attributed that to ambient storms; a calm-window
+    A/B pinned it to the kernel itself).  Batches with nulls or ragged
+    lists (never produced by the quantizer-training inputs) fall back to
+    the object path, per batch.
 
     Distance fast path (the default knobs qualify): after subtracting
     the bias (which cancels in distances anyway), every unbiased
@@ -122,7 +131,7 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     bound-extremes test).  Outside the gate: full int64 matmul.
     Accumulation is ``np.add.at`` on int64 — exact and order-free, so
     partials commute across any batching/partitioning."""
-    import pandas as pd
+    import pyarrow as pa
 
     b = _bias(quant, bound)
     cu = np.ascontiguousarray(cents_biased, dtype=np.int64) - b
@@ -131,26 +140,40 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     cc = (cu * cu).sum(axis=1)
 
     def part(batches):
-        for pdf in batches:
-            if not len(pdf):  # empty Arrow batch (the pq_adc_topk lesson)
+        for batch in batches:
+            nr = batch.num_rows
+            if not nr:  # empty Arrow batch (the pq_adc_topk lesson)
                 continue
-            x = (np.floor(np.asarray(pdf[vec_col].tolist(),
-                                     dtype=np.float64) * float(quant)
-                          + 0.5).astype(np.int64))
+            col = batch.column(0)
+            flat = col.flatten()  # offset-aware: sliced batches stay correct
+            if col.null_count == 0 and flat.null_count == 0 \
+                    and len(flat) == nr * d:
+                # zero-copy flat buffer → float64 widen (bit-exact for the
+                # float32 corpora too: same widening tolist() performed)
+                vf = flat.to_numpy(zero_copy_only=False)
+                x = (np.floor(vf.astype(np.float64, copy=False)
+                              .reshape(nr, d) * float(quant) + 0.5)
+                     .astype(np.int64))
+            else:  # nulls / ragged rows: per-batch object fallback
+                x = (np.floor(np.asarray(col.to_pylist(), dtype=np.float64)
+                              * float(quant) + 0.5).astype(np.int64))
             dist = _dist_batch(x, cu, cc, blas=blas)
             cid = np.argmin(dist, axis=1)  # first min = smallest cid
-            dmin = dist[np.arange(len(x)), cid]
+            dmin = dist[np.arange(nr), cid]
             n = np.bincount(cid, minlength=k)
             ik = np.zeros(k, dtype=np.int64)
             np.add.at(ik, cid, dmin // 1000)
             s = np.zeros((k, d), dtype=np.int64)
             np.add.at(s, cid, x + b)  # biased sums, the oracle's domain
             hit = np.flatnonzero(n)
-            yield pd.DataFrame({
-                "cid": hit.astype(np.int32),
-                "n": n[hit].astype(np.int64),
-                "inertia_k": ik[hit],
-                "s": [s[j].tolist() for j in hit]})
+            offs = np.arange(len(hit) + 1, dtype=np.int32) * d
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hit.astype(np.int32)),
+                 pa.array(n[hit].astype(np.int64)),
+                 pa.array(ik[hit]),
+                 pa.ListArray.from_arrays(pa.array(offs),
+                                          pa.array(s[hit].ravel()))],
+                names=["cid", "n", "inertia_k", "s"])
 
     return part
 
@@ -158,7 +181,7 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
 def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
                vec_col: str = "embedding", quant: int = QUANT,
                bound: int = BOUND) -> DataFrame:
-    """One Lloyd update as a PLAN: ONE mapInPandas corpus pass
+    """One Lloyd update as a PLAN: ONE mapInArrow corpus pass
     (quantize + assign + per-batch partial combine, `_partial_kernel`)
     emitting ≤k rows per Arrow batch, then a JVM hash-aggregate of the
     partials to ≤k rows ``(cid, n, inertia_k, s_0..s_{d-1})`` — counts,
@@ -166,7 +189,7 @@ def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
     corpus shuffle and no corpus return trip to the JVM; only
     k-bounded partial rows move."""
     d = cents_biased.shape[1]
-    part = df.select(vec_col).mapInPandas(
+    part = df.select(vec_col).mapInArrow(
         _partial_kernel(cents_biased, vec_col, quant, bound),
         "cid int, n long, inertia_k long, s array<long>")
     # coalesce: mapInPandas output fields are nullable by schema, so a

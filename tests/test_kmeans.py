@@ -157,8 +157,8 @@ def test_plan_shape_one_corpus_pass(spark, toy_df):
     c0 = kmeans.quantize_centroids(init)
     upd = kmeans.update_agg(toy_df, c0)
     plan = upd._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
     assert plan.count("Exchange") == 1
     res = kmeans.kmeans_result_plan(toy_df, c0)
     rplan = res._jdf.queryExecution().executedPlan().toString()
-    assert rplan.count("MapInPandas") == 1
+    assert rplan.count("MapInArrow") == 1
