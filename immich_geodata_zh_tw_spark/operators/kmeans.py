@@ -120,6 +120,20 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     lists (never produced by the quantizer-training inputs) fall back to
     the object path, per batch.
 
+    Scratch reuse: all O(n·d) / O(n·k) intermediates live in grow-only
+    buffers reused across batches (``out=`` ufuncs + unsafe ``copyto``
+    casts of already-integral floats — truncation ≡ ``astype`` here, so
+    values are bit-identical; every elementwise order is exact-integer
+    under the same 2^53 gate as the matmul).  Rationale, measured on the
+    32-worker 4N leg: the naive chain allocated ~55 MB of temporaries
+    per batch through malloc, and the resulting page churn was the
+    round's misdiagnosed "ambient storm" — an A/B with
+    ``ARROW_DEFAULT_MEMORY_POOL=system`` made the storm *persistent*
+    (sys_frac ~0.5 both reps) while the default caching pool decayed to
+    ~0.2 by rep 2, proving the kernel-time storm is self-induced
+    allocator traffic, not the host.  Buffer reuse removes it at the
+    source, at any executor count.
+
     Distance fast path (the default knobs qualify): after subtracting
     the bias (which cancels in distances anyway), every unbiased
     component is ≤ quant·bound =: m, so every x·c partial sum is
@@ -139,40 +153,69 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     blas = _blas_exact_ok(d, quant, bound)
     cc = (cu * cu).sum(axis=1)
 
+    cf_t = np.ascontiguousarray(cu.astype(np.float64).T)  # (d, k), once
+
     def part(batches):
+        cap = 0
+        f = xi = xc = dist = cid_b = None
         for batch in batches:
             nr = batch.num_rows
             if not nr:  # empty Arrow batch (the pq_adc_topk lesson)
                 continue
+            if nr > cap:  # grow-only scratch, views sliced per batch
+                cap = nr
+                f = np.empty((cap, d), dtype=np.float64)
+                xi = np.empty((cap, d), dtype=np.int64)
+                xc = np.empty((cap, k), dtype=np.float64)
+                dist = np.empty((cap, k), dtype=np.int64)
+                cid_b = np.empty(cap, dtype=np.intp)
+            fv, xv = f[:nr], xi[:nr]
             col = batch.column(0)
             flat = col.flatten()  # offset-aware: sliced batches stay correct
             if col.null_count == 0 and flat.null_count == 0 \
                     and len(flat) == nr * d:
-                # zero-copy flat buffer → float64 widen (bit-exact for the
-                # float32 corpora too: same widening tolist() performed)
-                vf = flat.to_numpy(zero_copy_only=False)
-                x = (np.floor(vf.astype(np.float64, copy=False)
-                              .reshape(nr, d) * float(quant) + 0.5)
-                     .astype(np.int64))
+                # zero-copy flat buffer → widen INTO the float64 scratch
+                # FIRST (copyto, exact), THEN multiply in place: a mixed
+                # multiply(float32, pyfloat, out=f64) would run the
+                # float32 loop (value-based casting) and change the
+                # quantization of float32 corpora — caught by the
+                # result-plan reference test
+                vf = flat.to_numpy(zero_copy_only=False).reshape(nr, d)
+                np.copyto(fv, vf)
             else:  # nulls / ragged rows: per-batch object fallback
-                x = (np.floor(np.asarray(col.to_pylist(), dtype=np.float64)
-                              * float(quant) + 0.5).astype(np.int64))
-            dist = _dist_batch(x, cu, cc, blas=blas)
-            cid = np.argmin(dist, axis=1)  # first min = smallest cid
-            dmin = dist[np.arange(nr), cid]
+                np.copyto(fv, np.asarray(col.to_pylist(), dtype=np.float64))
+            fv *= float(quant)
+            np.add(fv, 0.5, out=fv)
+            np.floor(fv, out=fv)  # fv: exactly-integral floats (unbiased·q)
+            np.copyto(xv, fv, casting="unsafe")  # trunc ≡ astype, exact
+            if blas:
+                # fv already holds the exact integral floats the gated
+                # float64 path needs — no astype copy
+                xx = np.einsum("ij,ij->i", fv, fv)  # each partial < 2^53
+                np.matmul(fv, cf_t, out=xc[:nr])
+                dv = dist[:nr]
+                np.copyto(dv, xc[:nr], casting="unsafe")  # exact ints
+                dv *= -2
+                dv += cc  # broadcasts (k,)
+                dv += xx.astype(np.int64)[:, None]
+            else:
+                dv = _dist_batch(xv, cu, cc, blas=False)
+            cid = np.argmin(dv, axis=1, out=cid_b[:nr])  # first min = min cid
+            dmin = np.take_along_axis(dv, cid[:, None], axis=1)[:, 0]
             n = np.bincount(cid, minlength=k)
             ik = np.zeros(k, dtype=np.int64)
             np.add.at(ik, cid, dmin // 1000)
             s = np.zeros((k, d), dtype=np.int64)
-            np.add.at(s, cid, x + b)  # biased sums, the oracle's domain
+            np.add.at(s, cid, xv)
             hit = np.flatnonzero(n)
+            s_hit = s[hit] + (n[hit] * b)[:, None]  # + n·bias ≡ Σ(x + b)
             offs = np.arange(len(hit) + 1, dtype=np.int32) * d
             yield pa.RecordBatch.from_arrays(
                 [pa.array(hit.astype(np.int32)),
                  pa.array(n[hit].astype(np.int64)),
                  pa.array(ik[hit]),
                  pa.ListArray.from_arrays(pa.array(offs),
-                                          pa.array(s[hit].ravel()))],
+                                          pa.array(s_hit.ravel()))],
                 names=["cid", "n", "inertia_k", "s"])
 
     return part
