@@ -16,11 +16,15 @@ micro-nats, `operators/linkgraph.py` micro-mass) applied to vector space:
   agree only there);
 * distances are exact int64 sums of squared component diffs (the bias
   cancels in differences);
-* the centroid update is the half-up integer mean ``(2·s + n) div (2·n)``
-  — no float ever touches the recurrence, so a fixed-iteration run is
-  **bit-identical at any partitioning, core count, batch size, or
-  engine**, and the whole recurrence unrolls into a SQL oracle
-  (`plans/driver_queries.py` embed_ann_ivf kmeans branches).
+* the centroid update is the half-up integer mean, computed as
+  ``s div n + (1 if 2·(s mod n) ≥ n else 0)`` — the quotient/remainder
+  form never doubles the component sum ``s``, so the int64 headroom is
+  set by ``s`` itself, not ``2·s`` (the first-cut ``(2·s + n) div (2·n)``
+  halved it).  No float ever touches the recurrence, so a
+  fixed-iteration run is **bit-identical at any partitioning, core
+  count, batch size, or engine**, and the whole recurrence unrolls into
+  a SQL oracle (`plans/driver_queries.py` embed_ann_ivf kmeans
+  branches).
 
 Per iteration: ONE corpus scan — an Arrow argmin kernel against the k×d
 broadcast centroid matrix (the corpus never shuffles; only ≤k partial-agg
@@ -31,8 +35,9 @@ previous centroid (deterministic; exercised in tests and the oracle).
 
 Overflow headroom (int64): with ``quant=1e6`` and ``bound=8``, biased
 components ≤ 1.6e7, per-row distance ≤ d·(2·1.6e7)² ≈ 6.6e16·(d/64), and
-a cell's component sum stays exact below ~5.7e11 member rows; per-cell
-inertia is emitted in //1000 units for the same reason.  Raise ``bound``
+a cell's component sum stays exact below ~5.7e11 member rows (the mean
+formula above never forms ``2·s``, so the sum itself is the binding
+term); per-cell inertia is emitted in //1000 units for the same reason.  Raise ``bound``
 (or lower ``quant``) for wider-range embeddings — the knobs trade
 precision for row-count headroom, both documented at the call sites.
 
@@ -98,8 +103,7 @@ def _dist_batch(x_unbiased: np.ndarray, cu: np.ndarray, cc: np.ndarray,
             - 2 * (x_unbiased @ cu.T) + cc)
 
 
-def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
-                    quant: int, bound: int):
+def _partial_kernel(cents_biased: np.ndarray, quant: int, bound: int):
     """mapInArrow kernel: one Arrow pass that quantizes, assigns (exact
     squared-L2 argmin; ties → smallest cid, matching the oracle's
     ``ORDER BY dist, cid``) AND partial-combines — emitting per batch at
@@ -116,9 +120,15 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     PER 10 k-row batch, which at 32 workers burned ~1/3 of the job's CPU
     in kernel mode (sys_frac 0.33-0.38 on a MEASURED-idle host — two
     recordings had mis-attributed that to ambient storms; a calm-window
-    A/B pinned it to the kernel itself).  Batches with nulls or ragged
-    lists (never produced by the quantizer-training inputs) fall back to
-    the object path, per batch.
+    A/B pinned it to the kernel itself).  Batches with NULL vector rows
+    fall back to an object path that SKIPS those rows (a null vector has
+    no cell — same rows a pre-filter would drop, without forcing callers
+    to add one); a row whose list length ≠ d raises ValueError — a
+    misaligned reshape would silently corrupt every centroid, so ragged
+    corpora must fail loudly.  The zero-copy gate verifies uniform row
+    length via ``list_value_length`` min==max==d, not just the flat
+    length: lengths that merely SUM to n·d (one row short, another long)
+    would otherwise pass and misalign the whole batch.
 
     Scratch reuse: all O(n·d) / O(n·k) intermediates live in grow-only
     buffers reused across batches (``out=`` ufuncs + unsafe ``copyto``
@@ -146,6 +156,7 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
     Accumulation is ``np.add.at`` on int64 — exact and order-free, so
     partials commute across any batching/partitioning."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     b = _bias(quant, bound)
     cu = np.ascontiguousarray(cents_biased, dtype=np.int64) - b
@@ -169,21 +180,34 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
                 xc = np.empty((cap, k), dtype=np.float64)
                 dist = np.empty((cap, k), dtype=np.int64)
                 cid_b = np.empty(cap, dtype=np.intp)
-            fv, xv = f[:nr], xi[:nr]
             col = batch.column(0)
             flat = col.flatten()  # offset-aware: sliced batches stay correct
+            lens = pc.min_max(pc.list_value_length(col))
             if col.null_count == 0 and flat.null_count == 0 \
-                    and len(flat) == nr * d:
+                    and len(flat) == nr * d \
+                    and lens["min"].as_py() == d == lens["max"].as_py():
                 # zero-copy flat buffer → widen INTO the float64 scratch
                 # FIRST (copyto, exact), THEN multiply in place: a mixed
                 # multiply(float32, pyfloat, out=f64) would run the
                 # float32 loop (value-based casting) and change the
                 # quantization of float32 corpora — caught by the
-                # result-plan reference test
+                # result-plan reference test.  The min/max length check
+                # rejects ragged batches whose lengths merely sum to n·d.
+                m = nr
                 vf = flat.to_numpy(zero_copy_only=False).reshape(nr, d)
-                np.copyto(fv, vf)
-            else:  # nulls / ragged rows: per-batch object fallback
-                np.copyto(fv, np.asarray(col.to_pylist(), dtype=np.float64))
+                np.copyto(f[:m], vf)
+            else:  # NULL rows skipped; wrong-length rows fail loudly
+                vals = [v for v in col.to_pylist() if v is not None]
+                ragged = sorted({len(v) for v in vals} - {d})
+                if ragged:
+                    raise ValueError(
+                        f"kmeans vector column: expected length-{d} "
+                        f"vectors, got row lengths {ragged}")
+                m = len(vals)
+                if not m:
+                    continue
+                np.copyto(f[:m], np.asarray(vals, dtype=np.float64))
+            fv, xv = f[:m], xi[:m]
             fv *= float(quant)
             np.add(fv, 0.5, out=fv)
             np.floor(fv, out=fv)  # fv: exactly-integral floats (unbiased·q)
@@ -192,15 +216,15 @@ def _partial_kernel(cents_biased: np.ndarray, vec_col: str,
                 # fv already holds the exact integral floats the gated
                 # float64 path needs — no astype copy
                 xx = np.einsum("ij,ij->i", fv, fv)  # each partial < 2^53
-                np.matmul(fv, cf_t, out=xc[:nr])
-                dv = dist[:nr]
-                np.copyto(dv, xc[:nr], casting="unsafe")  # exact ints
+                np.matmul(fv, cf_t, out=xc[:m])
+                dv = dist[:m]
+                np.copyto(dv, xc[:m], casting="unsafe")  # exact ints
                 dv *= -2
                 dv += cc  # broadcasts (k,)
                 dv += xx.astype(np.int64)[:, None]
             else:
                 dv = _dist_batch(xv, cu, cc, blas=False)
-            cid = np.argmin(dv, axis=1, out=cid_b[:nr])  # first min = min cid
+            cid = np.argmin(dv, axis=1, out=cid_b[:m])  # first min = min cid
             dmin = np.take_along_axis(dv, cid[:, None], axis=1)[:, 0]
             n = np.bincount(cid, minlength=k)
             ik = np.zeros(k, dtype=np.int64)
@@ -233,7 +257,7 @@ def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
     k-bounded partial rows move."""
     d = cents_biased.shape[1]
     part = df.select(vec_col).mapInArrow(
-        _partial_kernel(cents_biased, vec_col, quant, bound),
+        _partial_kernel(cents_biased, quant, bound),
         "cid int, n long, inertia_k long, s array<long>")
     # coalesce: mapInPandas output fields are nullable by schema, so a
     # later outer join on cid infers an isnotnull(cid) filter and pushes
@@ -248,6 +272,25 @@ def update_agg(df: DataFrame, cents_biased: np.ndarray, *,
           for i in range(d)])
 
 
+def halfup_mean_sql(s: str, n: str, *, dialect: str = "spark") -> str:
+    """Half-up integer mean of non-negative ``s`` over ``n`` > 0 as SQL,
+    in the overflow-free quotient/remainder form: ``2·(s mod n)`` is
+    < 2·n, so the expression never exceeds ``s`` — unlike the naive
+    ``(2·s + n) div (2·n)``, whose doubled sum silently wraps int64 at
+    HALF the documented row-count headroom (Spark's non-ANSI ``*``
+    wraps; DuckDB escapes only because its sum() is HUGEINT).  Both
+    dialects produce the identical BIGINT."""
+    div = "div" if dialect == "spark" else "//"
+    return (f"({s} {div} {n} + (CASE WHEN 2 * ({s} % {n}) >= {n} "
+            f"THEN 1 ELSE 0 END))")
+
+
+def _halfup_mean(s: int, n: int) -> int:
+    """Python twin of `halfup_mean_sql` (exact, arbitrary precision)."""
+    q, rem = divmod(s, n)
+    return q + (1 if 2 * rem >= n else 0)
+
+
 def _step(prev_biased: np.ndarray, rows) -> np.ndarray:
     """Fold collected update rows into the next biased centroid matrix;
     cells with no members keep their previous centroid."""
@@ -255,7 +298,7 @@ def _step(prev_biased: np.ndarray, rows) -> np.ndarray:
     nxt = prev_biased.copy()
     for r in rows:
         n = int(r["n"])
-        nxt[int(r["cid"])] = [(2 * int(r[f"s{i}"]) + n) // (2 * n)
+        nxt[int(r["cid"])] = [_halfup_mean(int(r[f"s{i}"]), n)
                               for i in range(d)]
     return nxt
 
@@ -301,7 +344,7 @@ def kmeans_result_plan(df: DataFrame, cents_biased: np.ndarray, *,
     items = [F.struct(
         F.lit("km_centroid").alias("op"), F.lit(i + 1).alias("comp"),
         F.coalesce(
-            F.expr(f"(2 * s{i} + n) div (2 * n)"),
+            F.expr(halfup_mean_sql(f"s{i}", "n")),
             F.element_at("prev", i + 1)).alias("val")) for i in range(d)]
     items.append(F.struct(F.lit("km_size").alias("op"),
                           F.lit(-1).alias("comp"),

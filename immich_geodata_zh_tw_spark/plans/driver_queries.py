@@ -2350,7 +2350,9 @@ cand AS (
 -- integer-exact Lloyd updates from the SAME strided centroids.  All
 -- arithmetic is biased non-negative BIGINT (`//` ≡ Spark `div` there);
 -- sums pass through HUGEINT and every emitted value is CAST back (the
--- round-4 artifact class).
+-- round-4 artifact class).  The centroid mean is the quotient/remainder
+-- half-up form of kmeans.halfup_mean_sql — identical to the engine at
+-- every value, without the doubled-sum overflow of (2·s + n)//(2·n).
 xq AS (SELECT vec_id, {quant_duck} AS qv FROM embeddings),
 xql AS (SELECT vec_id, generate_subscripts(qv, 1) AS comp,
                unnest(qv) AS val FROM xq),
@@ -2367,8 +2369,7 @@ ka1 AS (SELECT vec_id, cid FROM (
             PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
           FROM kd1) WHERE rn = 1),
 ku1 AS (SELECT a.cid, x.comp,
-               CAST((2 * sum(x.val) + count(*)) // (2 * count(*))
-                    AS BIGINT) AS cval
+               CAST(sum(x.val) // count(*) + (CASE WHEN 2 * (sum(x.val) % count(*)) >= count(*) THEN 1 ELSE 0 END) AS BIGINT) AS cval
         FROM ka1 a JOIN xql x USING (vec_id) GROUP BY 1, 2),
 kc1l AS (SELECT c.cid, c.comp, coalesce(u.cval, c.cval) AS cval
          FROM kc0l c LEFT JOIN ku1 u
@@ -2381,8 +2382,7 @@ ka2 AS (SELECT vec_id, cid, dist FROM (
             PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
           FROM kd2) WHERE rn = 1),
 ku2 AS (SELECT a.cid, x.comp,
-               CAST((2 * sum(x.val) + count(*)) // (2 * count(*))
-                    AS BIGINT) AS cval
+               CAST(sum(x.val) // count(*) + (CASE WHEN 2 * (sum(x.val) % count(*)) >= count(*) THEN 1 ELSE 0 END) AS BIGINT) AS cval
         FROM ka2 a JOIN xql x USING (vec_id) GROUP BY 1, 2),
 kstat AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(dist // 1000) AS BIGINT) AS inertia_k

@@ -148,6 +148,53 @@ def test_blas_path_exact_at_bound_extremes(spark):
     assert kmeans._blas_exact_ok(d, kmeans.QUANT, kmeans.BOUND)
 
 
+def test_null_vector_rows_are_skipped(spark, toy_df):
+    """A NULL embedding row has no cell: the kernel must skip it and
+    produce the exact result of the corpus without that row (it used to
+    crash the object fallback with numpy's inhomogeneous-shape error)."""
+    X, init = _toy()
+    with_null = toy_df.unionByName(spark.createDataFrame(
+        [(10_000, None)], toy_df.schema))
+    got = kmeans.kmeans_fit(with_null, init, iters=2)
+    want = kmeans.kmeans_fit(toy_df, init, iters=2)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("bad_rows", [
+    [[0.0] * 5],            # one short row
+    [[0.0] * 5, [0.0] * 7],  # ragged lengths that SUM to a multiple of d
+])
+def test_wrong_length_vectors_fail_loudly(spark, toy_df, bad_rows):
+    """Rows whose length ≠ d must raise, never silently misalign the
+    flat-buffer reshape (ragged lengths summing to n·d used to pass the
+    zero-copy gate and corrupt every vector after the first ragged row)."""
+    X, init = _toy()
+    bad = toy_df.unionByName(spark.createDataFrame(
+        [(20_000 + i, [float(v) for v in r])
+         for i, r in enumerate(bad_rows)], toy_df.schema))
+    c0 = kmeans.quantize_centroids(init)
+    with pytest.raises(Exception, match="length"):
+        kmeans.update_agg(bad.repartition(1), c0).collect()
+
+
+def test_halfup_mean_overflow_free(spark):
+    """The quotient/remainder half-up mean must be exact where the naive
+    (2·s + n) div (2·n) wraps int64 (s ≥ 2^62), in BOTH engines' form,
+    and equal the naive form everywhere it doesn't overflow."""
+    s_big, n = 2 ** 62 + 12345, 3
+    want = (2 * s_big + n) // (2 * n)  # Python bigint: the true value
+    assert kmeans._halfup_mean(s_big, n) == want
+    row = spark.sql(
+        f"SELECT {kmeans.halfup_mean_sql('s', 'n')} AS v FROM VALUES "
+        f"(CAST({s_big} AS BIGINT), CAST({n} AS BIGINT)) t(s, n)").head()
+    assert row["v"] == want
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        s = int(rng.integers(0, 10 ** 12))
+        m = int(rng.integers(1, 10 ** 6))
+        assert kmeans._halfup_mean(s, m) == (2 * s + m) // (2 * m)
+
+
 def test_plan_shape_one_corpus_pass(spark, toy_df):
     """The update is ONE corpus scan: exactly one Arrow partial-combine
     kernel in the plan (quantize + assign + per-batch fold — the corpus
