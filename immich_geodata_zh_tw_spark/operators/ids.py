@@ -230,11 +230,22 @@ def dense_rank_codes(df: DataFrame, name_col: str, *, prefix: str,
         # dimension-sized frame the rank window already single-partitions,
         # and it removes one fixed-latency driver action per call (two per
         # release run — measured in the release-pipeline construction
-        # profile).
-        total = F.size(F.collect_set(name_col).over(Window.partitionBy()))
+        # profile).  collect_set drops NULLs but dense_rank ranks them, so
+        # a present NULL name counts as one extra rank — without it the
+        # width comes up a digit short exactly at 9+NULL, 99+NULL, ...
+        wall = Window.partitionBy()
+        total = (F.size(F.collect_set(name_col).over(wall))
+                 + F.max(F.when(F.col(name_col).isNull(), 1)
+                         .otherwise(0)).over(wall))
         pad_w = F.length(total.cast("string"))
     else:
         pad_w = F.lit(width)
+    rank_str = rank.cast("string")
+    # zfill semantics (the reference's str.zfill pads, NEVER truncates):
+    # a bare lpad would cut rank '10' to '1' under a too-small width and
+    # silently collide codes
     return df.withColumn(
         out_col, F.concat(F.lit(prefix), F.lit("."),
-                          F.lpad(rank.cast("string"), pad_w, F.lit("0"))))
+                          F.lpad(rank_str,
+                                 F.greatest(pad_w, F.length(rank_str)),
+                                 F.lit("0"))))

@@ -68,6 +68,32 @@ class TestIds:
         # 12 distinct → width 2, zero-padded (reference base.py:654)
         assert set(out["code"]) == {f"TW.{i + 1:02d}" for i in range(12)}
 
+    def test_dense_rank_width_counts_null_rank(self, spark):
+        """dense_rank ranks a NULL name but collect_set drops it: 9
+        non-null names + NULL is TEN ranks → width 2.  The collect_set
+        width alone gave 1, and lpad then TRUNCATED rank 10 to '1',
+        colliding with rank 1's code."""
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        df = spark.createDataFrame(
+            [(f"n{i}",) for i in range(9)] + [(None,)], "admin_1 string")
+        out = ids.dense_rank_codes(df, "admin_1", prefix="TW").toPandas()
+        assert len(set(out["code"])) == 10  # no collisions
+        assert set(out["code"]) == {f"TW.{i + 1:02d}" for i in range(10)}
+
+    def test_dense_rank_explicit_width_never_truncates(self, spark):
+        """zfill semantics: an explicit width smaller than the rank
+        string pads nothing but must never cut digits (reference
+        str.zfill never truncates)."""
+        from immich_geodata_zh_tw_spark.operators import ids
+
+        df = spark.createDataFrame(
+            [(f"n{i:03d}",) for i in range(11)], "admin_1 string")
+        out = ids.dense_rank_codes(df, "admin_1", prefix="X",
+                                   width=1).toPandas()
+        assert len(set(out["code"])) == 11
+        assert "X.10" in set(out["code"]) and "X.11" in set(out["code"])
+
 
 class TestDedup:
     def test_coordinate_dedup_rule(self, spark):
