@@ -394,7 +394,11 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
         ids = ids[order]
         xn = xn[order]
         n = len(ids)
-        dup_of = np.full(n, -1, dtype=np.int64)
+        # dominated-state lives in its own mask, NOT in a dup_of sentinel:
+        # ids are arbitrary int64, so any in-band value (-1 included) can
+        # be a legitimate dominator id
+        dominated = np.zeros(n, dtype=bool)
+        dup_of = np.zeros(n, dtype=np.int64)
         dup_sim = np.full(n, np.nan)
         for s in range(0, n, block_size):
             e = min(s + block_size, n)
@@ -411,16 +415,18 @@ def semantic_dedup(corpus: DataFrame, centroids: np.ndarray, *,
             # dominator (min id / centroid-farthest)
             first = hits.argmax(axis=1)
             rows = np.nonzero(any_hit)[0]
+            dominated[s + rows] = True
             dup_of[s + rows] = ids[first[rows]]
             dup_sim[s + rows] = sims[rows, first[rows]]
         return pd.DataFrame({
             id_col: ids,
             "cell_id": np.full(n, pdf["__cid"].iloc[0], dtype=np.int32),
-            "kept": dup_of < 0,
-            "dup_of": pd.array([None if d < 0 else int(d) for d in dup_of],
+            "kept": ~dominated,
+            "dup_of": pd.array([int(d) if hit else None
+                                for hit, d in zip(dominated, dup_of)],
                                dtype="Int64"),
-            "dup_sim": [None if d < 0 else float(sm)
-                        for d, sm in zip(dup_of, dup_sim)],
+            "dup_sim": [float(sm) if hit else None
+                        for hit, sm in zip(dominated, dup_sim)],
         })
 
     return tagged.groupBy("__cid").applyInPandas(kernel, schema=out_schema)

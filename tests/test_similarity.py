@@ -301,6 +301,32 @@ class TestSemanticDedup:
         assert out.loc[30, "dup_sim"] > 0.999
         assert pd.isna(out.loc[10, "dup_of"])
 
+    def test_negative_ids_including_minus_one(self, spark):
+        """ids are arbitrary int64 (xxhash64-derived ids are ~50 %
+        negative): a NEGATIVE dominator id must still mark its dups as
+        dropped, and an actual id of -1 must be a normal id — the old
+        kernel used -1 as the 'no dominator' sentinel, so both cases
+        silently kept near-duplicates."""
+        import numpy as np
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import similarity as sim
+
+        base = np.zeros(8); base[0] = 1.0
+        near = base + 0.001; near2 = base + 0.002
+        orth = np.zeros(8); orth[1] = 1.0
+        df = spark.createDataFrame(pd.DataFrame({
+            "vec_id": [-5, -1, 2, 7],
+            "embedding": [base.tolist(), near.tolist(), near2.tolist(),
+                          orth.tolist()],
+        }))
+        out = (sim.semantic_dedup(df, np.ones((1, 8)), threshold=0.99)
+               .toPandas().set_index("vec_id").sort_index())
+        assert out.loc[-5, "kept"] and pd.isna(out.loc[-5, "dup_of"])
+        assert not out.loc[-1, "kept"] and out.loc[-1, "dup_of"] == -5
+        assert not out.loc[2, "kept"] and out.loc[2, "dup_of"] == -5
+        assert out.loc[7, "kept"]
+
     def test_far_centroid_policy_keeps_cluster_shell(self, spark):
         """keep='far_centroid' (the SemDeDup paper's own policy) must keep
         the near-dup FARTHEST from the cell centroid — the diversity-
