@@ -128,18 +128,35 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     # double ulp, enough to corrupt a sub-µs tolerance as float seconds)
     unit = 1_000_000.0 if is_ts else 1.0
 
-    def _num(col: Column) -> Column:
-        """``on`` as a number: exact long micros for timestamps (the
-        seconds-truncating unix_timestamp would break sub-second order),
-        double passthrough otherwise.  TIMESTAMP_NTZ has no epoch instant,
+    is_int = on_type in ("tinyint", "smallint", "int", "bigint")
+
+    def _exact_num(col: Column) -> Column:
+        """``on`` as an EXACT number where the type allows it: long micros
+        for timestamps (the seconds-truncating unix_timestamp would break
+        sub-second order), the long value itself for integral columns (a
+        double cast would lose ulp-scale precision above 2^53 — snowflake
+        ids — the same reason _TIE keeps its own type), double for
+        genuinely fractional columns.  TIMESTAMP_NTZ has no epoch instant,
         so it counts wall-clock micros from 1970-01-01T00:00 — tz-free and
         session-setting-independent (unix_micros would reject it)."""
         if on_type == "timestamp_ntz":
             epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-            return F.timestamp_diff("MICROSECOND", epoch, col).cast("double")
+            return F.timestamp_diff("MICROSECOND", epoch, col)
         if is_ts:
-            return F.unix_micros(col).cast("double")
+            return F.unix_micros(col)
+        if is_int:
+            return col.cast("long")
         return col.cast("double")
+
+    def _num(col: Column) -> Column:
+        """``on`` as a double, for the BUCKET math only: floor(x·sign/span)
+        stays monotonic non-decreasing in scan order under double rounding
+        (long→double never inverts order), so bucketing — whose only
+        contract is a deterministic monotone partition of the timeline —
+        is correct at any magnitude; boundary placement may shift by ulp,
+        which the bucket-invariance property covers.  Match/tolerance
+        decisions never use this — they run on `_exact_num`."""
+        return _exact_num(col).cast("double")
 
     payload = F.struct(F.col(on).alias("matched_on"),
                        *[F.col(c).alias(c) for c in value_cols])
@@ -181,10 +198,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         local = ub.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(wl))
         # pass 2: one row per (by, bucket) — the payload at the bucket's
         # scan-order-final row (max_by over the mirrored numeric key tuple)
-        # k3 mirrors _TIE without a double multiply (which would re-lose
-        # >2^53 integer tie precision): conditional negation keeps the type
-        fin_key = F.struct((_num(F.col(on)) * F.lit(sign)).alias("k1"),
-                           F.col(_SIDE).cast("double").alias("k2"),
+        # k1/k3 mirror via conditional negation, never a double multiply:
+        # a double k1 could collapse distinct >2^53 integer on-values and
+        # let k2/k3 pick the WRONG final row; negation stays in-type exact
+        onx = _exact_num(F.col(on))
+        fin_key = F.struct((onx if sign > 0 else -onx).alias("k1"),
+                           F.col(_SIDE).alias("k2"),
                            (F.col(_TIE) if sign > 0
                             else -F.col(_TIE)).alias("k3"))
         per_bucket = (local.groupBy(*by, _BKT)
@@ -205,10 +224,17 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     # payload its NULLS-FIRST/LAST sort position happened to scan past
     out = out.withColumn(_PAY, F.when(F.col(on).isNotNull(), F.col(_PAY)))
     if tolerance is not None:
-        gap = (_num(F.col(on)) - _num(F.col(_PAY + ".matched_on"))) \
-            * F.lit(sign)
-        out = out.withColumn(
-            _PAY, F.when(gap <= F.lit(float(tolerance) * unit), F.col(_PAY)))
+        # exact-typed gap: for timestamps / integral `on` both operands are
+        # long, so the subtraction is exact at any magnitude (a double gap
+        # mis-rounds near the threshold above 2^53); an integer gap against
+        # a fractional tolerance compares via floor (gap ≤ 2.5 ≡ gap ≤ 2)
+        d1 = _exact_num(F.col(on))
+        d2 = _exact_num(F.col(_PAY + ".matched_on"))
+        gap = (d1 - d2) if direction == "backward" else (d2 - d1)
+        tol_units = float(tolerance) * unit
+        bound = (F.lit(min(int(tol_units // 1), 2 ** 63 - 1))
+                 if is_ts or is_int else F.lit(tol_units))
+        out = out.withColumn(_PAY, F.when(gap <= bound, F.col(_PAY)))
     sel = [F.col(c) for c in left.columns]
     sel.append(F.col(_PAY + ".matched_on").alias(prefix + on))
     sel += [F.col(f"{_PAY}.{c}").alias(prefix + c) for c in value_cols]

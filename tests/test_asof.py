@@ -89,6 +89,31 @@ def test_bucket_span_invariance(spark, fuzz_data, span):
     assert bucketed == base
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_bigint_on_tolerance_is_exact(spark, direction):
+    """Integral `on` above 2^53 (snowflake ids): the tolerance gap must be
+    judged in exact long arithmetic — a double cast has ~1024-unit ulp at
+    2^60 and mis-rounds matches near the boundary (the _TIE discipline,
+    applied to `on` itself)."""
+    base = 2 ** 60
+    sgn = 1 if direction == "backward" else -1
+    l = spark.createDataFrame([(1, base + sgn * 1000, 1)],
+                              "k int, t long, lid int")
+    r = spark.createDataFrame([(1, base, 10, 1.0)],
+                              "k int, t long, rid int, rv double")
+    kw = dict(on="t", by="k", value_cols=["rid"], tie_col="rid",
+              direction=direction)
+    hit = asof_join(l, r, tolerance=1000, **kw).head()
+    assert hit["r_rid"] == 10
+    miss = asof_join(l, r, tolerance=999, **kw).head()
+    assert miss["r_rid"] is None
+    # bucketed path: same exact verdicts (gap + max_by key both in-type)
+    hit_b = asof_join(l, r, tolerance=1000, bucket_span=512.0, **kw).head()
+    assert hit_b["r_rid"] == 10
+    miss_b = asof_join(l, r, tolerance=999, bucket_span=512.0, **kw).head()
+    assert miss_b["r_rid"] is None
+
+
 def test_bucket_span_forward_and_tolerance(spark, fuzz_data):
     left, right = fuzz_data
     l, r = _mk(spark, left, right)
