@@ -13,6 +13,7 @@ zero-Python extract twin) pays once cores are scarce.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,7 +59,10 @@ def run_cell(cpus: int, engine: str, n_pages: int) -> dict:
     if t0 and t1:
         dt = max(t1[2] - t0[2], 1)
         out["host_sys_frac"] = round((t1[0] - t0[0]) / dt, 3)
-        out["host_busy_cores"] = round((t1[3] - t0[3]) / dt * 32, 2)
+        # host width from the host, not a literal: a 64-core box would
+        # otherwise under-report leaked pins 2x (common.py does the same)
+        out["host_busy_cores"] = round(
+            (t1[3] - t0[3]) / dt * (os.cpu_count() or 1), 2)
     return out
 
 

@@ -16,13 +16,16 @@ from pyspark.sql import SparkSession
 
 
 def _parse_mem_mb(text: str) -> int:
-    """'16g' / '512m' → MiB (the two suffixes this repo's knobs use)."""
+    """'16g' / '512m' / bare '16384' → MiB.  A bare number is MiB because
+    that is how the JVM reads a suffixless spark.driver.memory — parsing
+    it as bytes here would compute the advisory size from ~0 MB while
+    Spark itself got gigabytes."""
     text = text.strip().lower()
     if text.endswith("g"):
         return int(float(text[:-1]) * 1024)
     if text.endswith("m"):
         return int(float(text[:-1]))
-    return int(int(text) / (1024 * 1024))  # bare bytes
+    return int(text)
 
 
 def _advisory_partition_mb(mem_mb: int, cores: int) -> int:

@@ -123,6 +123,11 @@ def _normalize(schema, names: dict, namespace: str | None = None):
         node = {"type": "fixed", "name": full, "size": int(schema["size"])}
         names[full] = node
         return node
+    if isinstance(t, str):
+        # dict-form named-type reference {"type": "<defined-name>"}: a name
+        # is a legal `type` value per the Avro spec — other writers emit
+        # this form; route it through the string branch's ref resolution
+        return _normalize(t, names, namespace)
     raise ValueError(f"unsupported Avro type {t!r}")
 
 

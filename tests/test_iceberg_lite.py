@@ -99,6 +99,28 @@ class TestAvroContainer:
             _, got = avro_lite.read_container(p)
             assert got == rows, codec
 
+    def test_dict_form_named_type_reference(self, tmp_path):
+        """{"type": "<defined-name>"} is a legal named-type reference per
+        the Avro spec (a name is a valid `type` value) — other writers'
+        manifests use it; it must resolve like the bare-string form."""
+        schema = {
+            "type": "record", "name": "top", "fields": [
+                {"name": "a", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": "x", "type": "long"}]}},
+                {"name": "b", "type": {"type": "r102"}},   # dict-form ref
+                {"name": "c", "type": ["null", {"type": "r102"}]},
+            ]}
+        rows = [{"a": {"x": 1}, "b": {"x": 2}, "c": {"x": 3}},
+                {"a": {"x": -1}, "b": {"x": -2}, "c": None}]
+        p = str(tmp_path / "ref.avro")
+        avro_lite.write_container(p, schema, rows)
+        _, got = avro_lite.read_container(p)
+        assert got == rows
+        with pytest.raises(ValueError, match="unresolved"):
+            avro_lite.Schema({"type": "record", "name": "t", "fields": [
+                {"name": "z", "type": {"type": "nope"}}]})
+
 
 # the PRODUCT's spec-shaped manifest schemas: the fixtures must exchange
 # exactly what bootstrap_table/the reader exchange, so a schema change

@@ -86,6 +86,15 @@ class TestScaleSafeSessionDefaults:
         # floor: never below the measured-safe 16m
         assert _advisory_partition_mb(1024, 32) == 16
 
+    def test_mem_parse_matches_jvm_semantics(self):
+        from immich_geodata_zh_tw_spark.session import _parse_mem_mb
+
+        assert _parse_mem_mb("16g") == 16 * 1024
+        assert _parse_mem_mb("512m") == 512
+        # a bare number is MiB to the JVM (spark.driver.memory=16384 is
+        # 16 GiB) — parsing it as bytes derived the advisory from ~0 MB
+        assert _parse_mem_mb("16384") == 16384
+
     def test_session_starts_wide_and_advisory_bound(self, spark):
         init = int(spark.conf.get(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
