@@ -743,6 +743,12 @@ def q_asof_tolerance(spark, sf_dir):
 # qualifying c.ts) — the operator's equal-``on`` right-before-left tie rule
 # matches it by construction.  r_value is carried VERBATIM (no arithmetic),
 # so the doubles are bit-identical across engines and need no rounding.
+# Known oracle limit: among RIGHT rows sharing (user_id, ts) DuckDB's ASOF
+# returns an arbitrary one while the engine deterministically takes the
+# greatest tie_col; the events fixture has ZERO duplicate (user_id, ts)
+# groups at every SF (verified by a distinct-count sweep), so the limit
+# cannot fire on driver data — the tie rule itself is pinned by
+# tests/test_asof.py's forced-tie fuzz rows instead.
 SQL_ASOF_BACKWARD = """
 SELECT e.user_id, e.event_id AS n, c.event_id AS n2, c.value AS sum_value
 FROM (SELECT * FROM events WHERE event_type = 'error') e
