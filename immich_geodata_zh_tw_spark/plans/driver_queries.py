@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
-from ..operators import (dedup, ids, merge, ngram_lm, sample, similarity,
-                         textstats, translate)
+from ..operators import (dedup, dsir, ids, merge, ngram_lm, sample,
+                         similarity, textstats, translate)
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
 from ..operators.pipjoin import pip_join
@@ -1041,6 +1041,9 @@ _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 100_000
 _GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
 _GOPHER_MIN_STOPWORDS = 2
 _GOPHER_MAX_TOP2, _GOPHER_MAX_DUP5 = 0.1, 0.15
+#: DSIR selection budget for the driver row (scale-free: a fixed top-K by
+#: importance weight; at sf0.01's 500 docs this keeps the top quartile)
+_DSIR_KEEP_K = 128
 
 
 def _gopher_gate(d):
@@ -1066,20 +1069,30 @@ def q_doc_gopher_filter(spark, sf_dir):
     stopword floor + repetition ceilings, emitted as a per-doc ``keep``
     verdict with the signals that produced it (auditable filtering — the
     shape a 100-TB curation pass needs: every signal is one narrow agg,
-    the verdict is a pure projection)."""
-    return _gopher_gate(_t(spark, sf_dir, "documents"))
+    the verdict is a pure projection).
+
+    Round 5 also folds in the DSIR importance-selection verdict
+    (operators/dsir.py — Xie et al. 2023: hashed uni+bigram log-ratio
+    weights against the ``lang = 'en'`` target, exact integer micro-nats,
+    salted top-K keep), so the row is the full per-doc curation verdict:
+    rule-based quality gate + distribution-matching selection."""
+    d = _t(spark, sf_dir, "documents")
+    sel = dsir.dsir_select(d, F.col("lang") == "en", keep_k=_DSIR_KEEP_K)
+    return _gopher_gate(d).join(sel, "doc_id")
 
 
 SQL_DOC_GOPHER_FILTER = f"""
-WITH {_SQL_REPETITION_CTE}
+WITH {_SQL_REPETITION_CTE},
+{dsir.dsir_oracle_cte(keep_k=_DSIR_KEEP_K)}
 SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac,
        {textstats.stopword_hits_sql('en', 'text')} AS stopword_hits,
        (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
         AND mean_word_len >= {_GOPHER_MIN_MWL} AND mean_word_len <= {_GOPHER_MAX_MWL}
         AND {textstats.stopword_hits_sql('en', 'text')} >= {_GOPHER_MIN_STOPWORDS}
         AND top2gram_frac <= {_GOPHER_MAX_TOP2}
-        AND coalesce(dup5gram_frac, 0.0) <= {_GOPHER_MAX_DUP5}) AS keep
-FROM rep
+        AND coalesce(dup5gram_frac, 0.0) <= {_GOPHER_MAX_DUP5}) AS keep,
+       dsir_logratio_micro6, dsir_n_feats, dsir_keep
+FROM rep JOIN dsirsel USING (doc_id)
 """
 
 
