@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
-from ..operators import (dedup, dsir, ids, merge, ngram_lm, sample,
+from ..operators import (bpe, dedup, dsir, ids, merge, ngram_lm, sample,
                          similarity, textstats, translate)
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
@@ -1483,9 +1483,18 @@ FROM c
 _VOCAB_K, _VOCAB_SALTS = 20, 8
 
 
+#: BPE merge rounds for the doc_vocab bpe branch (each round = one
+#: pair-count shuffle over the bounded word table + a 1-row argmax)
+_BPE_MERGES = 6
+
+
 def q_doc_vocab(spark, sf_dir):
     """Frequency-vocabulary induction (tokenizer prep) ∪ per-doc OOV
-    coverage, one union-typed result.
+    coverage ∪ BPE merge training (operators/bpe.py — Sennrich et al.
+    2016: the corpus collapses to a word-frequency table in ONE scan,
+    then each of the {_BPE_MERGES} merge rounds shuffles only |distinct
+    words| pair rows; merges + the post-merge corpus token total are
+    emitted as 'bpe'/'bpe_size' rows), one union-typed result.
 
     The vocab branch's exact global top-K rides the salted two-phase rank
     (``sample.global_topk_ranked``) — never a single-partition
@@ -1514,7 +1523,30 @@ def q_doc_vocab(spark, sf_dir):
                   null_l.alias("token_id"), null_l.alias("freq"),
                   F.col("doc_id"), F.col("n_tokens"), F.col("n_oov"),
                   F.col("oov_ratio")))
-    return b1.unionByName(b2)
+    merges, wt_fin = bpe.bpe_rounds_plan(d, n_merges=_BPE_MERGES)
+    # the post-merge corpus token total is ONE row over the bounded word
+    # table — fold it into training's bounded driver actions and release
+    # the cache, so the RETURNED plan carries no persisted lineage (the
+    # cached-chain variant leaked wt_fin's cache into the result plan and
+    # buried the single-corpus-scan property under nested
+    # InMemoryRelations)
+    bpe_size = int(wt_fin.agg(F.sum(
+        F.col("n") * F.size(F.expr(bpe.symbols_expr("s", dialect="spark"))))
+        .cast("long").alias("t")).collect()[0]["t"])
+    wt_fin.unpersist()
+    b3 = (spark.createDataFrame(merges, "round long, pair string, cnt long")
+          .select(F.lit("bpe").alias("op"), F.col("pair").alias("token"),
+                  F.col("round").alias("token_id"),
+                  F.col("cnt").alias("freq"), null_l.alias("doc_id"),
+                  null_l.alias("n_tokens"), null_l.alias("n_oov"),
+                  F.lit(None).cast("double").alias("oov_ratio")))
+    b4 = (spark.createDataFrame([(bpe_size,)], "freq long")
+          .select(F.lit("bpe_size").alias("op"), null_s.alias("token"),
+                  null_l.alias("token_id"), F.col("freq"),
+                  null_l.alias("doc_id"), null_l.alias("n_tokens"),
+                  null_l.alias("n_oov"),
+                  F.lit(None).cast("double").alias("oov_ratio")))
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
 
 
 SQL_DOC_VOCAB = f"""
@@ -1525,7 +1557,8 @@ freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
 vocab AS (
   SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) - 1
                      AS BIGINT) AS token_id, freq
-  FROM freq QUALIFY token_id < {_VOCAB_K})
+  FROM freq QUALIFY token_id < {_VOCAB_K}),
+{bpe.bpe_oracle_cte(n_merges=_BPE_MERGES)}
 SELECT 'vocab' AS op, token, token_id, freq,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
        CAST(NULL AS BIGINT) AS n_oov, CAST(NULL AS DOUBLE) AS oov_ratio
@@ -1537,6 +1570,14 @@ SELECT 'doc', NULL, NULL, NULL, t.doc_id, count(*),
              / count(*), 6)
 FROM tok t LEFT JOIN vocab v USING (token)
 GROUP BY t.doc_id
+UNION ALL
+SELECT 'bpe', pair, round, cnt, NULL, NULL, NULL, NULL FROM bpem
+UNION ALL
+SELECT 'bpe_size', NULL, NULL,
+       CAST(sum(n * len({bpe.symbols_expr('s', dialect='duckdb')}))
+            AS BIGINT),
+       NULL, NULL, NULL, NULL
+FROM bwfin
 """
 
 
