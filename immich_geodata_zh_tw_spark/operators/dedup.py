@@ -547,6 +547,89 @@ def span_dedup(df: DataFrame, *, id_col: str, text_col: str,
                  F.count(F.lit(1)).alias("n_kept")))
 
 
+def substr_dedup(df: DataFrame, *, id_col: str, text_col: str,
+                 gram_words: int = 50) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §3.2:
+    remove every substring of ≥ 50 tokens that appears more than once in
+    the corpus).  Granularity here is whitespace words; a run of ≥
+    ``gram_words`` tokens is duplicated iff every one of its
+    ``gram_words``-gram windows is, so marking each occurrence of a
+    globally-repeated ``gram_words``-gram and taking the UNION of the
+    marked ``[pos, pos+n)`` intervals per doc removes exactly the
+    paper's duplicated regions.  Distinct from :func:`span_dedup` in
+    both semantics and keeping rule: C4 spans are FIXED non-overlapping
+    windows and the first occurrence survives; here windows slide over
+    every position and EVERY occurrence of a repeated region is removed
+    (including both copies of a within-doc repeat).
+
+    Output per doc: ``(id, clean_text, n_dup_intervals,
+    n_removed_tokens)`` — clean_text is the original token stream minus
+    the merged duplicate intervals ('' when the whole doc is covered);
+    docs shorter than ``gram_words`` or with no repeated grams pass
+    through intact with zeros.
+
+    Scale shape: positions explode once to ``(id, pos, h1, h2)`` — the
+    gram string dies inside the projection; only the 128-bit hash pair
+    (span_dedup's collision math) ever rides a shuffle.  Duplicated
+    hashes come from ONE map-side-combined count aggregate, occurrences
+    keep their flag via a left-semi hash join on the 16-byte key, and the
+    interval merge is the classic sorted-starts scan expressed as a
+    per-doc window: with fixed-length intervals, start order = end
+    order, so a new interval begins exactly when ``pos − lag(pos) >
+    gram_words`` (adjacent runs coalesce), and a running sum of those
+    breaks is the interval id.  Per-doc window partitions are bounded by
+    document length (the repetition-metrics precedent), never by corpus
+    size; a zipfian mega-gram concentrates into the COUNT aggregate
+    (map-side combined), not into any sort.
+    """
+    n = gram_words
+    words = df.select(F.col(id_col),
+                      F.expr(f"split(trim({text_col}), ' ')").alias("__w"))
+    occ = (words.filter(F.expr(f"size(__w) >= {n}"))
+           .select(F.col(id_col),
+                   F.posexplode(F.expr(
+                       f"transform(sequence(1, size(__w) - {n} + 1), "
+                       f"i -> array_join(slice(__w, i, {n}), ' '))"))
+                   .alias("pos0", "gram"))
+           .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"),
+                   F.xxhash64("gram").alias("__h1"),
+                   F.xxhash64("gram", F.lit(1)).alias("__h2")))
+    dup = (occ.groupBy("__h1", "__h2").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1).select("__h1", "__h2"))
+    marked = occ.join(dup, ["__h1", "__h2"], "left_semi").select(id_col,
+                                                                 "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.lag("pos").over(w_doc).isNull()
+                 | (F.col("pos") - F.lag("pos").over(w_doc) > n), 1) \
+           .otherwise(0)
+    grp = F.sum(brk).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (marked.withColumn("__g", grp)
+          .groupBy(id_col, "__g")
+          .agg(F.min("pos").alias("s"),
+               (F.max("pos") + n - 1).alias("e")))
+    ivd = (iv.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                .alias("__iv"),
+                F.count(F.lit(1)).alias("n_dup_intervals"),
+                F.sum(F.col("e") - F.col("s") + 1)
+                .alias("n_removed_tokens")))
+    kept = F.expr(
+        "array_join(transform(filter(sequence(1, size(__w)), "
+        "p -> NOT exists(__iv, x -> p >= x.s AND p <= x.e)), "
+        "p -> element_at(__w, p)), ' ')")
+    return (words.join(ivd, id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("__iv").isNull(),
+                           F.array_join("__w", " "))
+                    .otherwise(kept).alias("clean_text"),
+                    F.coalesce("n_dup_intervals", F.lit(0))
+                    .alias("n_dup_intervals"),
+                    F.coalesce("n_removed_tokens", F.lit(0))
+                    .alias("n_removed_tokens")))
+
+
 def ngram_decontaminate(train: DataFrame, eval_df: DataFrame, *,
                         id_col: str, text_col: str,
                         ngram_words: int = 8) -> DataFrame:

@@ -1096,15 +1096,47 @@ FROM rep JOIN dsirsel USING (doc_id)
 """
 
 
+#: sliding-gram width for the ExactSubstr branch — 12 words gives the
+#: driver corpus (31-token vocab, 10-99-word docs) both duplicated and
+#: unique grams (at sf0.01: 923 of ~21 k distinct 12-grams repeat,
+#: 1,913 marked occurrences), so interval merging, whole-doc coverage
+#: and the untouched-doc passthrough all fire
+_SUBSTR_GRAM = 12
+
+
 def q_doc_span_dedup(spark, sf_dir):
-    """C4-style global span dedup: every 10-word span keeps only its first
-    corpus-wide occurrence; docs reassembled from surviving spans."""
+    """Two repeated-text removal policies over one corpus, union-typed:
+
+    * ``op='span'`` — C4-style global span dedup (operators/dedup.py
+      ``span_dedup``): every 10-word span keeps only its first
+      corpus-wide occurrence; docs reassembled from surviving spans;
+      ``n_spans`` = surviving span count.
+    * ``op='substr'`` — ExactSubstr-style repeated-substring removal
+      (``substr_dedup``, Lee et al. 2021): every occurrence of a
+      globally-repeated {_SUBSTR_GRAM}-word sliding gram marks its
+      interval; merged intervals are cut from the token stream;
+      ``n_spans`` = merged duplicate-interval count, ``n_removed`` =
+      tokens cut.
+    """
     d = _t(spark, sf_dir, "documents")
-    return dedup.span_dedup(d, id_col="doc_id", text_col="text",
-                            span_words=10)
+    null_l = F.lit(None).cast("long")
+    b1 = (dedup.span_dedup(d, id_col="doc_id", text_col="text",
+                           span_words=10)
+          .select(F.lit("span").alias("op"), "doc_id", "clean_text",
+                  F.col("n_kept").alias("n_spans"),
+                  null_l.alias("n_removed")))
+    b2 = (dedup.substr_dedup(d, id_col="doc_id", text_col="text",
+                             gram_words=_SUBSTR_GRAM)
+          .select(F.lit("substr").alias("op"), "doc_id", "clean_text",
+                  F.col("n_dup_intervals").cast("long").alias("n_spans"),
+                  F.col("n_removed_tokens").cast("long")
+                  .alias("n_removed")))
+    return b1.unionByName(b2)
 
 
-SQL_DOC_SPAN_DEDUP = """
+# count(*)/sum() columns are CAST to BIGINT where DuckDB would type the
+# window/plain sum as HUGEINT (the round-4 artifact class)
+SQL_DOC_SPAN_DEDUP = f"""
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
 spans AS (
   SELECT doc_id, (i - 1) // 10 AS pos,
@@ -1118,10 +1150,55 @@ firsts AS (
 kept AS (
   SELECT s.doc_id, s.pos, s.span
   FROM spans s JOIN firsts f
-    ON s.span = f.span AND s.doc_id = f.d AND s.pos = f.p)
-SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
-       count(*) AS n_kept
-FROM kept GROUP BY 1
+    ON s.span = f.span AND s.doc_id = f.d AND s.pos = f.p),
+occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, i, i + {_SUBSTR_GRAM - 1}), ' ')
+           AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {_SUBSTR_GRAM - 1}))
+       AS t(i)),
+dupg AS (SELECT gram FROM occ GROUP BY 1 HAVING count(*) > 1),
+mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dupg USING (gram)),
+mb AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SUBSTR_GRAM}
+              THEN 1 ELSE 0 END AS brk
+  FROM mk),
+mg AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+           AS g
+  FROM mb),
+miv AS (SELECT doc_id, g, min(pos) AS s,
+               max(pos) + {_SUBSTR_GRAM - 1} AS e
+        FROM mg GROUP BY 1, 2),
+mivd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_iv,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_rm
+  FROM miv GROUP BY 1),
+pos_all AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS p FROM w),
+kept_pos AS (
+  SELECT pa.doc_id, pa.p
+  FROM pos_all pa
+  LEFT JOIN miv ON miv.doc_id = pa.doc_id AND pa.p BETWEEN miv.s AND miv.e
+  WHERE miv.doc_id IS NULL),
+sub_clean AS (
+  SELECT k.doc_id, string_agg(w.ws[k.p], ' ' ORDER BY k.p) AS clean_text
+  FROM kept_pos k JOIN w ON w.doc_id = k.doc_id GROUP BY 1)
+SELECT 'span' AS op, doc_id, string_agg(span, ' ' ORDER BY pos)
+         AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_spans, CAST(NULL AS BIGINT) AS n_removed
+FROM kept GROUP BY doc_id
+UNION ALL
+SELECT 'substr', d.doc_id, coalesce(sc.clean_text, ''),
+       coalesce(m.n_iv, 0), coalesce(m.n_rm, 0)
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN sub_clean sc USING (doc_id)
+LEFT JOIN mivd m USING (doc_id)
 """
 
 

@@ -256,7 +256,90 @@ class TestDedup:
         assert out.loc[1, "simhash"] != out.loc[3, "simhash"]
 
 
-class TestAdminRules:
+class TestSubstrDedup:
+    """ExactSubstr removal (dedup.substr_dedup) — hand-computed interval
+    cases: cross-doc repeat (both occurrences cut), within-doc repeat,
+    overlapping-window coalescing, whole-doc coverage → '', short/unique
+    docs pass through with zeros."""
+
+    def _run(self, spark, texts, n):
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        out = (dedup.substr_dedup(df, id_col="doc_id", text_col="text",
+                                  gram_words=n)
+               .toPandas().set_index("doc_id").sort_index())
+        return out
+
+    def test_cross_doc_repeat_cuts_both(self, spark):
+        # docs 0 and 1 share the 3-gram 'a b c'; doc 2 is untouched
+        out = self._run(spark, ["x a b c y", "z a b c", "p q r"], 3)
+        assert out.loc[0, "clean_text"] == "x y"
+        assert out.loc[0, "n_dup_intervals"] == 1
+        assert out.loc[0, "n_removed_tokens"] == 3
+        assert out.loc[1, "clean_text"] == "z"
+        assert out.loc[2, "clean_text"] == "p q r"
+        assert out.loc[2, "n_dup_intervals"] == 0
+
+    def test_overlapping_windows_merge_to_one_interval(self, spark):
+        # 'a b c d' repeats: two overlapping 3-gram windows ('a b c',
+        # 'b c d') mark [1,3] and [2,4] → ONE merged interval of 4 tokens
+        out = self._run(spark, ["a b c d x", "y a b c d"], 3)
+        assert out.loc[0, "n_dup_intervals"] == 1
+        assert out.loc[0, "n_removed_tokens"] == 4
+        assert out.loc[0, "clean_text"] == "x"
+
+    def test_within_doc_repeat_marks_both_copies(self, spark):
+        # 'a b c' occurs twice inside one doc, separated by a unique gap
+        # wide enough that the intervals stay distinct
+        out = self._run(spark, ["a b c u v w x y z a b c"], 3)
+        assert out.loc[0, "n_dup_intervals"] == 2
+        assert out.loc[0, "n_removed_tokens"] == 6
+        assert out.loc[0, "clean_text"] == "u v w x y z"
+
+    def test_whole_doc_covered_yields_empty(self, spark):
+        out = self._run(spark, ["a b c", "a b c"], 3)
+        assert (out["clean_text"] == "").all()
+        assert (out["n_removed_tokens"] == 3).all()
+
+    def test_short_doc_passthrough(self, spark):
+        # shorter than the gram → no windows → intact with zeros
+        out = self._run(spark, ["a b", "a b"], 3)
+        assert (out["clean_text"] == "a b").all()
+        assert (out["n_dup_intervals"] == 0).all()
+
+    def test_adjacent_intervals_coalesce(self, spark):
+        # two marked runs meeting end-to-start merge into one interval:
+        # 'a b c' [1,3] and 'd e f' [4,6] are adjacent → 1 interval, 6 cut
+        out = self._run(
+            spark, ["a b c d e f", "a b c x y z", "q r s d e f"], 3)
+        assert out.loc[0, "n_dup_intervals"] == 1
+        assert out.loc[0, "n_removed_tokens"] == 6
+        assert out.loc[0, "clean_text"] == ""
+
+    def test_plan_narrow_keys_single_semi_join(self, spark):
+        """Scale pins: the gram string never rides a shuffle (128-bit
+        xxhash pair only), the dup check is ONE left-semi hash join, and
+        no single-partition exchange appears."""
+        import io
+        from contextlib import redirect_stdout
+
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h") for i in range(10)],
+            "doc_id long, text string")
+        out = dedup.substr_dedup(df, id_col="doc_id", text_col="text",
+                                 gram_words=3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("LeftSemi") >= 1
+        assert "SortMergeJoin" not in plan or "LeftSemi" in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "xxhash64" in plan
     def test_sejong_normalization(self, spark):
         """Reference south_korea.py:173-221: Sejong rows whose sggnm is an
         institution (no 읍/면/동 suffix) promote admin_3 to admin_2; real
