@@ -201,6 +201,29 @@ def _lm_job(spark, path: str):
                    F.sum("lm_tokens").alias("nt"))
 
 
+def _substr_job(spark, path: str):
+    """ExactSubstr removal over the scaling-dedup corpus: the planted
+    near-dups (id % 10 ∈ {8, 9} pairs share words 1-6 and 8-40) give
+    every pair one merged 33-token duplicate interval under a 12-word
+    gram, so ~20 % of docs take the full mark/merge/cut path while the
+    rest exercise the passthrough join.  Global agg over the COMPUTED
+    columns — see _asof_job's NOTE (zero removed tokens would mean a
+    broken corpus)."""
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators.dedup import substr_dedup
+
+    d = spark.read.parquet(path)
+    # persist=True: the cluster-shaped call (one gram explode, cached
+    # 28-byte occurrence rows); the harness clears the cache between reps
+    out = substr_dedup(d, id_col="doc_id", text_col="text", gram_words=12,
+                       persist=True)
+    return out.agg(F.sum("n_removed_tokens").alias("rm"),
+                   F.sum("n_dup_intervals").alias("iv"),
+                   F.sum(F.length("clean_text")).alias("lc"),
+                   F.count(F.lit(1)).alias("n"))
+
+
 def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
                 warmup: bool = True) -> dict:
     from .common import two_level_scaling
@@ -235,6 +258,15 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             build_job=_lm_job, unit="docs",
             metric="ngram_lm_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": "lm_train(half) + lm_score(all)"})
+    if job == "substr":
+        n = n_items or 2_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_docs(s, n),
+            build_job=_substr_job, unit="docs",
+            metric="substr_dedup_scaling_efficiency_n_to_4n",
+            warmup=warmup,
+            extra={"job": "substr_dedup(gram_words=12)"})
     if job == "pagerank":
         n = n_items or 50_000_000
         return two_level_scaling(

@@ -548,7 +548,7 @@ def span_dedup(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def substr_dedup(df: DataFrame, *, id_col: str, text_col: str,
-                 gram_words: int = 50) -> DataFrame:
+                 gram_words: int = 50, persist: bool = False) -> DataFrame:
     """ExactSubstr-style repeated-substring removal (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" §3.2:
     remove every substring of ≥ 50 tokens that appears more than once in
@@ -582,6 +582,21 @@ def substr_dedup(df: DataFrame, *, id_col: str, text_col: str,
     document length (the repetition-metrics precedent), never by corpus
     size; a zipfian mega-gram concentrates into the COUNT aggregate
     (map-side combined), not into any sort.
+
+    The hashed occurrence frame feeds TWO consumers (the dup-count
+    aggregate and the probe side of the semi join), so unpersisted the
+    gram explode runs twice — the sliding string-window assembly is the
+    operator's dominant cost (measured at 1 M × 40-word docs / 32 cores:
+    ~7 s per 29 M-gram pass, whole operator ~19 s warm).  ``persist=True``
+    spools the 28-byte-row occurrence frame to MEMORY_AND_DISK so the
+    explode runs ONCE — the right call on a cluster, where the re-scan
+    also re-pays corpus I/O; the jaccard/minhash lifecycle caveat applies
+    (the cached frame is internal — release with
+    ``spark.catalog.clearCache()``).  A skew note on the rejected
+    single-pass forms: a count window over (h1, h2) or a
+    collect_list-per-gram aggregate would buffer a zipfian mega-gram's
+    every occurrence in ONE task; two-pass count + semi-join is
+    skew-immune by construction.
     """
     n = gram_words
     words = df.select(F.col(id_col),
@@ -595,6 +610,9 @@ def substr_dedup(df: DataFrame, *, id_col: str, text_col: str,
            .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"),
                    F.xxhash64("gram").alias("__h1"),
                    F.xxhash64("gram", F.lit(1)).alias("__h2")))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (occ.groupBy("__h1", "__h2").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") > 1).select("__h1", "__h2"))
     marked = occ.join(dup, ["__h1", "__h2"], "left_semi").select(id_col,

@@ -4,6 +4,7 @@ reference's pytest style (tests/test_geodata_base.py, SURVEY.md §5)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -262,19 +263,25 @@ class TestSubstrDedup:
     overlapping-window coalescing, whole-doc coverage → '', short/unique
     docs pass through with zeros."""
 
-    def _run(self, spark, texts, n):
+    def _run(self, spark, texts, n, persist=False):
         from immich_geodata_zh_tw_spark.operators import dedup
 
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
         out = (dedup.substr_dedup(df, id_col="doc_id", text_col="text",
-                                  gram_words=n)
+                                  gram_words=n, persist=persist)
                .toPandas().set_index("doc_id").sort_index())
+        if persist:
+            spark.catalog.clearCache()
         return out
 
-    def test_cross_doc_repeat_cuts_both(self, spark):
-        # docs 0 and 1 share the 3-gram 'a b c'; doc 2 is untouched
-        out = self._run(spark, ["x a b c y", "z a b c", "p q r"], 3)
+    @pytest.mark.parametrize("persist", [False, True])
+    def test_cross_doc_repeat_cuts_both(self, spark, persist):
+        # docs 0 and 1 share the 3-gram 'a b c'; doc 2 is untouched;
+        # persist=True (the cluster-shaped single-explode path) must be
+        # result-identical
+        out = self._run(spark, ["x a b c y", "z a b c", "p q r"], 3,
+                        persist=persist)
         assert out.loc[0, "clean_text"] == "x y"
         assert out.loc[0, "n_dup_intervals"] == 1
         assert out.loc[0, "n_removed_tokens"] == 3
