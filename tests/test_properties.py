@@ -528,3 +528,70 @@ class TestResizeProperties:
         assert np.allclose(th.mean(axis=(0, 1)),
                            px.astype(np.float64).mean(axis=(0, 1)),
                            atol=1e-6)
+
+
+class TestSubstrDedupProperty:
+    """Randomized equivalence of dedup.substr_dedup against an independent
+    in-memory reference over 40 seeded corpora of tiny-vocab texts (the
+    adversarial regime: heavy gram repetition, runs at doc edges, nested
+    overlaps).  All corpora ride ONE Spark job: every token is prefixed
+    with its corpus id, so grams can never match across corpora and one
+    global run is exactly the per-corpus runs."""
+
+    N = 3  # gram width — small enough that random 3-token-vocab texts repeat
+
+    @staticmethod
+    def _reference(docs: dict[int, list[str]], n: int):
+        from collections import Counter
+
+        grams: Counter = Counter()
+        for ws in docs.values():
+            for p in range(len(ws) - n + 1):
+                grams[tuple(ws[p:p + n])] += 1
+        out = {}
+        for i, ws in docs.items():
+            ivs: list[list[int]] = []
+            for p in range(len(ws) - n + 1):
+                if grams[tuple(ws[p:p + n])] > 1:
+                    s, e = p + 1, p + n
+                    if ivs and s <= ivs[-1][1] + 1:
+                        ivs[-1][1] = max(ivs[-1][1], e)
+                    else:
+                        ivs.append([s, e])
+            covered = {q for s, e in ivs for q in range(s, e + 1)}
+            clean = " ".join(w for j, w in enumerate(ws, 1)
+                             if j not in covered)
+            out[i] = (clean, len(ivs), sum(e - s + 1 for s, e in ivs))
+        return out
+
+    def test_matches_reference_on_random_corpora(self, spark):
+        import numpy as np
+
+        from immich_geodata_zh_tw_spark.operators import dedup
+
+        rng = np.random.default_rng(20260820)
+        docs: dict[int, list[str]] = {}
+        expected = {}
+        doc_id = 0
+        for corpus in range(40):
+            vocab = [f"c{corpus}_{w}" for w in ("a", "b", "c")]
+            corpus_docs = {}
+            for _ in range(int(rng.integers(1, 7))):
+                length = int(rng.integers(0, 13))
+                corpus_docs[doc_id] = [
+                    vocab[int(rng.integers(0, 3))] for _ in range(length)]
+                doc_id += 1
+            expected.update(self._reference(corpus_docs, self.N))
+            docs.update(corpus_docs)
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in docs.items()],
+            "doc_id long, text string")
+        out = (dedup.substr_dedup(df, id_col="doc_id", text_col="text",
+                                  gram_words=self.N)
+               .toPandas().set_index("doc_id").sort_index())
+        assert len(out) == len(expected)
+        for i, (clean, n_iv, n_rm) in expected.items():
+            row = out.loc[i]
+            assert row["clean_text"] == clean, (i, row["clean_text"], clean)
+            assert row["n_dup_intervals"] == n_iv, (i, dict(row), n_iv)
+            assert row["n_removed_tokens"] == n_rm, (i, dict(row), n_rm)
