@@ -1113,7 +1113,7 @@ def q_doc_span_dedup(spark, sf_dir):
       ``n_spans`` = surviving span count.
     * ``op='substr'`` — ExactSubstr-style repeated-substring removal
       (``substr_dedup``, Lee et al. 2021): every occurrence of a
-      globally-repeated {_SUBSTR_GRAM}-word sliding gram marks its
+      globally-repeated 12-word (``_SUBSTR_GRAM``) sliding gram marks its
       interval; merged intervals are cut from the token stream;
       ``n_spans`` = merged duplicate-interval count, ``n_removed`` =
       tokens cut.
@@ -1569,9 +1569,9 @@ def q_doc_vocab(spark, sf_dir):
     """Frequency-vocabulary induction (tokenizer prep) ∪ per-doc OOV
     coverage ∪ BPE merge training (operators/bpe.py — Sennrich et al.
     2016: the corpus collapses to a word-frequency table in ONE scan,
-    then each of the {_BPE_MERGES} merge rounds shuffles only |distinct
-    words| pair rows; merges + the post-merge corpus token total are
-    emitted as 'bpe'/'bpe_size' rows), one union-typed result.
+    then each of the 6 (``_BPE_MERGES``) merge rounds shuffles only
+    |distinct words| pair rows; merges + the post-merge corpus token
+    total are emitted as 'bpe'/'bpe_size' rows), one union-typed result.
 
     The vocab branch's exact global top-K rides the salted two-phase rank
     (``sample.global_topk_ranked``) — never a single-partition
