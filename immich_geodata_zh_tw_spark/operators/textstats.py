@@ -409,3 +409,190 @@ def oov_stats(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "n_oov",
                     F.round(F.col("n_oov") / F.col("n_tokens"), 6)
                     .alias("oov_ratio")))
+
+
+#: Gopher char-fraction n values (Rae et al. 2021 Table A1): the paper
+#: gates on the TOP n-gram's character fraction at n = 2, 3, 4 (ceilings
+#: 0.20/0.18/0.16) and on the duplicated-n-gram character fraction at
+#: n = 5..10 (ceilings 0.15 down to 0.10)
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _char_frac_kernel(id_col: str, text_col: str,
+                      top_ns: tuple, dup_ns: tuple):
+    """``mapInPandas`` kernel factory for :func:`gopher_char_fracs`.
+
+    Emits exact INTEGER numerators only — the final ``round(num / total,
+    6)`` happens in SQL expressions on BOTH engines so float-rounding
+    parity is the engines' shared ``round``, never Python's banker's
+    rounding (the micro-nat discipline applied to per-doc fractions).
+
+    Word split mirrors the oracle exactly: ``strip(' ')`` then
+    ``split(' ')`` — the Python twins of DuckDB ``trim``/``string_split``
+    (both keep empty tokens on repeated separators; ``''`` yields one
+    zero-length word).  Top-gram tie-break is (max count, then
+    lexicographically smallest gram): word-tuple order equals
+    space-joined-string order because words contain no spaces and ``' '``
+    sorts below every printable non-space byte, so the Python tuple min
+    and the oracle's ``ORDER BY c DESC, g ASC`` pick the same gram.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            n_rows = len(pdf)
+            total = [0] * n_rows
+            top_num = {n: [None] * n_rows for n in top_ns}
+            dup_cov = {n: [0] * n_rows for n in dup_ns}
+            for r, text in enumerate(pdf[text_col].to_numpy()):
+                ws = ("" if text is None else str(text)).strip(" ").split(" ")
+                wlens = [len(w) for w in ws]
+                length = len(ws)
+                total[r] = sum(wlens)
+                for n in top_ns:
+                    if length < n:
+                        continue
+                    cnt = Counter(tuple(ws[i:i + n])
+                                  for i in range(length - n + 1))
+                    top_c = max(cnt.values())
+                    gram = min(g for g, c in cnt.items() if c == top_c)
+                    top_num[n][r] = top_c * sum(len(w) for w in gram)
+                for n in dup_ns:
+                    if length < n:
+                        continue
+                    cnt = Counter(tuple(ws[i:i + n])
+                                  for i in range(length - n + 1))
+                    covered = 0
+                    cur_s = cur_e = -1  # on-the-fly interval union
+                    for i in range(length - n + 1):
+                        if cnt[tuple(ws[i:i + n])] <= 1:
+                            continue
+                        if cur_e < 0 or i > cur_e:  # disjoint from current
+                            if cur_e >= 0:
+                                covered += sum(wlens[cur_s:cur_e + 1])
+                            cur_s = i
+                        cur_e = i + n - 1  # starts ascend, so e ascends
+                    if cur_e >= 0:
+                        covered += sum(wlens[cur_s:cur_e + 1])
+                    dup_cov[n][r] = covered
+            out = {id_col: ids, "cf_total": total}
+            for n in top_ns:
+                out[f"top{n}_num"] = pd.array(top_num[n], dtype="Int64")
+            for n in dup_ns:
+                out[f"dup{n}_cov"] = dup_cov[n]
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def gopher_char_fracs(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_ns: tuple = GOPHER_TOP_NS,
+                      dup_ns: tuple = GOPHER_DUP_NS) -> DataFrame:
+    """The FULL Gopher repetition table (Rae et al. 2021 Table A1) as
+    per-document character fractions:
+
+    * ``top{n}gram_char_frac`` (n ∈ ``top_ns``) — characters claimed by
+      every occurrence of the single most frequent word n-gram over the
+      doc's non-space characters (count × gram-non-space-chars / total —
+      the published formulation; NULL when the doc has fewer than n
+      words or no characters);
+    * ``dup{n}gram_char_frac`` (n ∈ ``dup_ns``) — fraction of non-space
+      characters lying inside ANY occurrence of a within-doc duplicated
+      n-gram, overlap-correct: duplicated-gram start positions mark
+      ``[i, i+n-1]`` word intervals whose UNION is counted once (the
+      ``substr_dedup`` interval-union semantic applied per doc), so
+      overlapping repeats never double-count (0.0 when nothing repeats
+      or the doc is shorter than n; NULL only for zero-char docs).
+
+    Scale shape — the load-bearing fact: every metric is WITHIN-document,
+    and a document is one row, so the whole table computes in ONE
+    zero-shuffle ``mapInPandas`` pass over the scan (contrast
+    :func:`repetition_metrics`, whose corpus-levelled explode→agg shape
+    pays (doc, gram) shuffles for the same per-doc answers — kept because
+    its pure-SQL form is the cross-checkable twin).  The kernel emits
+    exact integer numerators; fractions are ``round(num / nullif(total,
+    0), 6)`` SQL projections so both engines share one rounding rule.
+    No reference-repo counterpart (Polars/GeoPandas ETL) — LLM-pipeline
+    scope per the driver's training-data mandate.
+    """
+    schema = [f"{id_col} long", "cf_total long"]
+    schema += [f"top{n}_num long" for n in top_ns]
+    schema += [f"dup{n}_cov long" for n in dup_ns]
+    raw = (df.select(id_col, text_col)
+           .mapInPandas(_char_frac_kernel(id_col, text_col, top_ns, dup_ns),
+                        schema=", ".join(schema)))
+    cols = [F.col(id_col)]
+    denom = F.expr("nullif(cf_total, 0)").cast("double")
+    for n in top_ns:
+        cols.append(F.round(F.col(f"top{n}_num").cast("double") / denom, 6)
+                    .alias(f"top{n}gram_char_frac"))
+    for n in dup_ns:
+        cols.append(F.round(F.col(f"dup{n}_cov").cast("double") / denom, 6)
+                    .alias(f"dup{n}gram_char_frac"))
+    return raw.select(*cols)
+
+
+def char_frac_oracle_cte(top_ns: tuple = GOPHER_TOP_NS,
+                         dup_ns: tuple = GOPHER_DUP_NS) -> str:
+    """DuckDB CTE body restating :func:`gopher_char_fracs` (expects the
+    shared ``w`` CTE: ``doc_id, ws, t`` from the repetition oracle).
+    Exposes ``cfr`` with one row per doc and the same frac columns.
+
+    The dup branch spells the interval union as the sliding window it is:
+    position p is covered iff a duplicated gram STARTS in
+    ``[p-n+1, p]`` — ``max(mk) OVER (... ROWS n-1 PRECEDING)`` — which is
+    exactly the union of ``[i, i+n-1]`` intervals the kernel merges.
+    """
+    parts = ["cfb AS (SELECT doc_id, CAST(length(replace(t, ' ', '')) "
+             "AS BIGINT) AS cf_total FROM w)"]
+    joins, sels = [], []
+    for n in top_ns:
+        parts.append(f"""
+tpa{n} AS (
+  SELECT doc_id, CAST(c * length(replace(g, ' ', '')) AS BIGINT) AS num
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM (SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       array_to_string(list_slice(ws, i, i + {n - 1}), ' ')
+                         AS g
+                FROM w, unnest(generate_series(1, len(ws) - {n - 1}))
+                     AS tg{n}(i)
+                WHERE len(ws) >= {n})
+              GROUP BY 1, 2))
+  WHERE rn = 1)""")
+        joins.append(f"LEFT JOIN tpa{n} USING (doc_id)")
+        sels.append(f"round(CAST(tpa{n}.num AS DOUBLE)"
+                    f" / nullif(cf_total, 0), 6) AS top{n}gram_char_frac")
+    for n in dup_ns:
+        parts.append(f"""
+dpa{n} AS (
+  SELECT doc_id, CAST(coalesce(sum(wlen * cov), 0) AS BIGINT) AS cov_chars
+  FROM (SELECT doc_id, wlen,
+               max(mk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {n - 1} PRECEDING
+                             AND CURRENT ROW) AS cov
+        FROM (SELECT doc_id, pos, wlen,
+                     CASE WHEN g IS NOT NULL
+                           AND count(*) OVER (PARTITION BY doc_id, g) > 1
+                          THEN 1 ELSE 0 END AS mk
+              FROM (SELECT doc_id, i AS pos, length(ws[i]) AS wlen,
+                           CASE WHEN i <= len(ws) - {n - 1}
+                                THEN array_to_string(
+                                       list_slice(ws, i, i + {n - 1}), ' ')
+                           END AS g
+                    FROM w, unnest(generate_series(1, len(ws)))
+                         AS de{n}(i))))
+  GROUP BY 1)""")
+        joins.append(f"LEFT JOIN dpa{n} USING (doc_id)")
+        sels.append(f"round(CAST(coalesce(dpa{n}.cov_chars, 0) AS DOUBLE)"
+                    f" / nullif(cf_total, 0), 6) AS dup{n}gram_char_frac")
+    return (",".join(parts) + ",\ncfr AS (\n  SELECT cfb.doc_id, "
+            + ",\n         ".join(sels) + "\n  FROM cfb "
+            + " ".join(joins) + ")")

@@ -935,12 +935,17 @@ def q_doc_repetition(spark, sf_dir):
     (operators/ngram_lm.py): the model trains on the EVEN-doc_id half and
     scores every doc, so the held-out half exercises the backoff branches;
     the integer micro-nat column is order-free exact (ln agreement
-    validated empirically — see the module docstring)."""
+    validated empirically — see the module docstring) — plus the FULL
+    Gopher Table-A1 character-fraction family
+    (``textstats.gopher_char_fracs``: top-{2,3,4}-gram char fractions and
+    overlap-correct duplicated-{5..10}-gram char fractions, one
+    zero-shuffle Arrow pass emitting integer numerators)."""
     d = _t(spark, sf_dir, "documents")
     rep = textstats.repetition_metrics(d)
     model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
     lm = ngram_lm.lm_score(d, model).drop("lm_ppl")
-    return rep.join(lm, "doc_id", "left")
+    cf = textstats.gopher_char_fracs(d)
+    return rep.join(lm, "doc_id", "left").join(cf, "doc_id", "left")
 
 
 #: DuckDB restatement of lm_train(doc_id % 2 = 0) + lm_score(all docs):
@@ -1027,12 +1032,17 @@ rep AS (
   FROM base LEFT JOIN ta USING (doc_id) LEFT JOIN da USING (doc_id))
 """
 
+_CHAR_FRAC_COLS = ", ".join(
+    [f"top{n}gram_char_frac" for n in textstats.GOPHER_TOP_NS]
+    + [f"dup{n}gram_char_frac" for n in textstats.GOPHER_DUP_NS])
+
 SQL_DOC_REPETITION = f"""
 WITH {_SQL_REPETITION_CTE},
-{_SQL_LM_CTE}
+{_SQL_LM_CTE},
+{textstats.char_frac_oracle_cte()}
 SELECT doc_id, n_words, mean_word_len, top2gram_frac, dup5gram_frac,
-       lm_tokens, lm_logprob_micro6
-FROM rep LEFT JOIN lm USING (doc_id)
+       lm_tokens, lm_logprob_micro6, {_CHAR_FRAC_COLS}
+FROM rep LEFT JOIN lm USING (doc_id) LEFT JOIN cfr USING (doc_id)
 """
 
 #: Gopher-inspired keep thresholds (document-quality gate; the word-count

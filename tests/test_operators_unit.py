@@ -1100,3 +1100,52 @@ class TestReleaseDiff:
                                     None if pd.isna(r.admin1) else r.admin1)
                 for r in new_pdf.itertuples()}
         assert rebuilt == want
+
+
+class TestGopherCharFracs:
+    def test_hand_computed(self, spark):
+        """Crafted docs with known coverage, independent of the DuckDB
+        oracle (which could share a misreading with the engine)."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # 6 alternating words: top2 ('a','b')×3 → 3·2/6 = 1.0;
+                # top3 tie (aba×2, bab×2) → min gram, 2·3/6 = 1.0;
+                # top4 (abab×2) → 2·4/6 > 1 (the published count×len
+                # formulation double-counts overlap — documented);
+                # no duplicated 5-gram
+                "a b a b a b",
+                # dup5: only 'z z z z z' repeats (starts 6,7) →
+                # union [6,11] = 6 of 12 chars; dup6: nothing repeats
+                "p q r p q r z z z z z z",
+                # overlap-correct: both 5-gram starts are the same gram;
+                # union [0,5] = all 6 chars, not 10
+                "z z z z z z",
+                # shorter than every n except 2
+                "a b",
+            ]}))
+        got = (textstats.gopher_char_fracs(docs).toPandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[1, "top2gram_char_frac"] == 1.0
+        assert got.loc[1, "top3gram_char_frac"] == 1.0
+        assert got.loc[1, "top4gram_char_frac"] == round(8 / 6, 6)
+        assert got.loc[1, "dup5gram_char_frac"] == 0.0
+        assert got.loc[2, "dup5gram_char_frac"] == 0.5
+        assert got.loc[2, "dup6gram_char_frac"] == 0.0
+        assert got.loc[3, "dup5gram_char_frac"] == 1.0
+        assert got.loc[4, "top2gram_char_frac"] == 1.0
+        assert pd.isna(got.loc[4, "top3gram_char_frac"])
+        assert got.loc[4, "dup5gram_char_frac"] == 0.0
+
+    def test_empty_and_null_text(self, spark):
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", None]}))
+        got = textstats.gopher_char_fracs(docs).toPandas()
+        assert len(got) == 2
+        for c in got.columns:
+            if c != "doc_id":
+                assert got[c].isna().all(), c

@@ -318,3 +318,20 @@ class TestScaleSafeJoinSides:
             assert "BroadcastHashJoin" not in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestCharFracsPlan:
+    def test_zero_exchange_single_arrow_pass(self, spark):
+        """Within-doc metrics are row-local: the whole Gopher Table-A1
+        char-fraction family must compute in ONE mapInPandas pass with NO
+        Exchange anywhere in the plan (contrast repetition_metrics, whose
+        SQL-twin shape pays (doc, gram) shuffles by design)."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(textstats.gopher_char_fracs(docs))
+        assert "Exchange" not in plan
+        # once in the tree, once as the "(n) MapInPandas" detail header
+        assert plan.count("MapInPandas (") == 1
+        # the select() before the kernel must prune the scan to (id, text)
+        assert "n_chars" not in plan and "lang" not in plan

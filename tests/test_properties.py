@@ -595,3 +595,76 @@ class TestSubstrDedupProperty:
             assert row["clean_text"] == clean, (i, row["clean_text"], clean)
             assert row["n_dup_intervals"] == n_iv, (i, dict(row), n_iv)
             assert row["n_removed_tokens"] == n_rm, (i, dict(row), n_rm)
+
+
+class TestCharFracsProperty:
+    """Randomized equivalence of textstats.gopher_char_fracs against an
+    independent in-memory reference over seeded tiny-vocab corpora (heavy
+    within-doc repetition).  The reference computes coverage via a SET of
+    covered positions — a different algorithm than the kernel's interval
+    scan — and unrounded ratios compared at sub-rounding tolerance (the
+    exact-round parity vs the engines' shared SQL round is pinned by the
+    doc_repetition oracle row)."""
+
+    TOP_NS = (2, 3)
+    DUP_NS = (2, 3, 4)
+
+    @staticmethod
+    def _reference(ws: list[str], top_ns, dup_ns):
+        from collections import Counter
+
+        total = sum(len(w) for w in ws)
+        out: dict[str, float | None] = {}
+        for n in top_ns:
+            if len(ws) < n or total == 0:
+                out[f"top{n}gram_char_frac"] = None
+                continue
+            cnt = Counter(tuple(ws[i:i + n])
+                          for i in range(len(ws) - n + 1))
+            m = max(cnt.values())
+            g = min(k for k, v in cnt.items() if v == m)
+            out[f"top{n}gram_char_frac"] = m * sum(len(w) for w in g) / total
+        for n in dup_ns:
+            if total == 0:
+                out[f"dup{n}gram_char_frac"] = None
+                continue
+            cov: set[int] = set()
+            if len(ws) >= n:
+                cnt = Counter(tuple(ws[i:i + n])
+                              for i in range(len(ws) - n + 1))
+                for i in range(len(ws) - n + 1):
+                    if cnt[tuple(ws[i:i + n])] > 1:
+                        cov.update(range(i, i + n))
+            out[f"dup{n}gram_char_frac"] = (
+                sum(len(ws[p]) for p in cov) / total)
+        return out
+
+    def test_matches_reference_over_seeded_corpora(self, spark):
+        import random
+
+        import pandas as pd
+        import pytest
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        rows, expected = [], {}
+        for seed in range(30):
+            rng = random.Random(seed)
+            vocab = ["aa", "b", "ccc"][: rng.randint(1, 3)]
+            ws = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            rows.append((seed, " ".join(ws)))
+            expected[seed] = self._reference(
+                ws if ws else [""], self.TOP_NS, self.DUP_NS)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (textstats.gopher_char_fracs(
+                   docs, top_ns=self.TOP_NS, dup_ns=self.DUP_NS)
+               .toPandas().set_index("doc_id"))
+        assert len(got) == 30
+        for seed, exp in expected.items():
+            for col, val in exp.items():
+                g = got.loc[seed, col]
+                if val is None:
+                    assert pd.isna(g), (seed, col, g)
+                else:
+                    assert g == pytest.approx(val, abs=5.1e-7), \
+                        (seed, col, g, val)
