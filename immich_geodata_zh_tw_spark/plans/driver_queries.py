@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
 from ..operators import (bpe, dedup, dsir, ids, merge, ngram_lm, sample,
-                         similarity, textstats, translate)
+                         similarity, sketch, textstats, translate)
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
 from ..operators.pipjoin import pip_join
@@ -1574,6 +1574,11 @@ _VOCAB_K, _VOCAB_SALTS = 20, 8
 #: pair-count shuffle over the bounded word table + a 1-row argmax)
 _BPE_MERGES = 6
 
+#: KMV sketch size for the doc_vocab kmv branches: 16 < the ~31 distinct
+#: tokens per source (estimator path fires) and > the 4-5 langs per
+#: source (exact small-set path fires)
+_KMV_K = 16
+
 
 def q_doc_vocab(spark, sf_dir):
     """Frequency-vocabulary induction (tokenizer prep) ∪ per-doc OOV
@@ -1633,7 +1638,38 @@ def q_doc_vocab(spark, sf_dir):
                   null_l.alias("doc_id"), null_l.alias("n_tokens"),
                   null_l.alias("n_oov"),
                   F.lit(None).cast("double").alias("oov_ratio")))
-    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+
+    def kmv_branch(op, frame, key_sql):
+        """KMV distinct-count sketch (operators/sketch.py) mapped onto
+        the union schema: token = group ':' kth-hash, token_id =
+        n_sketch, freq = est_distinct, n_tokens = EXACT distinct (the
+        audit number the sketch replaces at scale — ridden out of the
+        sketch's OWN pass via the per-salt count window, no second
+        scan; it equals the oracle's count(DISTINCT key) because the
+        60-bit hash is collision-free at driver scale), oov_ratio =
+        est / exact."""
+        sk = sketch.kmv_sketch(frame, group_col="source", key_sql=key_sql,
+                               k=_KMV_K, n_salts=8, with_exact=True)
+        return sk.select(
+            F.lit(op).alias("op"),
+            F.concat_ws(":", "source", "kth_hash").alias("token"),
+            F.col("n_sketch").cast("long").alias("token_id"),
+            F.col("est_distinct").alias("freq"),
+            null_l.alias("doc_id"),
+            F.col("exact_distinct").alias("n_tokens"),
+            null_l.alias("n_oov"),
+            F.round(F.col("est_distinct").cast("double")
+                    / F.col("exact_distinct"), 6).alias("oov_ratio"))
+
+    toks = (d.select("source", F.explode(F.expr("split(text, ' ')"))
+                     .alias("token"))
+            .filter(F.col("token") != ""))
+    # k=16 vs ~31 distinct tokens/source → the ESTIMATOR path; 4-5 langs
+    # per source → the n_sketch < k EXACT path — both branches fire
+    b5 = kmv_branch("kmv_tok", toks, "token")
+    b6 = kmv_branch("kmv_lang", d.select("source", "lang"), "lang")
+    return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
+            .unionByName(b5).unionByName(b6))
 
 
 SQL_DOC_VOCAB = f"""
@@ -1645,6 +1681,17 @@ vocab AS (
   SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) - 1
                      AS BIGINT) AS token_id, freq
   FROM freq QUALIFY token_id < {_VOCAB_K}),
+ktok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+ktokf AS (SELECT source, token FROM ktok WHERE token <> ''),
+{sketch.kmv_oracle_cte('ktokf', group_sql='source', key_sql='token',
+                       k=_KMV_K, cte_name='kmt').lstrip().rstrip()},
+kmt_x AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS x
+          FROM ktokf GROUP BY 1),
+{sketch.kmv_oracle_cte('documents', group_sql='source', key_sql='lang',
+                       k=_KMV_K, cte_name='kml').lstrip().rstrip()},
+kml_x AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS x
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1),
 {bpe.bpe_oracle_cte(n_merges=_BPE_MERGES)}
 SELECT 'vocab' AS op, token, token_id, freq,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
@@ -1665,6 +1712,16 @@ SELECT 'bpe_size', NULL, NULL,
             AS BIGINT),
        NULL, NULL, NULL, NULL
 FROM bwfin
+UNION ALL
+SELECT 'kmv_tok', concat(k.grp, ':', k.kth_hash), k.n_sketch,
+       k.est_distinct, NULL, x.x, NULL,
+       round(CAST(k.est_distinct AS DOUBLE) / x.x, 6)
+FROM kmt k JOIN kmt_x x ON k.grp = x.source
+UNION ALL
+SELECT 'kmv_lang', concat(k.grp, ':', k.kth_hash), k.n_sketch,
+       k.est_distinct, NULL, x.x, NULL,
+       round(CAST(k.est_distinct AS DOUBLE) / x.x, 6)
+FROM kml k JOIN kml_x x ON k.grp = x.source
 """
 
 

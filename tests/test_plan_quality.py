@@ -183,8 +183,13 @@ class TestCurationPlanQuality:
 
         plan = _plan(e.queries()["doc_vocab"](spark, SF_DIR))
         # formatted output lists each physical scan once in the numbered
-        # detail section — exactly one corpus scan
-        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        # detail section.  The vocab/oov/bpe subtrees still share ONE
+        # corpus scan; the two KMV branches are genuinely new input
+        # passes over DIFFERENT projections ((source, text) and
+        # (source, lang)) and carry their exact-audit count inside their
+        # own pass (sketch.py with_exact) — so exactly THREE scans, and
+        # any regression to per-branch exact aggregates (5 scans) fails
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
