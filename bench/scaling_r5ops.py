@@ -115,6 +115,45 @@ def materialize_vecs(spark, n_rows: int) -> str:
     return path
 
 
+def _charfrac_job(spark, path: str):
+    """Full Gopher Table-A1 char fractions (textstats.gopher_char_fracs)
+    over the scaling-dedup corpus: one zero-shuffle mapInPandas pass —
+    the Arrow-kernel-bound profile (per-doc Counter/interval work),
+    closest to the flagship extract stage among the r5 additions.
+    Global agg over the COMPUTED columns — see _asof_job's NOTE (the
+    planted-dup corpus guarantees non-zero dup fractions)."""
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators import textstats
+
+    d = spark.read.parquet(path)
+    out = textstats.gopher_char_fracs(d)
+    return out.agg(F.sum("top2gram_char_frac").alias("t2"),
+                   F.sum("dup5gram_char_frac").alias("d5"),
+                   F.sum("dup10gram_char_frac").alias("d10"),
+                   F.count(F.lit(1)).alias("n"))
+
+
+def _kmv_job(spark, path: str):
+    """KMV distinct-count sketch (operators/sketch.py, with_exact) over
+    the events corpus: per-user distinct event ids — 200 k groups, every
+    key distinct, so the (grp, hash) DISTINCT is the full-width shuffle
+    the sketch's bottom-k then collapses.  Global agg over the COMPUTED
+    columns (estimates + in-pass exact counts must both be non-trivial)."""
+    from pyspark.sql import functions as F
+
+    from immich_geodata_zh_tw_spark.operators import sketch
+
+    d = spark.read.parquet(path)
+    out = sketch.kmv_sketch(
+        d, group_col="user_id", key_sql="CAST(event_id AS STRING)",
+        k=32, n_salts=8, with_exact=True)
+    return out.agg(F.sum("est_distinct").alias("se"),
+                   F.sum("exact_distinct").alias("sx"),
+                   F.sum("n_sketch").alias("sn"),
+                   F.count(F.lit(1)).alias("n"))
+
+
 def _kmeans_job(spark, path: str):
     """Two distributed Lloyd updates (operators/kmeans.py): iteration 1 is
     the eager collect-and-rebroadcast job (INSIDE the timed rep — the
@@ -276,6 +315,23 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             metric="pagerank_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": "pagerank(3 iters, zipf-head dst, "
                           f"{_PR_NODES} nodes)"})
+    if job == "charfrac":
+        n = n_items or 2_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_docs(s, n),
+            build_job=_charfrac_job, unit="docs",
+            metric="charfrac_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "gopher_char_fracs(top 2-4, dup 5-10)"})
+    if job == "kmv":
+        n = n_items or int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS",
+                                          "0")) or 100_000_000
+        return two_level_scaling(
+            cpus_4n=cpus_4n, n_items=n,
+            materialize=lambda s: materialize_events(s, n),
+            build_job=_kmv_job, unit="events",
+            metric="kmv_scaling_efficiency_n_to_4n", warmup=warmup,
+            extra={"job": "kmv_sketch(user_id, k=32, with_exact)"})
     if job == "kmeans":
         n = n_items or 2_000_000
         return two_level_scaling(
@@ -285,7 +341,8 @@ def run_scaling(job: str, cpus_4n: int, *, n_items: int | None = None,
             metric="kmeans_scaling_efficiency_n_to_4n", warmup=warmup,
             extra={"job": f"kmeans(2 integer-exact Lloyd updates, "
                           f"k={_KM_K}, dim={_KM_DIM})"})
-    raise ValueError(f"unknown job {job!r} (asof|bm25|lm|pagerank|kmeans)")
+    raise ValueError(f"unknown job {job!r} "
+                     "(asof|bm25|lm|substr|pagerank|kmeans|charfrac|kmv)")
 
 
 if __name__ == "__main__":
