@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import cell_expr, cell_sql, haversine_col, haversine_sql
-from ..operators import (bpe, dedup, dsir, ids, merge, ngram_lm, sample,
-                         similarity, sketch, textstats, translate)
+from ..operators import (bloom, bpe, dedup, dsir, ids, merge, ngram_lm,
+                         sample, similarity, sketch, textstats, translate)
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
 from ..operators.pipjoin import pip_join
@@ -1217,16 +1217,40 @@ _DECON_MOD = 97
 _DECON_NGRAM = 8
 
 
+#: Bloom screen sizing for the driver row: at sf0.01 the eval split
+#: holds ~300 distinct 8-grams → fill ≈ 0.1 at 8192 bits, fp/gram ≈
+#: 1e-3 over ~20 k train grams — a handful of DETERMINISTIC false
+#: positives, so the bloom_fp audit column is exercised without the
+#: verdict saturating
+_BLOOM_BITS, _BLOOM_HASHES = 8192, 3
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """GPT-3/Pile-style benchmark decontamination: train docs sharing any
     8-gram with the (deterministic doc_id % 97 == 0) eval split are
-    flagged, with the count of distinct offending grams."""
+    flagged, with the count of distinct offending grams — PLUS the
+    Dolma-style Bloom screen over the same split (operators/bloom.py:
+    eval side compressed to ≤ 8192 set-bit positions, md5-deterministic
+    so every false positive reproduces in the oracle).  ``bloom_fp`` =
+    flagged by the screen but clean exactly — the one-sided-error
+    contract as a hash-checked per-doc column (bloom_maybe missing a
+    contaminated doc would be a correctness bug; bloom_fp rows are the
+    priced-in screening cost)."""
     d = _t(spark, sf_dir, "documents")
     eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
     train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
-    return dedup.ngram_decontaminate(train, eval_df, id_col="doc_id",
-                                     text_col="text",
-                                     ngram_words=_DECON_NGRAM)
+    exact = dedup.ngram_decontaminate(train, eval_df, id_col="doc_id",
+                                      text_col="text",
+                                      ngram_words=_DECON_NGRAM)
+    screened = bloom.bloom_decontaminate(
+        train, eval_df, id_col="doc_id", text_col="text",
+        ngram_words=_DECON_NGRAM, n_bits=_BLOOM_BITS,
+        n_hashes=_BLOOM_HASHES)
+    return (exact.join(screened, "doc_id")
+            .select("doc_id", "n_shared_grams", "contaminated",
+                    "n_bloom_grams", "bloom_maybe",
+                    (F.col("bloom_maybe") & ~F.col("contaminated"))
+                    .alias("bloom_fp")))
 
 
 SQL_DOC_DECONTAMINATE = f"""
@@ -1238,13 +1262,22 @@ g AS (
          AS gram
   FROM w WHERE len(ws) >= {_DECON_NGRAM}),
 eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+tg AS (SELECT doc_id, gram FROM g WHERE doc_id % {_DECON_MOD} <> 0),
 hits AS (
-  SELECT g.doc_id, count(DISTINCT g.gram) AS n
-  FROM g JOIN eg USING (gram) WHERE g.doc_id % {_DECON_MOD} <> 0 GROUP BY 1)
+  SELECT doc_id, count(DISTINCT gram) AS n FROM tg JOIN eg USING (gram)
+  GROUP BY 1),
+{bloom.bloom_oracle_cte('tg', 'eg', n_bits=_BLOOM_BITS,
+                        n_hashes=_BLOOM_HASHES,
+                        cte_name='bl').lstrip().rstrip()}
 SELECT d.doc_id, coalesce(n, 0) AS n_shared_grams,
-       coalesce(n, 0) > 0 AS contaminated
+       coalesce(n, 0) > 0 AS contaminated,
+       coalesce(bl.n_bloom_grams, 0) AS n_bloom_grams,
+       coalesce(bl.n_bloom_grams, 0) > 0 AS bloom_maybe,
+       (coalesce(bl.n_bloom_grams, 0) > 0 AND coalesce(n, 0) = 0)
+         AS bloom_fp
 FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
 LEFT JOIN hits USING (doc_id)
+LEFT JOIN bl USING (doc_id)
 """
 
 
