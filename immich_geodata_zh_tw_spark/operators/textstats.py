@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny deterministic stopword lists per language (heuristic, not a model)
 STOPWORDS = {
@@ -596,3 +597,87 @@ dpa{n} AS (
     return (",".join(parts) + ",\ncfr AS (\n  SELECT cfb.doc_id, "
             + ",\n         ".join(sels) + "\n  FROM cfb "
             + " ".join(joins) + ")")
+
+
+def exact_percentiles(df: DataFrame, value_sql: str, *, ps_bp: tuple,
+                      group_col: str) -> DataFrame:
+    """EXACT distributed order statistics (SQL ``PERCENTILE_DISC``
+    semantics: the smallest value whose cumulative count reaches rank
+    ``ceil(p·n)``), per group AND globally, from ONE aggregation.
+
+    Why not ``approx_percentile``: Spark's t-digest is partitioning-
+    dependent (not reproducible run-to-run on a cluster) and carries no
+    error contract an audit can cite.  For profiling values with BOUNDED
+    distinct cardinality — lengths, token counts, quantized scores — the
+    exact answer costs one map-side-combined count per distinct value:
+    the shuffle and every window partition hold |distinct v| rows, never
+    corpus rows.  (For continuous doubles, pre-quantize; the operator is
+    deliberately not offered for unbounded domains.)
+
+    Shape: ``ROLLUP (v, grp)`` computes the per-(grp, v) counts AND the
+    global per-v marginal in the same shuffle (``grouping_id`` separates
+    the levels; the global level reports as group ``'__all__'``); a
+    cumulative-sum window over each bounded value frame then locates
+    every requested rank.  Percentiles are requested in BASIS POINTS
+    (``ps_bp``) and the target rank is ``greatest((bp·n + 9999) div
+    10000, 1)`` — pure int64 arithmetic, so the pick is bit-identical on
+    any engine (a float ``ceil(p·n)`` flips ranks when p·n rounds up
+    across an integer; DuckDB's native ``percentile_disc`` agrees and is
+    cross-checked in tests, but the committed oracle restates the
+    integer form).
+
+    Output: ``(grp, bp, value, n_rows)`` — one row per (group ∪
+    '__all__') × requested percentile.
+    """
+    base = (df.select(F.col(group_col).alias("grp"),
+                      F.expr(value_sql).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull()))
+    counts = (base.rollup("v", "grp")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.grouping_id().alias("gid"))
+              .filter(F.col("gid") < 2)  # (v, grp) and (v) levels only
+              .select(F.when(F.col("gid") == 1, F.lit("__all__"))
+                      .otherwise(F.col("grp")).alias("grp"), "v", "cnt"))
+    w_cum = (Window.partitionBy("grp").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy("grp")
+    c = (counts.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("n_rows", F.sum("cnt").over(w_tot)))
+    e = c.select("*", F.explode(F.array(
+        *[F.lit(int(bp)).cast("long") for bp in ps_bp])).alias("bp"))
+    target = F.greatest(
+        F.expr("(bp * n_rows + 9999) div 10000"), F.lit(1).cast("long"))
+    picked = e.filter((F.col("cum") - F.col("cnt") < target)
+                      & (target <= F.col("cum")))
+    return picked.select("grp", "bp", F.col("v").alias("value"), "n_rows")
+
+
+def percentiles_oracle_cte(source_sql: str, value_sql: str, *,
+                           ps_bp: tuple, group_sql: str,
+                           cte_name: str = "pctl") -> str:
+    """DuckDB restatement of :func:`exact_percentiles` (same integer
+    ceil-rank arithmetic; the two grouping levels spelled as a UNION —
+    semantically the ROLLUP).  Exposes
+    ``{cte_name}(grp, bp, value, n_rows)``."""
+    bp_list = ", ".join(str(int(bp)) for bp in ps_bp)
+    return f"""
+{cte_name}_c AS (
+  SELECT grp, v, count(*) AS cnt FROM (
+    SELECT {group_sql} AS grp, CAST({value_sql} AS BIGINT) AS v
+    FROM {source_sql}) WHERE v IS NOT NULL GROUP BY 1, 2),
+{cte_name}_r AS (
+  SELECT grp, v, cnt FROM {cte_name}_c
+  UNION ALL
+  SELECT '__all__', v, sum(cnt) FROM {cte_name}_c GROUP BY 2),
+{cte_name}_w AS (
+  SELECT grp, v, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_rows
+  FROM {cte_name}_r),
+{cte_name} AS (
+  SELECT grp, bp, v AS value, n_rows
+  FROM {cte_name}_w, unnest([{bp_list}]) AS pb(bp)
+  WHERE cum - cnt < greatest((bp * n_rows + 9999) // 10000, 1)
+    AND greatest((bp * n_rows + 9999) // 10000, 1) <= cum)"""

@@ -3067,6 +3067,12 @@ def q_iceberg_roundtrip(spark, sf_dir):
                  F.sum("user_id").alias("sum_user")))
 
 
+#: requested percentiles in basis points (p25/p50/p75/p90/p99) — integer
+#: so the rank target ceil(bp·n/10000) is exact int64 arithmetic on both
+#: engines (textstats.exact_percentiles)
+_PCTL_BP = (2500, 5000, 7500, 9000, 9900)
+
+
 def q_scalar_misc_compound(spark, sf_dir):
     """F3 split+last ∪ A5/O2 sorted distinct ∪ A4 global max/count ∪
     U1+W3 union-dedup ∪ F12 multi-name collapse ∪ S5 iceberg round-trip ∪
@@ -3137,9 +3143,22 @@ def q_scalar_misc_compound(spark, sf_dir):
     b9 = q_link_pagerank(spark, sf_dir).select(
         F.col("op"), F.col("node").alias("key_num"),
         null_s.alias("key_str"), F.col("val_num"), F.col("val_str"))
+    # exact distributed PERCENTILE_DISC (textstats.exact_percentiles):
+    # token-count profile per source + the '__all__' marginal, one ROLLUP
+    # scan, integer ceil-rank picks — approx_percentile's t-digest is
+    # partitioning-dependent and could never sit behind a value hash
+    b10 = (textstats.exact_percentiles(
+               _t(spark, sf_dir, "documents"),
+               textstats.token_count_sql("text"),
+               ps_bp=_PCTL_BP, group_col="source")
+           .select(F.lit("pctl_tokens").alias("op"),
+                   F.col("bp").alias("key_num"),
+                   F.col("grp").alias("key_str"),
+                   F.col("value").alias("val_num"),
+                   F.col("n_rows").cast("string").alias("val_str")))
     return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
             .unionByName(b5).unionByName(b6).unionByName(b7)
-            .unionByName(b8).unionByName(b9))
+            .unionByName(b8).unionByName(b9).unionByName(b10))
 
 
 SQL_SCALAR_MISC_COMPOUND = f"""
@@ -3187,6 +3206,12 @@ FROM ({SQL_BM25_TOPK})
 UNION ALL
 SELECT op, node, NULL, val_num, val_str
 FROM ({_sql_link_pagerank()})
+UNION ALL
+SELECT 'pctl_tokens', bp, grp, value, CAST(n_rows AS VARCHAR)
+FROM (WITH {textstats.percentiles_oracle_cte(
+    'documents', textstats.token_count_sql('text'),
+    ps_bp=_PCTL_BP, group_sql='source').lstrip().rstrip()}
+      SELECT * FROM pctl)
 """
 
 

@@ -1149,3 +1149,78 @@ class TestGopherCharFracs:
         for c in got.columns:
             if c != "doc_id":
                 assert got[c].isna().all(), c
+
+
+class TestExactPercentiles:
+    def test_hand_computed_and_rank_boundaries(self, spark):
+        """4 rows of one group: p25 must pick rank ceil(0.25·4)=1 (the
+        exact-multiple boundary where a float ceil(p·n) could flip to
+        rank 2), p50 rank 2, p99 rank 4."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [("s", "a"), ("s", "a b"), ("s", "a b c"), ("s", "a b c d")],
+            "source string, text string")
+        got = (textstats.exact_percentiles(
+                   df, textstats.token_count_sql("text"),
+                   ps_bp=(2500, 5000, 9900), group_col="source")
+               .toPandas().set_index(["grp", "bp"]).sort_index())
+        for grp in ("s", "__all__"):
+            assert got.loc[(grp, 2500), "value"] == 1
+            assert got.loc[(grp, 5000), "value"] == 2
+            assert got.loc[(grp, 9900), "value"] == 4
+            assert got.loc[(grp, 5000), "n_rows"] == 4
+
+    def test_matches_duckdb_native_and_python_reference(self, spark):
+        """Random multi-group corpora: every pick equals (a) a pure-Python
+        ceil-rank reference and (b) DuckDB's NATIVE percentile_disc — two
+        independent statements of the same standard semantics."""
+        import math
+        import random
+
+        import duckdb
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        rng = random.Random(11)
+        rows = [(f"g{i % 7}", " ".join("w" for _ in range(rng.randint(1, 60))))
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "source string, text string")
+        bps = (1000, 2500, 5000, 7500, 9000, 9900)
+        got = (textstats.exact_percentiles(
+                   df, textstats.token_count_sql("text"),
+                   ps_bp=bps, group_col="source")
+               .toPandas().set_index(["grp", "bp"]).sort_index())
+        by_group: dict[str, list[int]] = {}
+        for g, t in rows:
+            by_group.setdefault(g, []).append(len(t.split(" ")))
+            by_group.setdefault("__all__", []).append(len(t.split(" ")))
+        con = duckdb.connect()
+        for g, vals in by_group.items():
+            vals.sort()
+            n = len(vals)
+            for bp in bps:
+                target = max(math.ceil(bp * n / 10000), 1)
+                assert got.loc[(g, bp), "value"] == vals[target - 1], (g, bp)
+                native = con.sql(
+                    f"SELECT percentile_disc({bp / 10000}) WITHIN GROUP "
+                    f"(ORDER BY x) FROM (SELECT unnest($vals$) x)"
+                    .replace("$vals$", str(vals))).fetchone()[0]
+                assert got.loc[(g, bp), "value"] == native, (g, bp)
+
+    def test_plan_one_corpus_shuffle_via_rollup(self, spark):
+        """The corpus must shuffle exactly once (the ROLLUP count
+        aggregation — its Expand node proves both levels share the scan);
+        every later exchange moves only the bounded distinct-value
+        frame."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = textstats.exact_percentiles(
+            df, textstats.token_count_sql("text"),
+            ps_bp=(5000,), group_col="source")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "Expand" in plan
+        assert plan.count("(1) Scan parquet") == 1
+        assert "SortMergeJoin" not in plan
