@@ -177,3 +177,83 @@ def kmv_oracle_cte(source_sql: str, *, group_sql: str, key_sql: str,
                               / CAST(('0x' || max(h)) AS BIGINT)) AS BIGINT)
          END AS est_distinct
   FROM {cte_name}_r WHERE rn <= {k} GROUP BY 1)"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the frequency member of the sketch triad
+# (membership: operators/bloom.py; cardinality: KMV above; frequency: CMS)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(df: DataFrame, key_sql: str, *, n_bits: int,
+              n_hashes: int) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of key
+    frequencies: ``n_hashes`` rows × ``n_bits`` counters, materialized as
+    a ``(j, pos, c)`` frame of ≤ ``n_hashes·n_bits`` rows however many
+    occurrences went in — the fixed-memory frequency summary (heavy-
+    hitter monitoring, per-shard frequency merge by simple counter
+    addition).
+
+    Positions reuse the Bloom construction (md5 of ``key#j`` — see
+    :mod:`.bloom`), so the whole sketch is deterministic and the DuckDB
+    oracle reproduces every counter, collision included.  Scale shape:
+    one map-side-combined ``(j, pos)`` SUM — the corpus shuffles only
+    ``n_hashes`` 16-byte rows per input row, and partial aggregation
+    collapses them to ≤ ``n_hashes·n_bits`` on the map side."""
+    from .bloom import _positions_array
+
+    return (df.select(F.posexplode(
+                _positions_array(key_sql, n_bits, n_hashes))
+                .alias("j", "pos"))
+            .filter(F.col("pos").isNotNull())
+            .groupBy("j", "pos")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_estimate(keys: DataFrame, sketch: DataFrame, key_sql: str, *,
+                 n_bits: int, n_hashes: int,
+                 out_col: str = "cms_est") -> DataFrame:
+    """Frequency estimates for a frame of probe keys: ``est = min over j
+    of counter[j][pos_j(key)]`` — the classic one-sided guarantee
+    (``est ≥ true`` always; overshoot bounded by collision mass).  The
+    sketch broadcasts; the probe side explodes to ``n_hashes`` narrow
+    rows, LEFT-joins, and folds back with ONE ``min`` aggregation — no
+    key-payload join-back (the bloom/span_dedup discipline)."""
+    from .bloom import _positions_array
+
+    exploded = keys.select(
+        "*", F.posexplode(_positions_array(key_sql, n_bits, n_hashes))
+        .alias("__j", "__pos"))
+    tagged = exploded.join(
+        F.broadcast(sketch.select(F.col("j").alias("__j"),
+                                  F.col("pos").alias("__pos"), "c")),
+        ["__j", "__pos"], "left")
+    return (tagged.groupBy(*keys.columns)
+            .agg(F.min(F.coalesce("c", F.lit(0))).cast("long")
+                 .alias(out_col)))
+
+
+def cms_oracle_cte(occurrences_cte: str, probes_cte: str, *, n_bits: int,
+                   n_hashes: int, cte_name: str = "cms") -> str:
+    """DuckDB restatement: ``occurrences_cte`` exposes one row per key
+    OCCURRENCE (column ``key``), ``probes_cte`` the distinct probe keys
+    (column ``key``); exposes ``{cte_name}(key, cms_est)``."""
+    from .bloom import bloom_pos_sql
+
+    def branch(src, j):
+        return (f"SELECT key, {j} AS j, "
+                f"{bloom_pos_sql('key', j, n_bits, dialect='duckdb')} AS pos"
+                f" FROM {src}")
+
+    occ = " UNION ALL ".join(branch(occurrences_cte, j)
+                             for j in range(n_hashes))
+    prb = " UNION ALL ".join(branch(probes_cte, j)
+                             for j in range(n_hashes))
+    return f"""
+{cte_name}_t AS (
+  SELECT j, pos, count(*) AS c FROM ({occ}) GROUP BY 1, 2),
+{cte_name} AS (
+  SELECT p.key, CAST(min(coalesce(t.c, 0)) AS BIGINT) AS cms_est
+  FROM ({prb}) p
+  LEFT JOIN {cte_name}_t t USING (j, pos)
+  GROUP BY 1)"""

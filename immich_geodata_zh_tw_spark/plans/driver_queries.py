@@ -1612,6 +1612,11 @@ _BPE_MERGES = 6
 #: source (exact small-set path fires)
 _KMV_K = 16
 
+#: Count-Min sizing for the doc_vocab cms branch: 16 counters × 2 rows
+#: against ~31 distinct tokens guarantees collisions, so overestimates
+#: actually occur and the est ≥ true audit ratio is informative
+_CMS_BITS, _CMS_HASHES = 16, 2
+
 
 def q_doc_vocab(spark, sf_dir):
     """Frequency-vocabulary induction (tokenizer prep) ∪ per-doc OOV
@@ -1701,8 +1706,26 @@ def q_doc_vocab(spark, sf_dir):
     # per source → the n_sketch < k EXACT path — both branches fire
     b5 = kmv_branch("kmv_tok", toks, "token")
     b6 = kmv_branch("kmv_lang", d.select("source", "lang"), "lang")
+    # Count-Min frequency sketch (sketch.cms_build/cms_estimate) probed
+    # at the ≤ K-row vocab, whose TRUE frequencies the vocab branch
+    # already materialized — 16 counters × 2 rows vs 31 distinct tokens
+    # forces real collisions, so the one-sided est ≥ true guarantee is
+    # exercised with visible overshoot (oov_ratio = est / true ≥ 1)
+    cms = sketch.cms_build(toks, "token", n_bits=_CMS_BITS,
+                           n_hashes=_CMS_HASHES)
+    b7 = (sketch.cms_estimate(vocab.select("token"), cms, "token",
+                              n_bits=_CMS_BITS, n_hashes=_CMS_HASHES)
+          .join(F.broadcast(vocab.select("token",
+                                         F.col("freq").alias("__true"))),
+                "token")
+          .select(F.lit("cms").alias("op"), "token",
+                  null_l.alias("token_id"),
+                  F.col("cms_est").alias("freq"), null_l.alias("doc_id"),
+                  F.col("__true").alias("n_tokens"), null_l.alias("n_oov"),
+                  F.round(F.col("cms_est").cast("double")
+                          / F.col("__true"), 6).alias("oov_ratio")))
     return (b1.unionByName(b2).unionByName(b3).unionByName(b4)
-            .unionByName(b5).unionByName(b6))
+            .unionByName(b5).unionByName(b6).unionByName(b7))
 
 
 SQL_DOC_VOCAB = f"""
@@ -1725,6 +1748,10 @@ kmt_x AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS x
                        k=_KMV_K, cte_name='kml').lstrip().rstrip()},
 kml_x AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS x
           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+{sketch.cms_oracle_cte('(SELECT token AS key FROM tok)',
+                       '(SELECT token AS key FROM vocab)',
+                       n_bits=_CMS_BITS, n_hashes=_CMS_HASHES,
+                       cte_name='cm').lstrip().rstrip()},
 {bpe.bpe_oracle_cte(n_merges=_BPE_MERGES)}
 SELECT 'vocab' AS op, token, token_id, freq,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
@@ -1755,6 +1782,10 @@ SELECT 'kmv_lang', concat(k.grp, ':', k.kth_hash), k.n_sketch,
        k.est_distinct, NULL, x.x, NULL,
        round(CAST(k.est_distinct AS DOUBLE) / x.x, 6)
 FROM kml k JOIN kml_x x ON k.grp = x.source
+UNION ALL
+SELECT 'cms', c.key, NULL, c.cms_est, NULL, v.freq, NULL,
+       round(CAST(c.cms_est AS DOUBLE) / v.freq, 6)
+FROM cm c JOIN vocab v ON c.key = v.token
 """
 
 

@@ -186,10 +186,12 @@ class TestCurationPlanQuality:
         # detail section.  The vocab/oov/bpe subtrees still share ONE
         # corpus scan; the two KMV branches are genuinely new input
         # passes over DIFFERENT projections ((source, text) and
-        # (source, lang)) and carry their exact-audit count inside their
-        # own pass (sketch.py with_exact) — so exactly THREE scans, and
-        # any regression to per-branch exact aggregates (5 scans) fails
-        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
+        # (source, lang)) carrying their exact-audit count inside their
+        # own pass (sketch.py with_exact), and the CMS build is a fourth
+        # pass (its own aggregation over the token stream) — so exactly
+        # FOUR scans, and any regression to per-branch exact aggregates
+        # (6+ scans) fails
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4, plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 

@@ -7,6 +7,7 @@ import hashlib
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from immich_geodata_zh_tw_spark.operators import sketch
 
@@ -143,3 +144,75 @@ class TestKmvSketch:
         # (one bounded heap per phase) without pinning the partial pairs
         assert plan.count("WindowGroupLimit (") >= 2
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestCountMin:
+    NB, NH = 32, 2
+
+    @staticmethod
+    def _ref(occurrences, probes, nb, nh):
+        counters: dict[tuple[int, int], int] = {}
+        def pos(key, j):
+            return int(hashlib.md5(f"{key}#{j}".encode()).hexdigest()[:15],
+                       16) % nb
+        for k in occurrences:
+            for j in range(nh):
+                counters[(j, pos(k, j))] = counters.get((j, pos(k, j)),
+                                                        0) + 1
+        return {p: min(counters.get((j, pos(p, j)), 0) for j in range(nh))
+                for p in probes}
+
+    def test_matches_python_reference_and_one_sided(self, spark):
+        """Zipf-ish occurrence stream at a collision-heavy width: every
+        estimate equals the reference Count-Min EXACTLY, and est ≥ true
+        for every probe (the one-sided guarantee)."""
+        import random
+
+        rng = random.Random(5)
+        occ = [f"k{min(rng.randint(0, 50), rng.randint(0, 50))}"
+               for _ in range(2000)]
+        probes = sorted(set(occ))
+        truth = {p: occ.count(p) for p in probes}
+        ref = self._ref(occ, probes, self.NB, self.NH)
+        cms = sketch.cms_build(
+            spark.createDataFrame([(k,) for k in occ], "key string"),
+            "key", n_bits=self.NB, n_hashes=self.NH)
+        got = (sketch.cms_estimate(
+                   spark.createDataFrame([(p,) for p in probes],
+                                         "key string"),
+                   cms, "key", n_bits=self.NB, n_hashes=self.NH)
+               .toPandas().set_index("key")["cms_est"])
+        assert (cms.count() <= self.NB * self.NH)
+        for p in probes:
+            assert got[p] == ref[p], p
+            assert got[p] >= truth[p], p
+        assert any(got[p] > truth[p] for p in probes)  # collisions real
+
+    def test_exact_at_collision_free_width(self, spark):
+        occ = [f"k{i % 20}" for i in range(400)]
+        df = spark.createDataFrame([(k,) for k in occ], "key string")
+        cms = sketch.cms_build(df, "key", n_bits=1 << 20, n_hashes=3)
+        got = (sketch.cms_estimate(df.distinct(), cms, "key",
+                                   n_bits=1 << 20, n_hashes=3)
+               .toPandas().set_index("key")["cms_est"])
+        assert all(got[f"k{i}"] == 20 for i in range(20))
+
+    def test_merge_by_counter_addition(self, spark):
+        """Shard property: summing two shards' counter frames IS the
+        sketch of the concatenated stream — exact frame equality."""
+        import pandas as pd
+
+        a = spark.createDataFrame([(f"k{i % 9}",) for i in range(90)],
+                                  "key string")
+        b = spark.createDataFrame([(f"k{i % 13}",) for i in range(130)],
+                                  "key string")
+        kw = {"n_bits": self.NB, "n_hashes": self.NH}
+        merged = (sketch.cms_build(a, "key", **kw)
+                  .unionByName(sketch.cms_build(b, "key", **kw))
+                  .groupBy("j", "pos").agg(F.sum("c").alias("c"))
+                  .toPandas().sort_values(["j", "pos"])
+                  .reset_index(drop=True).astype("int64"))
+        whole = (sketch.cms_build(a.unionByName(b), "key", **kw)
+                 .toPandas().sort_values(["j", "pos"])
+                 .reset_index(drop=True).astype("int64"))
+        pd.testing.assert_frame_equal(merged, whole)
