@@ -681,3 +681,28 @@ def percentiles_oracle_cte(source_sql: str, value_sql: str, *,
   FROM {cte_name}_w, unnest([{bp_list}]) AS pb(bp)
   WHERE cum - cnt < greatest((bp * n_rows + 9999) // 10000, 1)
     AND greatest((bp * n_rows + 9999) // 10000, 1) <= cum)"""
+
+
+def normalize_text_sql(text_col: str, *, dialect: str = "spark") -> str:
+    """C4-style text normalization as shared-dialect SQL text (zero UDF,
+    a scan-stage projection): (1) strip non-whitespace control characters
+    (C0 minus tab/LF/CR, plus DEL), (2) collapse every whitespace run
+    (space/tab/LF/CR) to one space, (3) trim.  Control-strip runs FIRST
+    so a control character BETWEEN spaces cannot leave a double space
+    behind.
+
+    Character classes are built with ``chr()`` concat (constant-folded on
+    both engines) — the module's no-backslash portability rule makes
+    ``[\\x00-\\x1F]``-style escapes unusable, and java.util.regex (Spark)
+    and RE2 (DuckDB) both accept raw control bytes in classes.  The
+    dialect split is only DuckDB's ``'g'`` flag (its ``regexp_replace``
+    is first-match by default; Spark's is global)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(dialect)
+    g = "" if dialect == "spark" else ", 'g'"
+    ctl = ("concat('[', chr(1), '-', chr(8), chr(11), chr(12), "
+           "chr(14), '-', chr(31), chr(127), ']')")
+    ws = "concat('[ ', chr(9), chr(10), chr(13), ']+')"
+    out = f"regexp_replace({text_col}, {ctl}, ''{g})"
+    out = f"regexp_replace({out}, {ws}, ' '{g})"
+    return f"trim({out})"

@@ -3255,6 +3255,20 @@ _PII_TEXT = ("(CASE WHEN doc_id % 7 = 0 THEN concat(text, "
              "'.7 tel +886-', 100 + doc_id % 900, '-1234-', "
              "1000 + doc_id % 9000) ELSE text END)")
 
+#: deterministically-dirtied text for the normalization columns (the
+#: _PII_TEXT / _URL_EXPR_SQL synthesis pattern — the clean corpus can't
+#: exercise the cleaner): leading/trailing whitespace + tab runs,
+#: embedded C0 controls, CRLF after every space, or untouched — keyed on
+#: doc_id so both engines dirty identically.  normalize_text_sql over it
+#: must reconstruct the original single-spaced text EXACTLY (the
+#: round-trip invariant carried as a hash-checked boolean column).
+_DIRTY_TEXT = ("(CASE doc_id % 4 "
+               "WHEN 0 THEN concat('  ', text, chr(9), chr(9), ' ') "
+               "WHEN 1 THEN concat(chr(7), text, chr(127)) "
+               "WHEN 2 THEN replace(text, ' ', "
+               "concat(' ', chr(13), chr(10))) "
+               "ELSE text END)")
+
 
 def q_doc_text_profile(spark, sf_dir):
     """Per-doc text profile: token/punct/digit/stopword/quality stats +
@@ -3278,7 +3292,17 @@ def q_doc_text_profile(spark, sf_dir):
         F.expr(textstats.pii_count_sql("ipv4", _PII_TEXT, dialect="spark"))
         .alias("n_ipv4"),
         F.expr(f"right({red}, 44)").alias("pii_redacted_tail"),
-        textstats.fingerprint("text").alias("fp"))
+        textstats.fingerprint("text").alias("fp"),
+        # C4-style normalization over deterministically-dirtied text
+        # (textstats.normalize_text_sql): the round-trip boolean pins
+        # that the cleaner reconstructs the original exactly, and the
+        # no-op boolean pins that it is identity on already-clean text
+        F.expr(f"{textstats.normalize_text_sql(_DIRTY_TEXT)} = text")
+        .alias("norm_roundtrip"),
+        F.expr(f"{textstats.normalize_text_sql('text')} = text")
+        .alias("norm_noop_on_clean"),
+        F.expr(f"length({_DIRTY_TEXT}) - length(text)").cast("long")
+        .alias("norm_dirt_chars"))
 
 
 SQL_DOC_TEXT_PROFILE = f"""
@@ -3295,7 +3319,13 @@ SELECT doc_id,
        {textstats.pii_count_sql('ipv4', _PII_TEXT, dialect='duckdb')} AS n_ipv4,
        right({textstats.redact_pii_sql(_PII_TEXT, dialect='duckdb')}, 44)
            AS pii_redacted_tail,
-       {textstats.fingerprint_sql('text')} AS fp
+       {textstats.fingerprint_sql('text')} AS fp,
+       {textstats.normalize_text_sql(_DIRTY_TEXT, dialect='duckdb')} = text
+           AS norm_roundtrip,
+       {textstats.normalize_text_sql('text', dialect='duckdb')} = text
+           AS norm_noop_on_clean,
+       CAST(length({_DIRTY_TEXT}) - length(text) AS BIGINT)
+           AS norm_dirt_chars
 FROM documents
 """
 

@@ -1224,3 +1224,35 @@ class TestExactPercentiles:
         assert "Expand" in plan
         assert plan.count("(1) Scan parquet") == 1
         assert "SortMergeJoin" not in plan
+
+
+class TestNormalizeText:
+    def test_hand_cases(self, spark):
+        """Adversarial cleaning cases, incl. the control-between-spaces
+        trap (strip must run BEFORE collapse or ' BEL ' leaves a double
+        space) and the everything-dirty → empty case."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        cases = [
+            ("  a\t\tb  ", "a b"),
+            ("a \x07 b", "a b"),          # control between spaces
+            ("\x01\x02\x1f\x7f", ""),     # all-control → empty
+            ("a \r\n b\rc\nd", "a b c d"),
+            ("already clean", "already clean"),
+            ("\ttab\tstart", "tab start"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
+        got = (df.selectExpr(
+                   "i", f"{textstats.normalize_text_sql('t')} AS n")
+               .toPandas().set_index("i")["n"])
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, repr(got[i]), repr(want))
+        # dialect parity on the same cases
+        import duckdb
+        con = duckdb.connect()
+        for t, want in cases:
+            d = con.execute(
+                "SELECT " + textstats.normalize_text_sql(
+                    "?", dialect="duckdb"), [t]).fetchone()[0]
+            assert d == want, (repr(t), repr(d))
