@@ -706,3 +706,54 @@ def normalize_text_sql(text_col: str, *, dialect: str = "spark") -> str:
     out = f"regexp_replace({text_col}, {ctl}, ''{g})"
     out = f"regexp_replace({out}, {ws}, ' '{g})"
     return f"trim({out})"
+
+
+def chunk_text(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", chunk_tokens: int,
+               overlap_tokens: int = 0) -> DataFrame:
+    """Fixed-size token chunking with overlap — retrieval-index prep (the
+    RAG sibling of :func:`sequence_pack`'s training prep): every doc
+    explodes into ``chunk_tokens``-token windows starting every
+    ``chunk_tokens - overlap_tokens`` tokens (tail chunks run shorter;
+    a doc shorter than one chunk yields exactly one chunk).
+
+    Zero UDF and zero join: one ``transform(sequence(...))`` builds the
+    chunk structs inside the row, one ``posexplode`` emits them — the
+    fan-out is the output itself (≤ ``1/(1-overlap_ratio)`` × corpus
+    tokens), and nothing shuffles at all: chunking is a scan-stage
+    projection feeding whatever indexer (BM25 postings, embedding, ANN)
+    consumes it.
+
+    A start whose PREVIOUS chunk already reached the document's end is
+    dropped (``s = 1 OR s ≤ len - chunk + step``) — without it, a doc of
+    e.g. 28 tokens under 32/8 chunking would emit a second chunk fully
+    contained in the first (redundant index entries); with it, coverage
+    is complete, no chunk is a subset of its predecessor, and only the
+    final chunk may overlap by more than ``overlap_tokens``.  Because
+    the filter only ever drops the tail start, surviving starts stay
+    ``1 + k·step`` for consecutive k — the ordinal is still derivable as
+    ``(s-1) div step`` (the oracle's form).
+
+    Output: ``(id, chunk_id, start_tok, n_chunk_tokens, chunk_hash)`` —
+    0-based chunk ordinal and token offset; the md5 of the chunk string
+    stands in for the chunk text so the frame stays narrow (the consumer
+    re-slices or joins the hash; the driver oracle hash-checks it).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than the chunk")
+    step = chunk_tokens - overlap_tokens
+    ws = f"split(trim({text_col}), ' ')"
+    starts = (f"filter(sequence(1, greatest(size({ws}), 1), {step}), "
+              f"s -> s = 1 OR s <= size({ws}) - {chunk_tokens - step})")
+    chunks = (f"transform({starts}, "
+              f"s -> struct(s - 1 AS start_tok, "
+              f"size(slice({ws}, s, {chunk_tokens})) AS n_chunk_tokens, "
+              f"md5(array_join(slice({ws}, s, {chunk_tokens}), ' ')) "
+              f"AS chunk_hash))")
+    return (df.select(F.col(id_col),
+                      F.posexplode(F.expr(chunks)).alias("chunk_id", "c"))
+            .select(id_col, F.col("chunk_id").cast("long"),
+                    F.col("c.start_tok").cast("long").alias("start_tok"),
+                    F.col("c.n_chunk_tokens").cast("long")
+                    .alias("n_chunk_tokens"),
+                    F.col("c.chunk_hash").alias("chunk_hash")))

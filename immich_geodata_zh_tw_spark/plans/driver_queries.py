@@ -1563,14 +1563,43 @@ FROM q
 """
 
 
+#: chunking constants shared with the oracle: 32-token chunks every 24
+#: tokens (8-token overlap) over 10-99-word docs → 1-4 chunks per doc
+#: with real short-tail chunks and the single-chunk short-doc case
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
 def q_doc_seq_pack(spark, sf_dir):
-    """Concat-and-chop sequence packing (GPT/T5 pretraining prep): per-domain
-    token streams chopped into 512-token packs; two-pass explicit-offset
-    cumsum, never a whole-domain window partition (operators/textstats.py
-    ``sequence_pack`` scale notes)."""
+    """Two sequence-shaping preps over one corpus, union-typed:
+
+    * ``op='pack'`` — concat-and-chop sequence packing (GPT/T5
+      pretraining prep): per-domain token streams chopped into 512-token
+      packs; two-pass explicit-offset cumsum, never a whole-domain
+      window partition (``textstats.sequence_pack`` scale notes).
+    * ``op='chunk'`` — fixed-size token chunking with overlap
+      (``textstats.chunk_text``, the RAG/retrieval-index sibling):
+      32-token windows every 24 tokens, zero UDF / zero shuffle, the
+      chunk md5 standing in for the chunk text; ``n_tokens`` = chunk
+      token count, ``tok_start`` = 0-based token offset, ``pack_first``
+      = chunk ordinal.
+    """
     d = _t(spark, sf_dir, "documents")
-    return textstats.sequence_pack(d, id_col="doc_id", group_col="source",
-                                   text_col="text", budget=512)
+    null_l = F.lit(None).cast("long")
+    b1 = (textstats.sequence_pack(d, id_col="doc_id", group_col="source",
+                                  text_col="text", budget=512)
+          .select(F.lit("pack").alias("op"), "source", "doc_id",
+                  "n_tokens", "tok_start", "pack_first", "pack_last",
+                  F.lit(None).cast("string").alias("chunk_hash")))
+    b2 = (textstats.chunk_text(d, id_col="doc_id", text_col="text",
+                               chunk_tokens=_CHUNK_TOKENS,
+                               overlap_tokens=_CHUNK_OVERLAP)
+          .select(F.lit("chunk").alias("op"),
+                  F.lit(None).cast("string").alias("source"), "doc_id",
+                  F.col("n_chunk_tokens").alias("n_tokens"),
+                  F.col("start_tok").alias("tok_start"),
+                  F.col("chunk_id").alias("pack_first"),
+                  null_l.alias("pack_last"), "chunk_hash"))
+    return b1.unionByName(b2)
 
 
 # oracle states the SAME result as one plain window cumsum (exact integer
@@ -1588,12 +1617,31 @@ c AS (
          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS tok_start
-  FROM toks)
-SELECT source, doc_id, n_tokens, tok_start,
+  FROM toks),
+chw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS BIGINT)
+           AS chunk_id,
+         CAST(s - 1 AS BIGINT) AS start_tok,
+         CAST(len(list_slice(ws, s, s + {_CHUNK_TOKENS - 1})) AS BIGINT)
+           AS n_chunk_tokens,
+         md5(array_to_string(list_slice(ws, s, s + {_CHUNK_TOKENS - 1}),
+                             ' ')) AS chunk_hash
+  FROM chw, unnest(list_filter(
+         generate_series(1, greatest(len(ws), 1),
+                         {_CHUNK_TOKENS - _CHUNK_OVERLAP}),
+         s -> s = 1 OR s <= len(ws) - {_CHUNK_OVERLAP})) AS tch(s))
+SELECT 'pack' AS op, source, doc_id, n_tokens, tok_start,
        CAST(tok_start // 512 AS BIGINT) AS pack_first,
        CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
-            ELSE tok_start // 512 END AS BIGINT) AS pack_last
+            ELSE tok_start // 512 END AS BIGINT) AS pack_last,
+       CAST(NULL AS VARCHAR) AS chunk_hash
 FROM c
+UNION ALL
+SELECT 'chunk', NULL, doc_id, n_chunk_tokens, start_tok, chunk_id, NULL,
+       chunk_hash
+FROM ch
 """
 
 

@@ -1256,3 +1256,61 @@ class TestNormalizeText:
                 "SELECT " + textstats.normalize_text_sql(
                     "?", dialect="duckdb"), [t]).fetchone()[0]
             assert d == want, (repr(t), repr(d))
+
+
+class TestChunkText:
+    def test_hand_computed_with_overlap(self, spark):
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10)))],
+            "doc_id long, text string")
+        got = (textstats.chunk_text(df, chunk_tokens=4, overlap_tokens=1)
+               .toPandas().sort_values("chunk_id").reset_index(drop=True))
+        # step 3 → candidate starts 0,3,6,9 — but the chunk at 6 already
+        # reaches token 9, so the subset chunk at 9 is dropped
+        assert list(got.start_tok) == [0, 3, 6]
+        assert list(got.n_chunk_tokens) == [4, 4, 4]
+        import hashlib
+        ws = [f"w{i}" for i in range(10)]
+        for _, r in got.iterrows():
+            s = int(r.start_tok)
+            expect = hashlib.md5(
+                " ".join(ws[s:s + 4]).encode()).hexdigest()
+            assert r.chunk_hash == expect
+
+    def test_short_doc_single_chunk_and_coverage(self, spark):
+        import random
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        rng = random.Random(2)
+        rows = [(i, " ".join("t" for _ in range(rng.randint(1, 90))))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = textstats.chunk_text(df, chunk_tokens=32,
+                                   overlap_tokens=8).toPandas()
+        lens = {i: len(t.split(" ")) for i, t in rows}
+        for i, n in lens.items():
+            ch = got[got.doc_id == i].sort_values("chunk_id")
+            # starts every 24 tokens, minus any start whose previous
+            # chunk already reached the end (no subset chunks)
+            expect = [s for s in range(0, n, 24) if s == 0 or s + 1 <= n - 8]
+            assert list(ch.start_tok) == expect, (i, n)
+            last = ch.iloc[-1]
+            # full coverage: the last chunk reaches the end exactly
+            assert last.start_tok + last.n_chunk_tokens == n
+            if n <= 32:
+                assert len(ch) == 1 and ch.iloc[0].n_chunk_tokens == n
+            # no chunk is contained in its predecessor
+            ends = (ch.start_tok + ch.n_chunk_tokens).tolist()
+            assert all(b > a for a, b in zip(ends, ends[1:]))
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            textstats.chunk_text(df, chunk_tokens=4, overlap_tokens=4)
