@@ -757,3 +757,51 @@ def chunk_text(df: DataFrame, *, id_col: str = "doc_id",
                     F.col("c.n_chunk_tokens").cast("long")
                     .alias("n_chunk_tokens"),
                     F.col("c.chunk_hash").alias("chunk_hash")))
+
+
+def mixture_materialize(df: DataFrame, *, group_col: str = "source",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        alpha: float = 0.5) -> DataFrame:
+    """MATERIALIZE the α-temperature mixture :func:`mixture_weights`
+    computes: per-domain deterministic document sampling rates scaled so
+    the most-upweighted domain keeps everything (one full epoch of it),
+    plus the EXACT count of documents the rate keeps.
+
+    Rate: ``r_i = least(1, (mass_i / n_i) · min_j(n_j / mass_j))`` with
+    ``mass = round(n^α · 1e6)`` (the same quantized order-free mass as
+    the weights; α = 0.5 stays exact-oracle-grade via IEEE sqrt).  The
+    keep decision is the stratified-hash-sample discipline: doc kept iff
+    its 60-bit md5(id) < ``floor(r_i · 2^60)`` — audit-stable across
+    runs and cluster sizes, and the SAME documents are kept on any
+    engine, so ``n_kept`` is hash-checkable, not just approximately
+    right.
+
+    Scale shape: two corpus passes by nature (the rate depends on global
+    per-domain aggregates; pass 1 is the |domains|-row aggregate, pass 2
+    compares each doc's hash against its domain's broadcast threshold
+    and folds straight into the per-domain ``n_kept`` count — map-side
+    combined, nothing wider than the corpus row ever shuffles).  The
+    |domains|-row windows are the documented bounded single-partition
+    class."""
+    per = (df.groupBy(group_col)
+           .agg(F.sum(F.expr(token_count_sql(text_col))).alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs")))
+    n_dbl = F.col("n_tokens").cast("double")
+    mass = (F.sqrt(n_dbl) if alpha == 0.5
+            else F.pow(n_dbl, F.lit(float(alpha))))
+    m_dbl = F.round(mass * 1e6, 0)
+    c = F.min(n_dbl / m_dbl).over(Window.partitionBy())
+    rate = F.least(F.lit(1.0), (m_dbl / n_dbl) * c)
+    w = per.select(group_col, "n_tokens", "n_docs", rate.alias("__rate"),
+                   F.floor(rate * F.lit(float(1 << 60))).cast("long")
+                   .alias("__thresh"))
+    h = (f"cast(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), "
+         f"16, 10) as bigint)")
+    joined = (df.select(group_col, F.expr(h).alias("__h"))
+              .join(F.broadcast(w), group_col))
+    return (joined.groupBy(group_col)
+            .agg(F.first("n_tokens").alias("n_tokens"),
+                 F.first("n_docs").alias("n_docs"),
+                 F.round(F.first("__rate"), 6).alias("rate"),
+                 F.count_if(F.col("__h") < F.col("__thresh"))
+                 .cast("long").alias("n_kept")))

@@ -1535,9 +1535,17 @@ SELECT 'pagerank', node, rank_u, NULL FROM rank{_PR_ITER}""")
 
 
 def q_doc_mixture_weights(spark, sf_dir):
-    """Per-domain token counts + sqrt-temperature sampling weights."""
+    """Per-domain token counts + sqrt-temperature sampling weights, PLUS
+    the mixture MATERIALIZED (``textstats.mixture_materialize``):
+    per-domain deterministic keep rates (scaled so the most-upweighted
+    domain keeps one full epoch) and the exact md5-threshold keep count —
+    the weights table and the sampled corpus it prescribes, one row per
+    domain."""
     d = _t(spark, sf_dir, "documents")
-    return textstats.mixture_weights(d, group_col="source", text_col="text")
+    w = textstats.mixture_weights(d, group_col="source", text_col="text")
+    m = textstats.mixture_materialize(d, group_col="source",
+                                      text_col="text", id_col="doc_id")
+    return w.join(m.select("source", "rate", "n_kept"), "source")
 
 
 # n_tokens MUST be CAST(... AS BIGINT): DuckDB types sum(BIGINT) as HUGEINT
@@ -1555,11 +1563,26 @@ WITH per AS (
 q AS (
   SELECT source, n_tokens, n_docs,
          CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS qs
-  FROM per)
-SELECT source, n_tokens, n_docs,
+  FROM per),
+rates AS (
+  SELECT source,
+         least(1.0, (CAST(qs AS DOUBLE) / n_tokens)
+               * (SELECT min(CAST(n_tokens AS DOUBLE) / qs) FROM q))
+           AS rate
+  FROM q),
+keepn AS (
+  SELECT d.source,
+         CAST(count(*) FILTER (WHERE
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           < CAST(floor(r.rate * 1.152921504606847e+18) AS BIGINT))
+           AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r USING (source) GROUP BY 1)
+SELECT q.source, n_tokens, n_docs,
        round(CAST(qs AS DOUBLE) / CAST(sum(qs) OVER () AS DOUBLE), 6)
-         AS weight
-FROM q
+         AS weight,
+       round(r.rate, 6) AS rate, k.n_kept
+FROM q JOIN rates r ON q.source = r.source
+JOIN keepn k ON q.source = k.source
 """
 
 

@@ -1314,3 +1314,47 @@ class TestChunkText:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             textstats.chunk_text(df, chunk_tokens=4, overlap_tokens=4)
+
+
+class TestMixtureMaterialize:
+    def test_sqrt_rates_hand_case(self, spark):
+        """Two domains with 1:4 token mass under sqrt temperature give
+        rates exactly 1.0 and 0.5 (C = min(n/sqrt n) lands on the small
+        domain; the big one keeps sqrt(1/4) of its share)."""
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        rows = ([(i, "a", "t " * 9 + "t") for i in range(10)]         # 100 tok
+                + [(100 + i, "b", "t " * 9 + "t") for i in range(40)])  # 400
+        df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                         "text string")
+        got = (textstats.mixture_materialize(df)
+               .toPandas().set_index("source"))
+        assert got.loc["a", "rate"] == 1.0
+        assert got.loc["b", "rate"] == 0.5
+        assert got.loc["a", "n_kept"] == 10          # full epoch
+        # deterministic hash keep at rate 0.5 over 40 docs: binomial-ish
+        assert 10 <= got.loc["b", "n_kept"] <= 30
+        assert got.loc["b", "n_kept"] < got.loc["b", "n_docs"]
+
+    def test_partitioning_invariance_and_bounds(self, spark):
+        import random
+
+        import pandas as pd
+
+        from immich_geodata_zh_tw_spark.operators import textstats
+
+        rng = random.Random(9)
+        rows = [(i, f"s{i % 6}", " ".join("w" for _ in range(rng.randint(5, 80))))
+                for i in range(300)]
+        outs = []
+        for parts in (1, 13):
+            df = spark.createDataFrame(
+                rows, "doc_id long, source string, text string") \
+                .repartition(parts)
+            outs.append(textstats.mixture_materialize(df).toPandas()
+                        .set_index("source").sort_index())
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        g = outs[0]
+        assert ((g.rate > 0) & (g.rate <= 1.0)).all()
+        assert (g.rate == 1.0).any()                 # the epoch anchor
+        assert (g.n_kept <= g.n_docs).all()
