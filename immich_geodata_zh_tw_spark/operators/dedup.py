@@ -362,7 +362,7 @@ def minhash_shingles_udf(*, n_bands: int = 4, shingle: int = 5,
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                         n_bands: int = 4, shingle: int = 5,
                         threshold: float = 0.0,
-                        persist: bool = False) -> DataFrame:
+                        persist: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity over LSH candidate pairs.
 
     Two-stage near-dup pipeline: MinHash banding proposes candidates (cheap,
@@ -392,21 +392,21 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
       no wide payloads.
 
     Corpus-pass budget — the point of the fusion: the fused frame feeds
-    three consumers (bands branch, A-side, B-side), so unpersisted the
-    kernel runs 3× (was 4×: split band + shingle kernels plus a sizes
-    pass).  At sf0.1 the kernel is ~1 s of a ~6 s query, so an interleaved
-    same-session A/B against the split design reads as parity within host
-    noise (old 5.7-8.1 s, fused 6.0-8.3 s over 4 reps each); the win is
-    the pass COUNT, which scales with corpus size while the pair fan-out
-    scales with near-dup density.  ``persist=True`` spools the fused frame
-    to MEMORY_AND_DISK and the kernel runs ONCE — the right call on a
-    cluster where the corpus scan + md5 dominates (~1.3 KB/doc cached,
-    linear).  Locally it's a LOSS (measured +2 s at sf0.1: cache write +
-    InMemory scans cost more than two ~1 s kernel re-runs), hence default
-    False.  Lifecycle: the cached frame is internal, so the caller can't
-    ``unpersist`` it — its memory side is LRU-evictable, but the disk side
-    lives until ``spark.catalog.clearCache()``; a long-lived session
-    issuing many persisted calls should clear between them.
+    FOUR plan consumers (the bands self-join duplicates the bands branch,
+    plus A-side and B-side), so unpersisted the kernel — and the corpus
+    scan under it — runs 4× (plan audit r6: four ArrowEvalPython nodes
+    over four parquet scans).  ``persist=True`` (default) spools the fused
+    frame to MEMORY_AND_DISK so the kernel runs ONCE — measured r6
+    interleaved A/B at sf0.1/32 cores: persisted 6.45/6.58 s vs
+    unpersisted 9.48/8.46 s (min-of-2 each), and at cluster scale the
+    saved quantity is three full corpus scans + md5 passes (~1.3 KB/doc
+    cached, linear).  (The round-5 "+2 s locally" note predated the fused
+    kernel's fourth consumer and is superseded by this A/B.)  Lifecycle:
+    the cached frame is internal, so the caller can't ``unpersist`` it —
+    its memory side is LRU-evictable, but the disk side lives until
+    ``spark.catalog.clearCache()``; a long-lived session issuing many
+    persisted calls should clear between them, or pass ``persist=False``
+    to keep the plan action-free/cache-free (e.g. under foreachBatch).
 
     The explicit round-robin ``repartition`` on the pair stream is
     load-balancing, not correctness: AQE coalesces shuffle partitions by

@@ -110,11 +110,77 @@ def extract_chinese_names_sql(col: str, *, dialect: str = "spark") -> str:
             f"{first(inc)})")
 
 
-def extract_chinese_names(col: str) -> Column:
-    """Column form of :func:`extract_chinese_names_sql` (Spark dialect).
+def extract_chinese_names_expr(col: str) -> Column:
+    """Pure-Column form of :func:`extract_chinese_names_sql` (Spark dialect)
+    — the executable spec.  ``col`` is a column *name*.
 
-    ``col`` is a column *name* (the expression is SQL-generated)."""
+    Per-row cost: the s2t/t2s fixpoint probes inside the ``filter`` lambdas
+    evaluate the interpreted word fold (~2×332 ``replace`` calls) PER
+    candidate — fine as a spec, wrong on a corpus column (measured r6:
+    1.74 s for the 5 k-doc driver row vs 0.25 s hybrid).  Query paths use
+    :func:`extract_chinese_names`."""
     return F.expr(extract_chinese_names_sql(col, dialect="spark"))
+
+
+def extract_chinese_names(col: str) -> Column:
+    """Corpus-scale form of the comma-candidate scan: JVM regex filters +
+    ONE Arrow kernel for the conversion fixpoint probes.
+
+    Same value as :func:`extract_chinese_names_expr` by construction
+    (pinned by tests/test_operators_unit.py):
+
+    * the Han-script predicates stay the EXACT same JVM regexes
+      (``IS_CHINESE_SQL`` / ``HAS_CHINESE_SQL``) — no Python re dialect in
+      the semantics;
+    * the kernel scans the is_chinese candidate array in order and probes
+      s2t/t2s fixpoints with ``_py_s2t``/``_py_t2s``, which the zh module
+      asserts bit-identical to the Column folds (the s2t_t2s_udf
+      precedent: C-speed ``str.translate``+``replace`` instead of the
+      CodegenFallback ``aggregate`` fold at ~700 interpreted JVM calls per
+      candidate);
+    * candidates repeat heavily in name corpora, so the kernel memoizes
+      conversions per batch (bounded by the batch's distinct candidates —
+      no cross-run state).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.zh import (HAS_CHINESE_SQL, IS_CHINESE_SQL, _py_s2t,
+                                _py_t2s)
+
+    def pick(arrs: pd.Series) -> pd.Series:
+        s2t_memo: dict[str, str] = {}
+        t2s_memo: dict[str, str] = {}
+        out: list[str | None] = []
+        for arr in arrs:
+            if arr is None:
+                out.append(None)
+                continue
+            best: str | None = None
+            for w in arr:
+                t = s2t_memo.get(w)
+                if t is None:
+                    t = s2t_memo[w] = _py_s2t(w)
+                if t == w:          # first traditional candidate wins
+                    best = w
+                    break
+                if best is None:    # remember s2t(first simplified)
+                    s = t2s_memo.get(w)
+                    if s is None:
+                        s = t2s_memo[w] = _py_t2s(w)
+                    if s == w:
+                        best = t
+            out.append(best)
+        return pd.Series(out, dtype=object)
+
+    pick.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    pick_udf = pandas_udf(pick, "string")
+
+    cn_arr = F.expr(f"filter(split({col}, ','), "
+                    f"w -> regexp_like(w, '{IS_CHINESE_SQL['spark']}'))")
+    inc_first = F.expr(f"get(filter(split({col}, ','), "
+                       f"w -> regexp_like(w, '{HAS_CHINESE_SQL['spark']}')), 0)")
+    return F.coalesce(pick_udf(cn_arr), inc_first)
 
 
 def fix_li_names(col: Column) -> Column:

@@ -63,9 +63,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _points(spark, sf_dir) -> DataFrame:
-    return (_t(spark, sf_dir, "events")
-            .select("event_id", F.expr(PT_LAT).alias("lat"), F.expr(PT_LON).alias("lon")))
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`_t`, fanned out to core width when the scan itself cannot
+    reach it.
+
+    The driver fixtures are ONE parquet file with ONE row group per table —
+    unsplittable input (optimization-guide §2.5 "input skew"), so every
+    pre-shuffle projection, higher-order fold and Arrow kernel otherwise
+    runs as a SINGLE task regardless of session width (measured r6:
+    geo_knn_cells 3.37 s single-task vs sub-second fanned).  The round-robin
+    exchange is cheap (one pass over the narrow fixture rows) and
+    scale-adaptive: a production-size table already yields ≥ cores scan
+    splits and no exchange is added.
+
+    Used ONLY by queries whose aggregates are integer-exact, key-windowed
+    with total orderings, or per-row — fanning the scan MUST NOT move any
+    floating-point accumulation order the oracle can observe (tpch_q1's
+    double sums and the raster value sums deliberately stay on :func:`_t`).
+    """
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
+
+
+def _points(spark, sf_dir, wide: bool = False) -> DataFrame:
+    t = _t_wide(spark, sf_dir, "events") if wide else _t(spark, sf_dir, "events")
+    return t.select("event_id", F.expr(PT_LAT).alias("lat"), F.expr(PT_LON).alias("lon"))
 
 
 def _places_pdf(spark, sf_dir):
@@ -137,7 +162,7 @@ def q_geo_knn_cells(spark, sf_dir):
     res/k auto-derived from the fixture's measured place spacing
     (auto_ring; the old pinned res=9 put ~100 places in every candidate
     array — 6-8 s at sf0.1 vs ~1 s auto)."""
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, wide=True)
     out = knn_join(spark, pts, _places_pdf(spark, sf_dir),
                    query_id="event_id", place_cols=["place_id"])
     return out.select("event_id", "place_id",
@@ -147,7 +172,7 @@ def q_geo_knn_cells(spark, sf_dir):
 def q_geo_pip_villages(spark, sf_dir):
     """Production PIP join (WKB ray-casting + cell prefilter) vs the grid
     arithmetic the synthetic polygons were built from."""
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, wide=True)
     polys = admin_polygons_pdf(village_grid=_G).reset_index(drop=True)
     polys.insert(0, "poly_id", range(len(polys)))
     out = pip_join(spark, pts, polys[["poly_id", "geometry_wkb",
@@ -820,7 +845,7 @@ SELECT doc_id, {textstats.predict_lang_sql('text')} AS pred_lang FROM documents
 
 def q_doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (4 bands, 5-char shingles)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.minhash_candidate_pairs(d, id_col="doc_id", text_col="text",
                                          n_bands=4, shingle=5)
 
@@ -940,7 +965,7 @@ def q_doc_repetition(spark, sf_dir):
     (``textstats.gopher_char_fracs``: top-{2,3,4}-gram char fractions and
     overlap-correct duplicated-{5..10}-gram char fractions, one
     zero-shuffle Arrow pass emitting integer numerators)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     rep = textstats.repetition_metrics(d)
     model = ngram_lm.lm_train(d.filter(F.col("doc_id") % 2 == 0))
     lm = ngram_lm.lm_score(d, model).drop("lm_ppl")
@@ -1086,7 +1111,7 @@ def q_doc_gopher_filter(spark, sf_dir):
     weights against the ``lang = 'en'`` target, exact integer micro-nats,
     salted top-K keep), so the row is the full per-doc curation verdict:
     rule-based quality gate + distribution-matching selection."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sel = dsir.dsir_select(d, F.col("lang") == "en", keep_k=_DSIR_KEEP_K)
     return _gopher_gate(d).join(sel, "doc_id")
 
@@ -1128,7 +1153,7 @@ def q_doc_span_dedup(spark, sf_dir):
       ``n_spans`` = merged duplicate-interval count, ``n_removed`` =
       tokens cut.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     null_l = F.lit(None).cast("long")
     b1 = (dedup.span_dedup(d, id_col="doc_id", text_col="text",
                            span_words=10)
@@ -1708,7 +1733,7 @@ def q_doc_vocab(spark, sf_dir):
     uses of the vocab subtree each re-run the corpus explode+count — a
     measured third full-corpus pass in the one-plan form (plan audit,
     tests/test_plan_quality.py pins single-scan)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     vocab_rows = textstats.vocab_table(
         d, "text", k=_VOCAB_K, n_salts=_VOCAB_SALTS).collect()
     vocab = spark.createDataFrame(
@@ -1976,7 +2001,7 @@ def q_doc_dedup_clusters(spark, sf_dir):
     inherently quadratic pairwise output (operators/dedup.minhash_clusters).
     Oracle = connected components of the candidate-pair graph via a DuckDB
     recursive CTE; the Spark side must converge to the identical components."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.minhash_clusters(d, id_col="doc_id", text_col="text")
 
 
@@ -2008,7 +2033,7 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 def q_doc_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard over MinHash-LSH candidates (two-stage near-dup:
     bucketed candidates → exact shingle-set score; driver mandate family)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
                                      threshold=0.2)
 
@@ -2289,7 +2314,7 @@ def q_extract_chinese_names(spark, sf_dir):
     else first Han-containing — as one JVM expression (no Python)."""
     from ..operators.translate import extract_chinese_names
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     salted = d.withColumn(
         "alternatenames",
         F.expr(f"element_at({_ALT_ARRAY_SPARK}, "
@@ -3348,7 +3373,7 @@ def q_doc_text_profile(spark, sf_dir):
     plus the redacted tail as value evidence), ONE projection over
     documents (all JVM SQL; folds doc_text_stats/doc_langid/doc_bpe_tokens
     and the round-4 PII operator)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     red = textstats.redact_pii_sql(_PII_TEXT, dialect="spark")
     return textstats.with_text_stats(d, "text").select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio",

@@ -434,6 +434,30 @@ class TestTranslate:
         assert got[1] == "乙"   # zh-TW outranks zh despite preferred flag
         assert got[2] == "丁"   # same lang → preferred wins
 
+    def test_extract_chinese_names_kernel_matches_expr(self, spark):
+        """The r6 hybrid (JVM regex filters + memoized Arrow fixpoint
+        kernel) must be VALUE-IDENTICAL to the pure-Column spec expression
+        on every branch: trad-first, s2t(first simp), later-trad-beats-
+        earlier-simp, Han-contains fallback, dash-only candidate, word-fold
+        conversions (头发→頭髮), empty/NULL inputs."""
+        from immich_geodata_zh_tw_spark.operators.translate import (
+            extract_chinese_names, extract_chinese_names_expr)
+
+        cases = ["Taipei,台北,臺北", "Taipei,台北,Tai-pei", "foo,bar",
+                 "hello世界town,xyz", "", "头发屋,發街", "皇后區,queens",
+                 "新营,Xinying,新營", None, "-,x", "干,乾", "里長,里长",
+                 "发财,台北,發財", "a b,台 北", ",,,", "裏",
+                 "Seoul,서울,汉城", "x,y,松岛,松島"]
+        df = spark.createDataFrame(
+            pd.DataFrame({"alternatenames": cases}, dtype=object))
+        out = df.select(
+            extract_chinese_names("alternatenames").alias("fast"),
+            extract_chinese_names_expr("alternatenames").alias("spec"),
+        ).toPandas()
+        for i, (fast, spec) in enumerate(zip(out["fast"], out["spec"])):
+            assert (pd.isna(fast) and pd.isna(spec)) or fast == spec, (
+                cases[i], fast, spec)
+
     def test_null_token_normalization(self, spark):
         from immich_geodata_zh_tw_spark.operators.translate import (
             normalize_null_tokens)
