@@ -53,6 +53,24 @@ def estimated_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def broadcast_budget_ok(source: DataFrame, *, fanout: float) -> bool:
+    """True iff ``source``'s estimate × ``fanout`` fits the session's
+    broadcast threshold — the gate for small-corpus fast paths that ship a
+    corpus-derived structure as a broadcast (e.g. the jaccard scoring
+    kernel's hash-set dict).  Same statistic and knob as
+    :func:`hint_if_large`, same failure direction: unknown stats or a
+    disabled threshold answer False (the scale-safe join path)."""
+    try:
+        raw = source.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        return False
+    thr = _parse_bytes(raw) if raw is not None else None
+    est = estimated_bytes(source)
+    return (thr is not None and thr > 0 and est is not None
+            and est * fanout <= thr)
+
+
 def hint_if_large(derived: DataFrame, source: DataFrame, *,
                   fanout: float) -> DataFrame:
     """``derived`` (a fan-out frame computed from ``source`` behind a

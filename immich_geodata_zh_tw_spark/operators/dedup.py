@@ -436,6 +436,64 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
              .repartition("band_idx", "sig"))
     pairs = (_pairs_from_bands(bands, id_col=id_col, source=df)
              .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    jac = F.round(F.col("__i").cast("double")
+                  / (F.col("__na") + F.col("__nb") - F.col("__i")), 6)
+
+    # Scoring fast path (r6, guide §8 "decide with small rows"): the exact
+    # intersection |A∩B| needs every pair matched against every A-side hash
+    # — as joins that is a |pairs| × ~|hs| fan-out (measured sf0.1: 485 k
+    # pairs × ~118 hashes = 62 M rows through two hash joins + a partial
+    # agg, 260 s of CPU = the whole 7-9 s query).  When the corpus's hash
+    # sets fit the session broadcast budget — the SAME statistic and
+    # threshold that license any broadcast join, from the source estimate
+    # Catalyst gets right (``_stats`` docstring) — ship them ONCE as a
+    # Spark broadcast and score each pair with one vectorized
+    # sorted-array intersection inside mapInPandas: the pair stream
+    # (16-byte rows) is the only thing that moves, and the per-pair work
+    # is ~5 µs of numpy instead of ~118 joined rows (measured r6
+    # interleaved A/B at sf0.1/32: 2.6-3.0 s vs 7.4-9.8 s end-to-end).
+    # Over-budget corpora keep the join plan — spill-safe at any scale —
+    # exactly as an over-threshold build side keeps a sort-merge join.
+    # The kernel emits INTEGERS only (__i/__na/__nb); the jaccard
+    # division + round stays the same JVM expression as the join path, so
+    # DuckDB-oracle parity is bit-identical (Python round is half-even,
+    # Spark/DuckDB HALF_UP — never let the kernel round).
+    from ._stats import broadcast_budget_ok
+
+    if broadcast_budget_ok(df, fanout=4.0):
+        rows = (hashed.filter(F.col("__hs").isNotNull())
+                .select(id_col, "__hs").collect())
+        sets = {r[0]: np.asarray(r[1], dtype=np.int64) for r in rows}
+        bc = df.sparkSession.sparkContext.broadcast(sets)
+        id_t = dict(df.dtypes)[id_col]
+
+        def _score(batches):
+            import pandas as pd
+
+            s = bc.value
+            for pdf in batches:
+                ia = pdf["id_a"].to_numpy()
+                ib = pdf["id_b"].to_numpy()
+                n = len(pdf)
+                ii = np.empty(n, dtype=np.int64)
+                na = np.empty(n, dtype=np.int64)
+                nb = np.empty(n, dtype=np.int64)
+                for j in range(n):
+                    a = s[ia[j]]
+                    b = s[ib[j]]
+                    na[j] = a.size
+                    nb[j] = b.size
+                    ii[j] = np.intersect1d(a, b, assume_unique=True).size
+                yield pd.DataFrame({"id_a": ia, "id_b": ib, "__i": ii,
+                                    "__na": na, "__nb": nb})
+
+        scored = pairs.mapInPandas(
+            _score, schema=(f"id_a {id_t}, id_b {id_t}, "
+                            "__i long, __na long, __nb long"))
+        return (scored.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
     # scale-safe join sides everywhere sh rides a join: sh is |corpus| ×
     # ~150 narrow rows behind the Arrow kernel, so Catalyst's size
     # estimate (the pre-fan-out scan size) can fall under the
@@ -489,8 +547,6 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                   .agg(F.first("__na").alias("__na"),
                        F.count("__nb").alias("__i"),
                        F.max("__nb").alias("__nb")))
-    jac = F.round(F.col("__i").cast("double")
-                  / (F.col("__na") + F.col("__nb") - F.col("__i")), 6)
     return (scored.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))

@@ -223,6 +223,38 @@ class TestDedup:
             pd.testing.assert_frame_equal(a, b)
         spark.catalog.clearCache()
 
+    def test_ngram_jaccard_kernel_path_matches_join_path(self, spark):
+        """The r6 size-gated scoring kernel (broadcast hash-set dict +
+        mapInPandas intersection) must return exactly the join-plan
+        results for both threshold branches.  The join path is forced by
+        disabling the broadcast threshold — the same knob that gates the
+        kernel (`_stats.broadcast_budget_ok`)."""
+        from immich_geodata_zh_tw_spark.operators import dedup
+        from immich_geodata_zh_tw_spark.operators._stats import (
+            broadcast_budget_ok)
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert broadcast_budget_ok(d, fanout=4.0)
+        thr_key = "spark.sql.autoBroadcastJoinThreshold"
+        saved = spark.conf.get(thr_key)
+        for thr in (0.2, 0.0):
+            kern = (dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                              text_col="text", threshold=thr)
+                    .toPandas().sort_values(["id_a", "id_b"])
+                    .reset_index(drop=True))
+            try:
+                spark.conf.set(thr_key, "-1")
+                assert not broadcast_budget_ok(d, fanout=4.0)
+                join = (dedup.ngram_jaccard_pairs(d, id_col="doc_id",
+                                                  text_col="text",
+                                                  threshold=thr)
+                        .toPandas().sort_values(["id_a", "id_b"])
+                        .reset_index(drop=True))
+            finally:
+                spark.conf.set(thr_key, saved)
+            pd.testing.assert_frame_equal(kern, join)
+        spark.catalog.clearCache()
+
     def test_minhash_clusters_transitive(self, spark):
         """Label propagation must close transitively: doc A near-dups B, B
         near-dups C, but A and C share no band bucket — all three must land
