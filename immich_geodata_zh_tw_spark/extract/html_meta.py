@@ -116,6 +116,8 @@ def extract_geo_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         lat = np.full(n, np.nan)
         lon = np.full(n, np.nan)
         for i, html in enumerate(pdf["html"].to_numpy()):
+            if html is None:  # JVM-side marker pre-null (extract_pages):
+                continue      # provably tagless page, nothing to parse
             geo = extract_geo(html)
             if geo is not None:
                 lat[i], lon[i] = geo
@@ -213,11 +215,22 @@ def extract_pages(pages_df, *, with_text: bool = True,
     Python-worker-constrained clusters.  Row-for-row equivalence of the two
     engines is pinned by tests/test_extract_and_synth.py.
     """
+    from pyspark.sql import functions as F
+
     pruned = pages_df.select("url", "html")
     if with_text:
         return pruned.mapInPandas(extract_pages_batches,
                                   schema=EXTRACTED_SCHEMA)
     if geo_engine == "jvm":
         return extract_geo_jvm(pruned)
+    # Examined and REJECTED (r6): nulling the payload JVM-side for pages
+    # without a marker substring (lower(cast)+3×instr, then
+    # when(has_marker, html)) — sound (any regex match implies the ASCII
+    # literal), but a measured LOSS on this corpus: the lower() pass
+    # allocates a full lowercase copy of every page JVM-side, and with
+    # ~75 % of pages geo-bearing the saved Python payload never pays it
+    # back (interleaved A/B, extract-only noop at 2 M pages/32 cores:
+    # plain 0.87-0.99 s vs pre-nulled 1.30-1.55 s).  Worth revisiting
+    # only for corpora whose geo-tag fraction is small.
     return pruned.mapInPandas(extract_geo_batches,
                               schema=EXTRACTED_GEO_SCHEMA)

@@ -89,14 +89,26 @@ def pip_join(spark: SparkSession, points: DataFrame, polys_pdf: pd.DataFrame, *,
         out = np.zeros(len(pid), dtype=bool)
         lon_np = lon.to_numpy(dtype=np.float64)
         lat_np = lat.to_numpy(dtype=np.float64)
-        # vectorize per distinct polygon within the batch
+        # vectorize per distinct polygon within the batch.  Group rows by
+        # polygon via ONE stable argsort + run-boundary split — the
+        # per-unique boolean-mask form was O(|polys| × batch): with ~500
+        # polygons present in every (round-robin-shuffled) 10 k-row batch
+        # it allocated 500 full-batch masks per batch, measured r6 as the
+        # dominant CPU of the flagship tail stage
         pid_np = pid.to_numpy()
-        for p in pd.unique(pid_np):
+        if len(pid_np) == 0:
+            return pd.Series(out)
+        order = np.argsort(pid_np, kind="stable")
+        spid = pid_np[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], spid[1:] != spid[:-1])))
+        for s, e in zip(starts, np.append(starts[1:], len(spid))):
+            idx = order[s:e]
+            p = spid[s]
             geom = cache.get(p)
             if geom is None:
                 geom = cache[p] = pip.PreparedGeometry(bc.value[p])
-            m = pid_np == p
-            out[m] = geom.contains(lon_np[m], lat_np[m])
+            out[idx] = geom.contains(lon_np[idx], lat_np[idx])
         return pd.Series(out)
 
     pts = points.withColumn("__cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
