@@ -200,7 +200,8 @@ def _bands_frame(df: DataFrame, *, id_col: str, text_col: str,
 
 def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
                             n_bands: int = 4, shingle: int = 5,
-                            max_bucket_size: int | None = None) -> DataFrame:
+                            max_bucket_size: int | None = None,
+                            persist: bool = False) -> DataFrame:
     """LSH candidate near-dup pairs: docs sharing any band signature.
 
     Explode to (band_idx, sig) → self-join per bucket → distinct (a, b) with
@@ -219,9 +220,22 @@ def minhash_candidate_pairs(df: DataFrame, *, id_col: str, text_col: str,
       pathological buckets instead of the job degenerating to quadratic.
       Default ``None`` preserves the exact candidate-pair semantics the
       DuckDB oracle checks.
+
+    ``persist`` spools the band frame so the self-join's two subtrees (two
+    ArrowEvalPython nodes over two scans — `hint_if_large` on one side
+    defeats ReusedExchange) share one kernel pass.  Default False: unlike
+    :func:`ngram_jaccard_pairs` (where caching the pre-explode array frame
+    measured 9.5 s → 6.5 s), caching the post-explode, post-repartition
+    band rows measured r6 interleaved A/B at 1.1-1.4 s → 2.7-4.3 s — the
+    InMemoryTableScan costs the join more than the second ~0.3 s kernel
+    pass saves.  The knob exists for corpora where the kernel dominates
+    (very long documents).
     """
     bands = _bands_frame(df, id_col=id_col, text_col=text_col,
                          n_bands=n_bands, shingle=shingle)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_idx", "sig").orderBy(F.col(id_col).asc())
         bands = (bands.withColumn("__rn", F.row_number().over(w))

@@ -1112,7 +1112,11 @@ def q_doc_gopher_filter(spark, sf_dir):
     salted top-K keep), so the row is the full per-doc curation verdict:
     rule-based quality gate + distribution-matching selection."""
     d = _t_wide(spark, sf_dir, "documents")
-    sel = dsir.dsir_select(d, F.col("lang") == "en", keep_k=_DSIR_KEEP_K)
+    # repartition=False: the scan is already fanned to core width by
+    # _t_wide, so dsir's own featurization spread would be a second
+    # full exchange of the same rows (its docstring's skip condition)
+    sel = dsir.dsir_select(d, F.col("lang") == "en", keep_k=_DSIR_KEEP_K,
+                           repartition=False)
     return _gopher_gate(d).join(sel, "doc_id")
 
 

@@ -79,6 +79,18 @@ def get_spark(app_name: str = "immich-geodata-zh-tw-spark",
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 f"{advisory_mb}m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize the output partitioning of plans feeding a
+        # cache (Spark 3.4+; default false): without it an InMemoryRelation
+        # freezes its compile-time shuffle width, so a vocabulary-bounded
+        # cached table (BPE word table: 31 rows at sf0.1) carries
+        # cores-many near-empty partitions through every downstream stage
+        # — the r5 workaround was a manual coalesce before persist, which
+        # cannot know the data-dependent right width; AQE's byte-sized
+        # coalescing can (measured r6: the 6-round BPE loop's per-round
+        # stages drop to 1-task over the 31-row cache).  Explicit
+        # user repartition(n) calls are still honored unchanged.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 16g measured best AND tightest for the flagship on this box
