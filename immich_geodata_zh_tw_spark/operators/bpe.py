@@ -241,20 +241,24 @@ def pair_symbols(pair: str) -> tuple[str, str]:
     return x, y
 
 
-def train_bpe(word_counts: list[tuple[str, int]], n_merges: int
-              ) -> list[tuple[str, str]]:
-    """Exact in-memory merge loop over a bounded (word, count) table —
-    the production path for thousands of merges after a
-    `sample.global_topk_ranked` top-V collect.  Same admission filter,
-    same tie-break (highest count, then lexicographically smallest
-    ``'{x}{y}'`` pattern), same greedy left-to-right apply as the
-    distributed form — `tests/test_bpe.py` pins the equality."""
+def bpe_rounds_inmem(word_counts: list[tuple[str, int]], n_merges: int
+                     ) -> tuple[list[tuple[int, str, int]],
+                                list[tuple[list[str], int]]]:
+    """In-memory twin of :func:`bpe_rounds_plan` over a bounded
+    ``(word, count)`` table: returns ``(merges, final_seqs)`` where
+    ``merges`` is ``[(round, '{x}{y}', merged_count), ...]`` — the exact
+    shape the distributed form emits — and ``final_seqs`` is the
+    post-merge ``[(symbol_list, count), ...]`` table.  Same admission
+    filter, same pair counting, same tie-break (highest count, then
+    lexicographically smallest pattern — byte order ≡ code-point order
+    for the BMP strings both engines compare), same greedy left-to-right
+    apply; `tests/test_bpe.py` pins the equality round by round."""
     import re
     seqs: list[tuple[list[str], int]] = [
         (list(w) + [EOW], n) for w, n in word_counts
         if len(w) <= MAX_WORD_CHARS and not re.search(_FORBIDDEN_RE, w)]
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
         counts: dict[tuple[str, str], int] = {}
         for syms, n in seqs:
             for a, b in zip(syms, syms[1:]):
@@ -263,8 +267,8 @@ def train_bpe(word_counts: list[tuple[str, int]], n_merges: int
             break
         best = min(counts.items(),
                    key=lambda kv: (-kv[1], "{%s}{%s}" % kv[0]))
-        (x, y), _cnt = best
-        merges.append((x, y))
+        (x, y), cnt = best
+        merges.append((r, "{%s}{%s}" % (x, y), int(cnt)))
         merged = x + y
         new_seqs = []
         for syms, n in seqs:
@@ -278,7 +282,60 @@ def train_bpe(word_counts: list[tuple[str, int]], n_merges: int
                     i += 1
             new_seqs.append((out, n))
         seqs = new_seqs
-    return merges
+    return merges, seqs
+
+
+def train_bpe(word_counts: list[tuple[str, int]], n_merges: int
+              ) -> list[tuple[str, str]]:
+    """Exact in-memory merge loop over a bounded (word, count) table —
+    the production path for thousands of merges after a
+    `sample.global_topk_ranked` top-V collect.  Same admission filter,
+    same tie-break (highest count, then lexicographically smallest
+    ``'{x}{y}'`` pattern), same greedy left-to-right apply as the
+    distributed form — `tests/test_bpe.py` pins the equality.  (Thin
+    wrapper over :func:`bpe_rounds_inmem` — ONE in-memory loop serves
+    both the production path and the size-gated fast path below.)"""
+    merges, _ = bpe_rounds_inmem(word_counts, n_merges)
+    return [pair_symbols(p) for _, p, _ in merges]
+
+
+def bpe_train_stats(df: DataFrame, *, n_merges: int,
+                    text_col: str = "text",
+                    max_word_chars: int = MAX_WORD_CHARS
+                    ) -> tuple[list[tuple[int, str, int]], int]:
+    """``(merges, post-merge corpus token total)`` — the two quantities
+    the doc_vocab BPE branch emits — with a size-gated execution choice
+    (optimization guide §8 "decide with small rows", the
+    `dedup.ngram_jaccard_pairs` kernel precedent):
+
+    * word table under the session broadcast budget (the SAME statistic
+      and threshold that license any broadcast join —
+      ``_stats.broadcast_budget_ok`` on the corpus estimate): collect the
+      bounded ``(w, n)`` table ONCE and run the rounds in memory
+      (:func:`bpe_rounds_inmem`, pinned ≡ the distributed form) — one
+      Spark job instead of ``n_merges`` sequential shuffle+argmax jobs
+      whose fixed per-job latency dominates at dimension scale;
+    * over-budget or unknown-stats corpora keep the distributed
+      fixed-round plan verbatim (the scale-safe direction — the
+      iterative part stays bounded by |distinct words|, never collected).
+    """
+    from ._stats import broadcast_budget_ok
+
+    if broadcast_budget_ok(df, fanout=4.0):
+        rows = (word_table(df, text_col, max_word_chars=max_word_chars)
+                .select("w", "n").collect())
+        merges, seqs = bpe_rounds_inmem(
+            [(r["w"], int(r["n"])) for r in rows], n_merges)
+        size = sum(n * len(syms) for syms, n in seqs)
+        return merges, int(size)
+    merges, wt_fin = bpe_rounds_plan(df, n_merges=n_merges,
+                                     text_col=text_col,
+                                     max_word_chars=max_word_chars)
+    size = int(wt_fin.agg(F.sum(
+        F.col("n") * F.size(F.expr(symbols_expr("s", dialect="spark"))))
+        .cast("long").alias("t")).collect()[0]["t"])
+    wt_fin.unpersist()
+    return merges, size
 
 
 def apply_bpe_udf(merges: list[tuple[str, str]], text_col: str = "text"):

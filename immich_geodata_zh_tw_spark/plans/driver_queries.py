@@ -1739,28 +1739,22 @@ def q_doc_vocab(spark, sf_dir):
     tests/test_plan_quality.py pins single-scan)."""
     d = _t_wide(spark, sf_dir, "documents")
     # the two bounded construction-time actions — the vocab top-K collect
-    # and the (inherently sequential) BPE merge rounds — are independent
-    # jobs; submit them from a 2-thread pool so the vocab job back-fills
-    # executor slots the BPE rounds' tiny stages leave idle (guide §2.6
-    # overlap-independent-jobs; measured r6: construction 2.7 s → 2.0 s at
-    # sf0.1/32).  Results and all downstream plans are unchanged — the
-    # pool only moves WHEN the same two driver actions run.
+    # and the BPE training (size-gated: ONE word-table collect + the
+    # in-memory rounds under the broadcast budget, the distributed
+    # fixed-round jobs over it — bpe.bpe_train_stats, r6) — are
+    # independent jobs; submit them from a 2-thread pool so the vocab job
+    # back-fills executor slots the BPE job's tiny stages leave idle
+    # (guide §2.6 overlap-independent-jobs; measured r6: construction
+    # 2.7 s → 2.0 s at sf0.1/32).  Results and all downstream plans are
+    # unchanged — the pool only moves WHEN the same driver actions run.
     from concurrent.futures import ThreadPoolExecutor
-
-    def _train_bpe():
-        merges, wt_fin = bpe.bpe_rounds_plan(d, n_merges=_BPE_MERGES)
-        size = int(wt_fin.agg(F.sum(
-            F.col("n")
-            * F.size(F.expr(bpe.symbols_expr("s", dialect="spark"))))
-            .cast("long").alias("t")).collect()[0]["t"])
-        wt_fin.unpersist()
-        return merges, size
 
     with ThreadPoolExecutor(max_workers=2) as _pool:
         _vocab_fut = _pool.submit(
             lambda: textstats.vocab_table(
                 d, "text", k=_VOCAB_K, n_salts=_VOCAB_SALTS).collect())
-        _bpe_fut = _pool.submit(_train_bpe)
+        _bpe_fut = _pool.submit(
+            lambda: bpe.bpe_train_stats(d, n_merges=_BPE_MERGES))
         vocab_rows = _vocab_fut.result()
         merges, bpe_size = _bpe_fut.result()
     vocab = spark.createDataFrame(

@@ -54,6 +54,56 @@ def test_rounds_plan_matches_inmemory_train(spark, corpus_df):
     wt_fin.unpersist()
 
 
+def test_train_stats_inmem_matches_distributed(spark, corpus_df):
+    """The r6 size-gated fast path (ONE word-table collect + in-memory
+    rounds) must return exactly the distributed fixed-round results —
+    merges WITH per-round counts, and the post-merge corpus token total.
+    The distributed path is forced by disabling the broadcast threshold,
+    the same knob that gates the fast path (`_stats.broadcast_budget_ok`
+    — the jaccard-kernel precedent).  A parquet-backed corpus: local
+    relations carry unknown stats, which the gate correctly answers
+    with the scale-safe distributed path."""
+    import pyspark.sql.functions as F
+
+    from immich_geodata_zh_tw_spark.operators._stats import (
+        broadcast_budget_ok)
+
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert broadcast_budget_ok(pq, fanout=4.0)
+    fast_merges, fast_size = bpe.bpe_train_stats(pq, n_merges=8)
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(thr_key)
+    try:
+        spark.conf.set(thr_key, "-1")
+        assert not broadcast_budget_ok(pq, fanout=4.0)
+        dist_merges, dist_size = bpe.bpe_train_stats(pq, n_merges=8)
+    finally:
+        spark.conf.set(thr_key, saved)
+    assert fast_merges == dist_merges
+    assert fast_size == dist_size
+    # and the in-memory rounds agree with the distributed plan round by
+    # round on a seeded random corpus (fresh word shapes, heavy ties)
+    import random
+    rng = random.Random(20260822)
+    texts = [" ".join("".join(rng.choice("abcd") for _ in
+                              range(rng.randint(1, 6)))
+                      for _ in range(rng.randint(3, 30)))
+             for _ in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_d, wt_fin = bpe.bpe_rounds_plan(df, n_merges=10)
+    size_d = int(wt_fin.agg(F.sum(
+        F.col("n") * F.size(F.expr(bpe.symbols_expr("s", dialect="spark"))))
+        .cast("long")).collect()[0][0])
+    wt_fin.unpersist()
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    merges_m, seqs_m = bpe.bpe_rounds_inmem(sorted(counts.items()), 10)
+    assert merges_m == merges_d
+    assert sum(n * len(syms) for syms, n in seqs_m) == size_d
+
+
 def test_self_overlapping_run_is_greedy_left_to_right(spark):
     # 'xxxx' → pairs (1,2) and (3,4) merge in one pass: {xx}{xx}
     df = spark.createDataFrame([("xxxx xxxx xxxx",)], "text string")
