@@ -2436,20 +2436,32 @@ def q_release_pipeline(spark, sf_dir):
     # ITSELF (its row count is invariant to base_geoname_id, so a
     # provisional base of 0 is sound) — definitionally the same quantity
     # the old admin1.count() action measured, robust to any future
-    # filtering inside the generator
+    # filtering inside the generator.
+    # The SAME action also collects the cities id-allocator's boundary
+    # sample (r6): sequential_ids_scalable would otherwise run its own
+    # probe job during plan construction; the sample rides along as one
+    # bounded collect_list (≤ its sample_target rows, the exact bound the
+    # probe had), and ANY sample is a correct boundary source per the
+    # ids.py ``presampled`` contract.
     mdf = enhance.global_max_geoname_id_df(
         [_t(spark, sf_dir, "orders")
          .select(F.col("o_orderkey").alias("geoname_id"))])
     ndf = (enhance.generate_admin1_records(
                geodata, country_code="JP", base_geoname_id=0)
            .agg(F.count(F.lit(1)).alias("n")))
-    row = mdf.crossJoin(ndf).first()
+    pdf = (geodata.select(*enhance.CITIES_SORT_COLS).limit(100_001)
+           .agg(F.collect_list(
+               F.struct(*enhance.CITIES_SORT_COLS)).alias("p")))
+    row = mdf.crossJoin(ndf).crossJoin(pdf).first()
     base = int(row.m) if row.m is not None else 0
     admin1 = enhance.generate_admin1_records(
         geodata, country_code="JP", base_geoname_id=base + 1)
     base2 = base + 1 + int(row.n)
+    presampled = ([tuple(r) for r in row.p]
+                  if len(row.p) <= 100_000 else None)
     cities = enhance.convert_to_cities_schema(
-        geodata, country_code="JP", base_geoname_id=base2, admin1_codes=admin1)
+        geodata, country_code="JP", base_geoname_id=base2,
+        admin1_codes=admin1, presampled=presampled)
 
     p = _t(spark, sf_dir, "part")
     extra = p.select(

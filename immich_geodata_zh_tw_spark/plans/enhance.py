@@ -38,6 +38,13 @@ from ..operators.translate import (CHINESE_PRIORITY, coalesce_chain,
 
 COORD_DECIMAL_PLACES = 8  # reference base.py:24-25
 
+#: the full-column sort that orders cities500 id allocation
+#: (base.py:137-143) — module-level so callers that pre-collect the
+#: boundary sample (``convert_to_cities_schema(presampled=...)``) name
+#: the same columns the operator sorts by
+CITIES_SORT_COLS = ["country", "admin_1", "admin_2", "admin_3", "admin_4",
+                    "latitude", "longitude"]
+
 
 def global_max_geoname_id_df(tables: list[DataFrame],
                              id_col: str = "geoname_id") -> DataFrame:
@@ -86,13 +93,20 @@ def update_admin1(admin1: DataFrame, new_records: DataFrame, *,
 
 def convert_to_cities_schema(geodata: DataFrame, *, country_code: str,
                              base_geoname_id: int,
-                             admin1_codes: DataFrame) -> DataFrame:
+                             admin1_codes: DataFrame,
+                             presampled: list[tuple] | None = None
+                             ) -> DataFrame:
     """GEODATA rows → cities500-shaped rows (base.py:71-188).
 
     * coordinates rounded to 8 dp (join-key stability, SURVEY §1.3);
     * admin1_code via broadcast join against the admin1 table (J7 — the
       reference's dict lookup);
     * geoname ids allocated sequentially after the full-column sort (W1).
+
+    ``presampled``: optional ``CITIES_SORT_COLS`` sample rows forwarded to
+    the id allocator so it skips its boundary-probe job — callers with an
+    existing bounded construction action collect the sample there (ids.py
+    ``presampled`` contract: any value set is a correct boundary source).
     """
     # single withColumns calls: every withColumn re-analyzes the deepening
     # plan driver-side (~30 ms each in the release profile); these exprs all
@@ -103,10 +117,9 @@ def convert_to_cities_schema(geodata: DataFrame, *, country_code: str,
     g = (g.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
          .withColumns({"latitude": F.round("latitude", COORD_DECIMAL_PLACES),
                        "longitude": F.round("longitude", COORD_DECIMAL_PLACES)}))
-    sort_cols = ["country", "admin_1", "admin_2", "admin_3", "admin_4",
-                 "latitude", "longitude"]
-    g = sequential_ids_scalable(g, sort_cols, base=base_geoname_id,
-                                out_col="geoname_id")
+    g = sequential_ids_scalable(g, CITIES_SORT_COLS, base=base_geoname_id,
+                                out_col="geoname_id",
+                                presampled=presampled)
     a1 = admin1_codes.select(
         F.col("name").alias("admin_1"),
         F.element_at(F.split(F.col("id"), "\\."), -1).alias("admin1_code"))
@@ -235,7 +248,13 @@ def translate_cities500(cities: DataFrame, metadata: DataFrame,
                    F.col("name")).otherwise(final)
     final = fix_li_names(final)
     named = coalesce_chain(final, F.col("name"))
-    return (joined
-            .withColumn("name", named)
-            .withColumn("asciiname", named)
-            .drop("meta_name", "alternate_name"))
+    # ONE select instead of withColumn×2 + drop: each of those re-analyzes
+    # the deepest plan of the whole release pipeline driver-side (guide §5
+    # — plan construction was ~half this query's bench time at sf0.1);
+    # same columns, same order (replace-in-place when present, append when
+    # absent — the withColumn contract), same values
+    out = [named.alias(c) if c in ("name", "asciiname") else c
+           for c in joined.columns if c not in ("meta_name", "alternate_name")]
+    out += [named.alias(c) for c in ("name", "asciiname")
+            if c not in joined.columns]
+    return joined.select(*out)
