@@ -683,9 +683,9 @@ ORDER BY c_mktsegment, c_nationkey LIMIT 20
 """
 
 
-def q_sessionize(spark, sf_dir):
+def q_sessionize(spark, sf_dir, *, events=None):
     """Sessionization via lag + gap cumsum (streaming-adjacent batch op)."""
-    e = _t(spark, sf_dir, "events")
+    e = events if events is not None else _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.unix_timestamp("ts")
     gap = sec - F.lag(sec).over(w)
@@ -713,9 +713,9 @@ FROM s GROUP BY user_id
 """
 
 
-def q_tumbling_window(spark, sf_dir):
+def q_tumbling_window(spark, sf_dir, *, events=None):
     """Tumbling 1-hour window aggregate (streaming-shaped batch op)."""
-    e = _t(spark, sf_dir, "events")
+    e = events if events is not None else _t(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
@@ -734,13 +734,13 @@ FROM events GROUP BY 1, 2
 _ASOF_TOL_S = 1800
 
 
-def _asof_errors_to_clicks(spark, sf_dir, *, tolerance=None):
+def _asof_errors_to_clicks(spark, sf_dir, *, tolerance=None, events=None):
     """Shared asof fixture: each 'error' event matched to the newest
     at-or-before 'click' of the same user (operators/asof.py union-merge
     form — one shuffle on user_id, no row multiplication)."""
     from ..operators.asof import asof_join
 
-    e = _t(spark, sf_dir, "events")
+    e = events if events is not None else _t(spark, sf_dir, "events")
     err = e.filter(F.col("event_type") == "error")
     clk = e.filter(F.col("event_type") == "click")
     return (asof_join(err, clk, on="ts", by="user_id",
@@ -3519,14 +3519,19 @@ def q_windows_compound(spark, sf_dir):
     sessionize/tumbling_window/asof_backward/asof_tolerance; each branch is
     the standalone query's plan)."""
     null_l = F.lit(None).cast("long")
-    b1 = q_sessionize(spark, sf_dir).select(
+    # ONE events reader shared by all four branches: each standalone
+    # builder would re-read the parquet footer (~0.07 s of construction
+    # each at sf0.1 — guide §5 driver-side latency); the branch PLANS are
+    # unchanged (same relation, separate subtrees)
+    ev = _t(spark, sf_dir, "events")
+    b1 = q_sessionize(spark, sf_dir, events=ev).select(
         F.lit("sessionize").alias("op"),
         F.col("user_id").cast("long").alias("user_id"),
         null_l.alias("window_start"),
         F.lit(None).cast("string").alias("event_type"),
         F.col("n_sessions").alias("n"), F.col("n_events").alias("n2"),
         F.lit(None).cast("double").alias("sum_value"))
-    b2 = q_tumbling_window(spark, sf_dir).select(
+    b2 = q_tumbling_window(spark, sf_dir, events=ev).select(
         F.lit("tumbling_window").alias("op"), null_l.alias("user_id"),
         F.col("window_start").cast("long").alias("window_start"),
         "event_type", F.col("n"), null_l.alias("n2"), F.col("sum_value"))
@@ -3537,8 +3542,12 @@ def q_windows_compound(spark, sf_dir):
                          F.lit(None).cast("string").alias("event_type"),
                          "n", "n2", "sum_value")
 
-    b3 = _asof_branch("asof_backward", q_asof_backward(spark, sf_dir))
-    b4 = _asof_branch("asof_tol", q_asof_tolerance(spark, sf_dir))
+    b3 = _asof_branch("asof_backward",
+                      _asof_errors_to_clicks(spark, sf_dir, events=ev))
+    b4 = _asof_branch("asof_tol",
+                      _asof_errors_to_clicks(spark, sf_dir,
+                                             tolerance=_ASOF_TOL_S,
+                                             events=ev))
     return b1.unionByName(b2).unionByName(b3).unionByName(b4)
 
 
