@@ -102,7 +102,8 @@ def guard_km_col(lat: Column, *, res: int, k: int) -> Column:
 def max_nn_spacing_km(places_pdf, *, lat_col: str = "latitude",
                       lon_col: str = "longitude",
                       chunk: int = 2048) -> float:
-    """Max over places of the distance to its nearest other place (km).
+    """Max over DISTINCT place points of the distance to the nearest other
+    distinct point (km).
 
     Driver-side chunked numpy O(n²) — the places table is pandas-resident by
     contract (~10^4 rows).  For a tiling-derived point set this is a proxy for
@@ -110,9 +111,17 @@ def max_nn_spacing_km(places_pdf, *, lat_col: str = "latitude",
     tile centroids are one tile apart, so covering radius ≈ half-diagonal ≤
     nearest-neighbor spacing for aspect ratios ≤ ~1.4.  Callers use it to
     validate the static-kNN exactness precondition (VERDICT.md round-1 item 5).
+
+    Exact coordinate DUPLICATES are dropped first (r6): a duplicated point
+    adds nothing to coverage but zeroes every naive nearest-other distance —
+    measured on a 4× supplier table (place coords are mod-997 products, so
+    any table beyond 997 rows duplicates every point): spacing read 0,
+    auto_ring bailed to its degenerate (res, 1) pick, and the kNN bench row
+    went 23× as ~every query paid the full-array brute fold.
     """
-    lat = np.radians(places_pdf[lat_col].to_numpy(dtype=np.float64))
-    lon = np.radians(places_pdf[lon_col].to_numpy(dtype=np.float64))
+    pts = places_pdf[[lat_col, lon_col]].drop_duplicates()
+    lat = np.radians(pts[lat_col].to_numpy(dtype=np.float64))
+    lon = np.radians(pts[lon_col].to_numpy(dtype=np.float64))
     n = lat.size
     if n < 2:
         return math.inf
@@ -186,6 +195,27 @@ def auto_ring(places_pdf, *, lat_col: str = "latitude",
     return best[1], best[2]
 
 
+def _reduce_dup_coord_places(places_pdf, *, place_lat: str, place_lon: str,
+                             tiebreak: str):
+    """One row per distinct coordinate, keeping the min-``tiebreak`` row.
+
+    EXACT for the 1-NN joins here: every query's distance to coordinate
+    twins is identical, and ``_best_over`` breaks ties on ``tiebreak``
+    ascending (struct array_min compares (d, tb, …) lexicographically;
+    ``tiebreak`` is a unique key by caller contract), so among places
+    sharing BOTH coordinates only the min-tiebreak row can ever win —
+    pinned by test_spatial_joins.  Duplicate-bearing tables otherwise
+    multiply every candidate array and the brute-fallback array by the
+    duplication factor (the r6 4×-supplier bench: place coords are mod-997
+    products, so 4 000 suppliers put 4 copies on every point — kNN row
+    23× slower)."""
+    if places_pdf.duplicated([place_lat, place_lon]).any():
+        places_pdf = (places_pdf.sort_values(tiebreak, kind="mergesort")
+                      .drop_duplicates([place_lat, place_lon], keep="first")
+                      .sort_index())
+    return places_pdf
+
+
 def _candidate_struct(place_lat: str, place_lon: str, tiebreak: str,
                       place_cols: list[str]) -> Column:
     return F.struct(
@@ -231,6 +261,9 @@ def knn_join(spark: SparkSession, queries: DataFrame, places_pdf, *,
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
     tiebreak = place_cols[0]
+    places_pdf = _reduce_dup_coord_places(
+        places_pdf, place_lat=place_lat, place_lon=place_lon,
+        tiebreak=tiebreak)
     if res == "auto":
         if k is not None:
             raise ValueError("res='auto' derives BOTH res and k from the "
@@ -308,6 +341,9 @@ def knn_join_static(spark: SparkSession, queries: DataFrame, places_pdf, *,
     if place_cols is None:
         place_cols = [c for c in places_pdf.columns if c not in (place_lat, place_lon)]
     tiebreak = place_cols[0]
+    places_pdf = _reduce_dup_coord_places(
+        places_pdf, place_lat=place_lat, place_lon=place_lon,
+        tiebreak=tiebreak)
 
     exploded = explode_places_by_kring(
         spark, places_pdf, lat_col=place_lat, lon_col=place_lon, res=res, k=k)

@@ -81,6 +81,47 @@ class TestKnnJoin:
         assert np.allclose(auto["knn_dist_km"].to_numpy(),
                            pinned["knn_dist_km"].to_numpy(), rtol=1e-9)
 
+    def test_duplicate_coordinate_places_exact_and_nondegenerate(
+            self, spark, queries_pdf, places_pdf):
+        """r6: exact coordinate duplicates (the driver's supplier places are
+        mod-997 coordinate products, so any table beyond 997 rows stacks
+        duplicates on every point) must neither change results nor zero the
+        auto-ring spacing.  The min-tiebreak row among coordinate twins is
+        the only possible 1-NN winner, so the reduction is exact; the brute
+        reference over the FULL duplicated table pins it."""
+        dup = pd.concat([
+            places_pdf,
+            places_pdf.assign(place_id=places_pdf["place_id"] + 1000),
+            places_pdf.assign(place_id=places_pdf["place_id"] + 2000),
+        ], ignore_index=True)
+        # spacing measured over distinct points — identical to the base set
+        assert (knn_op.max_nn_spacing_km(dup)
+                == knn_op.max_nn_spacing_km(places_pdf))
+        assert knn_op.auto_ring(dup) == knn_op.auto_ring(places_pdf)
+        q = spark.createDataFrame(queries_pdf)
+        out = knn_op.knn_join(
+            spark, q, dup, query_id="qid", place_cols=["place_id", "pname"],
+        ).toPandas().sort_values("qid").reset_index(drop=True)
+        # brute reference over the raw duplicated table: min distance, ties
+        # by min place_id — the duplicate of each winner with +1000/+2000
+        # ids can never win
+        want = brute_knn(queries_pdf, dup.sort_values("place_id")
+                         .reset_index(drop=True))
+        assert out["place_id"].tolist() == want["place_id"].tolist()
+        assert np.allclose(out["knn_dist_km"].to_numpy(),
+                           want["dist"].to_numpy(), rtol=1e-9)
+        # static variant: the duplicated table must give exactly the base
+        # table's rows (coverage may drop far-away queries EQUALLY — the
+        # reduction removes only never-winning coordinate twins)
+        st_dup = knn_op.knn_join_static(
+            spark, q, dup, query_id="qid", place_cols=["place_id", "pname"],
+            res=10, k=1).toPandas().sort_values("qid").reset_index(drop=True)
+        st_base = knn_op.knn_join_static(
+            spark, q, places_pdf, query_id="qid",
+            place_cols=["place_id", "pname"],
+            res=10, k=1).toPandas().sort_values("qid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(st_dup, st_base)
+
     def test_every_query_exactly_once(self, spark, queries_pdf, places_pdf):
         q = spark.createDataFrame(queries_pdf)
         out = knn_op.knn_join(spark, q, places_pdf, query_id="qid",
