@@ -84,8 +84,17 @@ def bloom_maybe_contains(keys: DataFrame, bloom: DataFrame, key_sql: str, *,
 
     Shape note — no join-back: the exploded rows LEFT-join the broadcast
     (keeping misses as NULL) and fold straight back with ``count(hit) =
-    n_hashes`` in ONE aggregation, so the key payload never rides a
-    second join (the span_dedup discipline)."""
+    count(*)`` in ONE aggregation, so the key payload never rides a
+    second join (the span_dedup discipline).
+
+    Output is one row per DISTINCT key row (the groupBy fold).  The hit
+    count is compared against the group's own exploded row count, not
+    the literal ``n_hashes`` (r6 ADVICE fix): duplicate key rows merge
+    into one group of ``dup × n_hashes`` rows, and the literal
+    comparison silently returned false for true members — a false
+    NEGATIVE, the direction the screen guarantees never happens.  For
+    distinct inputs the two forms are identical (in-repo callers
+    ``.distinct()`` first; every driver row is unchanged)."""
     exploded = keys.select(
         "*", F.explode(_positions_array(key_sql, n_bits, n_hashes))
         .alias("__pos"))
@@ -94,7 +103,7 @@ def bloom_maybe_contains(keys: DataFrame, bloom: DataFrame, key_sql: str, *,
                                  F.lit(1).alias("__hit"))),
         "__pos", "left")
     return (tagged.groupBy(*keys.columns)
-            .agg((F.count("__hit") == n_hashes).alias(out_col)))
+            .agg((F.count("__hit") == F.count(F.lit(1))).alias(out_col)))
 
 
 def bloom_decontaminate(train: DataFrame, eval_df: DataFrame, *,

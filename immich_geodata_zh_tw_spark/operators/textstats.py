@@ -628,6 +628,13 @@ def exact_percentiles(df: DataFrame, value_sql: str, *, ps_bp: tuple,
 
     Output: ``(grp, bp, value, n_rows)`` — one row per (group ∪
     '__all__') × requested percentile.
+
+    Declared limit (r6 ADVICE, shared by the committed oracle CTE so the
+    two engines AGREE even when it fires): a genuine group literally
+    named ``'__all__'`` merges with the global marginal.  Fixing it
+    means carrying ``grouping_id`` through the window key in BOTH the
+    engine and the frozen oracle SQL — deferred to a build round; don't
+    feed groups named ``'__all__'``.
     """
     base = (df.select(F.col(group_col).alias("grp"),
                       F.expr(value_sql).cast("long").alias("v"))
@@ -696,7 +703,13 @@ def normalize_text_sql(text_col: str, *, dialect: str = "spark") -> str:
     ``[\\x00-\\x1F]``-style escapes unusable, and java.util.regex (Spark)
     and RE2 (DuckDB) both accept raw control bytes in classes.  The
     dialect split is only DuckDB's ``'g'`` flag (its ``regexp_replace``
-    is first-match by default; Spark's is global)."""
+    is first-match by default; Spark's is global).
+
+    NUL exclusion (r6 ADVICE): the stripped class deliberately starts at
+    ``chr(1)`` — ``chr(0)`` cannot ride a SQL string literal consistently
+    across the two engines (DuckDB truncates at the embedded NUL), so a
+    NUL-bearing document keeps its NUL on BOTH engines identically; the
+    round-trip invariants hold because neither engine strips it."""
     if dialect not in ("spark", "duckdb"):
         raise ValueError(dialect)
     g = "" if dialect == "spark" else ", 'g'"
@@ -738,6 +751,13 @@ def chunk_text(df: DataFrame, *, id_col: str = "doc_id",
     0-based chunk ordinal and token offset; the md5 of the chunk string
     stands in for the chunk text so the frame stays narrow (the consumer
     re-slices or joins the hash; the driver oracle hash-checks it).
+
+    Declared limit (r6 ADVICE, shared by the committed oracle so both
+    engines agree): an empty/whitespace-only doc yields ONE chunk of the
+    single empty token ``split`` produces (``n_chunk_tokens=1``,
+    ``chunk_hash=md5('')``) — deliberately NOT token_count_sql's 0-token
+    convention; harmonizing means changing the frozen oracle text, so it
+    is documented here and deferred to a build round.
     """
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap must be smaller than the chunk")
@@ -782,7 +802,13 @@ def mixture_materialize(df: DataFrame, *, group_col: str = "source",
     and folds straight into the per-domain ``n_kept`` count — map-side
     combined, nothing wider than the corpus row ever shuffles).  The
     |domains|-row windows are the documented bounded single-partition
-    class."""
+    class.
+
+    Declared limit (r6 ADVICE, shared by the committed oracle so both
+    engines agree): a domain whose every text is empty has
+    ``n_tokens=0``, the 0/0 rate is NULL and the domain reports
+    ``rate=NULL, n_kept=0`` instead of raising — an explicit pre-filter
+    would change the frozen oracle's rows; documented and deferred."""
     per = (df.groupBy(group_col)
            .agg(F.sum(F.expr(token_count_sql(text_col))).alias("n_tokens"),
                 F.count(F.lit(1)).alias("n_docs")))

@@ -48,6 +48,33 @@ class TestBloom:
         # 256 bits / 120 set → dense enough that fps certainly occur
         assert n_fp > 0
 
+    def test_duplicate_probe_rows_keep_no_false_negative(self, spark):
+        """r6 ADVICE (medium): duplicate rows in the probe frame merge in
+        the groupBy fold; the old ``count == n_hashes`` literal then read
+        2×n_hashes hits as FALSE — a false negative, the one direction
+        the screen guarantees never happens.  The fix compares against
+        the group's own exploded row count; verdicts must equal the
+        distinct-probe run row for row."""
+        members = [f"m{i}" for i in range(20)]
+        probes = members + [f"p{i}" for i in range(50)]
+        bf = bloom.bloom_build(
+            spark.createDataFrame([(m,) for m in members], "key string"),
+            "key", n_bits=N_BITS, n_hashes=N_HASHES)
+        dup = spark.createDataFrame(
+            [(p,) for p in probes] * 3, "key string")
+        got_dup = (bloom.bloom_maybe_contains(
+                       dup, bf, "key", n_bits=N_BITS, n_hashes=N_HASHES)
+                   .toPandas().set_index("key")["bloom_maybe"])
+        got_one = (bloom.bloom_maybe_contains(
+                       spark.createDataFrame([(p,) for p in probes],
+                                             "key string"),
+                       bf, "key", n_bits=N_BITS, n_hashes=N_HASHES)
+                   .toPandas().set_index("key")["bloom_maybe"])
+        assert len(got_dup) == len(probes)  # one row per distinct key
+        for p in probes:
+            assert got_dup[p] == got_one[p], p
+        assert all(got_dup[m] for m in members)  # no false negatives
+
     def test_decontaminate_superset_of_exact(self, spark):
         """Every doc the exact 3-gram check flags must be bloom_maybe —
         at a deliberately tiny, fp-heavy 64-bit filter (the adversarial
