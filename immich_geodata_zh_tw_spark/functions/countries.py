@@ -107,9 +107,16 @@ assert len(COUNTRY_ZH_TW) == 250, len(COUNTRY_ZH_TW)
 
 
 def country_dim(spark: SparkSession) -> DataFrame:
-    """The localization mapping as a (country_code, country_zh) DataFrame."""
+    """The localization mapping as a (country_code, country_zh) DataFrame.
+
+    One partition (``session.local_dim_df``): a 250-row driver constant
+    sliced into defaultParallelism pickle partitions costs a
+    Python-worker task per slice on every scan of the dim.
+    """
+    from ..session import local_dim_df
+
     rows = sorted(COUNTRY_ZH_TW.items())
-    return spark.createDataFrame(rows, "country_code string, country_zh string")
+    return local_dim_df(spark, rows, "country_code string, country_zh string")
 
 
 def localize_country(df: DataFrame, *, code_col: str = "country_code",

@@ -337,7 +337,12 @@ def kmeans_result_plan(df: DataFrame, cents_biased: np.ndarray, *,
     spark = df.sparkSession
     agg = update_agg(df, cents_biased, vec_col=vec_col, quant=quant,
                      bound=bound)
-    prev = spark.createDataFrame(
+    from ..session import local_dim_df
+
+    # k-row driver literal: one partition, so each scan schedules one
+    # task instead of defaultParallelism Python-worker round-trips
+    prev = local_dim_df(
+        spark,
         [(int(i), [int(v) for v in cents_biased[i]]) for i in range(k)],
         "cid int, prev array<bigint>")
     full = prev.join(agg, "cid", "left")

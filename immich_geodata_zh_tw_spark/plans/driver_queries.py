@@ -28,6 +28,7 @@ from ..operators import (bloom, bpe, dedup, dsir, ids, merge, ngram_lm,
 from ..operators.admin_rules import japan_admin2_rules
 from ..operators.knn import knn_join
 from ..operators.pipjoin import pip_join
+from ..session import local_dim_df
 from ..synth import TW_BBOX
 from ..synth.polygons import COUNTIES, N_TOWNSHIPS_PER_COUNTY, admin_polygons_pdf
 
@@ -1413,8 +1414,8 @@ def q_bm25_topk(spark, sf_dir):
     from ..operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame(_BM25_QUERIES,
-                              "query_id string, query string")
+    q = local_dim_df(spark, _BM25_QUERIES,
+                     "query_id string, query string")
     return bm25_topk(docs, q, k=_BM25_K, idf="rational", n_salts=4)
 
 
@@ -1757,8 +1758,12 @@ def q_doc_vocab(spark, sf_dir):
             lambda: bpe.bpe_train_stats(d, n_merges=_BPE_MERGES))
         vocab_rows = _vocab_fut.result()
         merges, bpe_size = _bpe_fut.result()
-    vocab = spark.createDataFrame(
-        vocab_rows, "token string, token_id long, freq long")
+    # one-partition dims (session.local_dim_df): the default 32-slice
+    # pickle frames cost a Python-worker task per slice per scan — the
+    # vocab subtree is scanned three times in this plan (r6 stage
+    # decomposition: ~5-6 s summed task time at near-zero CPU per scan)
+    vocab = local_dim_df(
+        spark, vocab_rows, "token string, token_id long, freq long")
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
     b1 = vocab.select(
@@ -1773,13 +1778,13 @@ def q_doc_vocab(spark, sf_dir):
     # (bpe_size — the post-merge corpus token total — is folded into the
     # BPE thread above: ONE bounded action over the cached word table,
     # unpersisted there so the RETURNED plan carries no persisted lineage)
-    b3 = (spark.createDataFrame(merges, "round long, pair string, cnt long")
+    b3 = (local_dim_df(spark, merges, "round long, pair string, cnt long")
           .select(F.lit("bpe").alias("op"), F.col("pair").alias("token"),
                   F.col("round").alias("token_id"),
                   F.col("cnt").alias("freq"), null_l.alias("doc_id"),
                   null_l.alias("n_tokens"), null_l.alias("n_oov"),
                   F.lit(None).cast("double").alias("oov_ratio")))
-    b4 = (spark.createDataFrame([(bpe_size,)], "freq long")
+    b4 = (local_dim_df(spark, [(bpe_size,)], "freq long")
           .select(F.lit("bpe_size").alias("op"), null_s.alias("token"),
                   null_l.alias("token_id"), F.col("freq"),
                   null_l.alias("doc_id"), null_l.alias("n_tokens"),
